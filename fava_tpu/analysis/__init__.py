@@ -1,0 +1,38 @@
+"""Analysis registry: importing this package registers every analysis
+method onto Model (reference pattern: fava/analysis/__init__.py)."""
+
+from fava_tpu.analysis.reynolds_stress import reynolds_stress
+from fava_tpu.analysis.slice_average import slice_average
+from fava_tpu.analysis.slice_integration import slice_integration
+from fava_tpu.analysis.volume_average import volume_average
+from fava_tpu.analysis.volume_integration import volume_integration
+from fava_tpu.analysis.favre_profiles import favre_profiles
+from fava_tpu.analysis.cross_correlation import cross_correlation
+from fava_tpu.analysis.auto_correlations import (
+    eulerian_autocorrelation,
+    lagrangian_autocorrelation,
+)
+from fava_tpu.analysis.fractal_dimension import fractal_dimension
+from fava_tpu.analysis.kinetic_energy_spectra import kinetic_energy_spectra
+from fava_tpu.analysis.structure_functions import structure_functions
+from fava_tpu.analysis.pdf1d import pdf1d
+from fava_tpu.analysis.pdf2d import pdf2d
+from fava_tpu.analysis.mass_sum import mass_sum
+
+__all__ = [
+    "reynolds_stress",
+    "slice_average",
+    "slice_integration",
+    "volume_average",
+    "volume_integration",
+    "favre_profiles",
+    "cross_correlation",
+    "eulerian_autocorrelation",
+    "lagrangian_autocorrelation",
+    "fractal_dimension",
+    "kinetic_energy_spectra",
+    "structure_functions",
+    "pdf1d",
+    "pdf2d",
+    "mass_sum",
+]

@@ -1,0 +1,143 @@
+"""FLASH tracer-particle mesh.
+
+TPU-native rebuild of the reference FlashParticles
+(reference: fava/mesh/FLASH/FlashParticles.py:32-128): reads the
+``tracer particles`` table with field selection, sorts by tag, and
+exposes device-resident columns plus vectorized particle statistics
+(means/RMS) that the reference lacks.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fava_tpu.io import flash_file
+from fava_tpu.mesh.base import Unstructured
+from fava_tpu.models.model import Model
+
+_field_mapping = {
+    "tag": "id",
+    "velx": "velocity-x",
+    "vely": "velocity-y",
+    "velz": "velocity-z",
+    "dens": "density",
+    "pres": "pressure",
+    "temp": "temperature",
+    "ener": "energy",
+    "flam": "flame progress",
+    "igtm": "ignition time",
+    "divv": "velocity-divergence",
+    "vort": "vorticity",
+}
+
+
+@Model.register_mesh()
+class FlashParticles(Unstructured):
+    _filename: Optional[Path] = None
+
+    def __init__(self, filename: Optional[str | Path] = None, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        self._fields: List[str] = []
+        self._metadata_loaded = False
+        self.data: Dict[str, np.ndarray] = {}
+        self.filename = filename
+
+    @classmethod
+    def is_this_your_mesh(cls, filename: str | Path, *args, **kwargs) -> bool:
+        fn = Path(str(filename))
+        return fn.match("*hdf5_part_*") or fn.match("*hdf5_chk_*")
+
+    @property
+    def filename(self) -> Optional[Path]:
+        return self._filename
+
+    @filename.setter
+    def filename(self, filename: Optional[str | Path]) -> None:
+        if filename is None:
+            return
+        fn = Path(filename)
+        if not (fn.match("*hdf5_part_*") or fn.match("*hdf5_chk_*")):
+            raise ValueError(
+                f"FLASH particle files typically have 'hdf5_chk_' or 'hdf5_part_' in the filename: {fn}"
+            )
+        if fn != self._filename:
+            self._metadata_loaded = False
+            self._filename = fn
+            self._load_metadata()
+
+    # ------------------------------------------------------------------
+    def _load_metadata(self) -> None:
+        with h5py.File(self._filename, "r") as f:
+            meta = flash_file.read_particle_metadata(f)
+        self._intscalars = meta["integer scalars"]
+        self._realscalars = meta["real scalars"]
+        self.localnp = meta["localnp"]
+        self.nParticles = int(self._intscalars["globalnumparticles"])
+        self._fields = meta["particle names"]
+        self.ndim = int(self._intscalars["dimensionality"])
+        self.dt = float(self._realscalars.get("dt", 0.0))
+        self.dtold = float(self._realscalars.get("dtold", 0.0))
+        self.time = float(self._realscalars.get("time", 0.0))
+        self._metadata_loaded = True
+
+    @property
+    def fields(self) -> List[str]:
+        return list(self._fields)
+
+    def load(self) -> None:
+        self._load_particles()
+
+    def _load_particles(self, *args, **kwargs) -> None:
+        fields = kwargs.get("fields", self._fields)
+        ordered = kwargs.get("ordered", True)
+
+        with h5py.File(self._filename, "r") as f:
+            self.data = flash_file.read_particles(f, self._fields, select=fields)
+
+        if ordered and "tag" in self.data:
+            tidx = np.argsort(self.data["tag"])
+            for field in self.data:
+                self.data[field] = self.data[field][tidx]
+
+    def get_coords(self) -> np.ndarray:
+        coords = np.empty((len(self.data["posx"]), self.ndim))
+        coords[:, 0] = self.data["posx"]
+        if self.ndim > 1:
+            coords[:, 1] = self.data["posy"]
+        if self.ndim > 2:
+            coords[:, 2] = self.data["posz"]
+        return coords
+
+    # ------------------------------------------------------------------
+    # Device-resident particle statistics (beyond the reference).
+    def device_column(self, field: str) -> jax.Array:
+        return jnp.asarray(self.data[field])
+
+    def statistics(self, fields: Optional[Sequence[str]] = None) -> Dict[str, Dict[str, float]]:
+        """Per-field mean / RMS / min / max over all particles."""
+        fields = list(fields) if fields is not None else [f for f in self.data if f != "tag"]
+        out: Dict[str, Dict[str, float]] = {}
+        for f in fields:
+            col = self.device_column(f)
+            mean = jnp.mean(col)
+            out[f] = {
+                "mean": float(mean),
+                "rms": float(jnp.sqrt(jnp.mean((col - mean) ** 2))),
+                "min": float(jnp.min(col)),
+                "max": float(jnp.max(col)),
+            }
+        return out
+
+    def select_by_tags(self, tags: np.ndarray) -> Dict[str, np.ndarray]:
+        """Rows whose tag matches each requested tag (vectorized)."""
+        mytags = np.asarray(self.data["tag"])
+        order = np.argsort(mytags)
+        pos = np.searchsorted(mytags, np.asarray(tags), sorter=order)
+        idx = order[np.clip(pos, 0, mytags.size - 1)]
+        return {f: v[idx] for f, v in self.data.items()}

@@ -1,0 +1,166 @@
+"""FLASH model frontend: file catalogs and load dispatch.
+
+TPU-native rebuild of the reference frontend
+(reference: fava/model/flash.py:10-169): globs the data directory into
+five catalogs (chk/plt/prt/uni/anl), each addressable "by number"
+(the 4-digit suffix) or "by index" (sorted position), dispatches
+``load`` to FlashAMR / FlashUniform / FlashParticles by file type, and
+converts filename stems between types.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+from pathlib import Path
+from typing import Dict, Optional
+
+from fava_tpu.mesh import FLASH as FlashAMR
+from fava_tpu.mesh import FlashParticles, FlashUniform
+from fava_tpu.models.model import Model
+
+
+class FileSubStem(Enum):
+    CHK = "chk"
+    PLT = "plt_cnt"
+    PRT = "part"
+    UNI = "uniform"
+    ANL = "analysis"
+
+
+class FileType(Enum):
+    CHK = 0
+    PLT = 1
+    PRT = 2
+    CHK_PRT = 3
+    PLT_PRT = 4
+    UNI = 5
+    ANL = 6
+
+
+_PATTERNS = {
+    FileType.CHK: ("*hdf5_chk_????", "hdf5_chk_"),
+    FileType.PLT: ("*hdf5_plt_cnt_????", "hdf5_plt_cnt_"),
+    FileType.PRT: ("*hdf5_part_????", "hdf5_part_"),
+    FileType.UNI: ("*hdf5_uniform_????", "hdf5_uniform_"),
+    FileType.ANL: ("*hdf5_analysis_????", "hdf5_analysis_"),
+}
+
+
+class FLASH(Model):
+    """Model over a directory of FLASH output files."""
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+
+        def catalog(ftype: FileType) -> Dict[str, Dict[int, Path]]:
+            pattern, splitter = _PATTERNS[ftype]
+            files = self._filter_files(pattern)
+            return {
+                "by number": {int(str(p).split(splitter)[-1]): p for p in files},
+                "by index": dict(enumerate(files)),
+            }
+
+        self.chk_files = catalog(FileType.CHK)
+        self.plt_files = catalog(FileType.PLT)
+        self.prt_files = catalog(FileType.PRT)
+        self.uni_files = catalog(FileType.UNI)
+        self.anl_files = catalog(FileType.ANL)
+
+        self.mesh = None
+        self.particles = None
+
+    def _catalog(self, ftype: FileType) -> Dict[str, Dict[int, Path]]:
+        return {
+            FileType.CHK: self.chk_files,
+            FileType.PLT: self.plt_files,
+            FileType.PRT: self.prt_files,
+            FileType.UNI: self.uni_files,
+            FileType.ANL: self.anl_files,
+        }[ftype]
+
+    def nfiles(self, *args, **kwargs) -> int:
+        file_type = kwargs.get("file_type", FileType.CHK)
+        ftype = file_type if isinstance(file_type, FileType) else FileType[str(file_type).upper()]
+        return len(self._catalog(ftype)["by index"])
+
+    def load(
+        self,
+        file_index: int = 0,
+        file_number: Optional[int] = None,
+        file_type: FileType | str = FileType.CHK,
+        fields=None,
+        *args,
+        **kwargs,
+    ) -> None:
+        ftype = file_type if isinstance(file_type, FileType) else FileType[str(file_type).upper()]
+        fkey = "by index" if file_number is None else "by number"
+        nkey = file_index if file_number is None else file_number
+
+        self.mesh = None
+        self.particles = None
+
+        def mesh_file(base: FileType) -> Path:
+            cat = self._catalog(base)
+            assert nkey in cat[fkey], f"{ftype.name} file {fkey} {nkey} not found"
+            return cat[fkey][nkey]
+
+        load_kwargs = dict(kwargs)
+        if fields is not None:
+            load_kwargs["fields"] = fields
+
+        match ftype:
+            case FileType.CHK | FileType.PLT:
+                file_ = mesh_file(ftype)
+                self.mesh = FlashAMR(filename=file_)
+                self.mesh.load()
+                if fields:
+                    self.mesh.load_data(names=fields)
+
+            case FileType.PRT:
+                file_ = mesh_file(FileType.PRT)
+                self.particles = FlashParticles(filename=file_)
+                self.particles._load_particles(*args, **load_kwargs)
+
+            case FileType.CHK_PRT:
+                file_ = mesh_file(FileType.CHK)
+                self.mesh = FlashAMR(filename=file_)
+                self.mesh.load()
+                if fields:
+                    self.mesh.load_data(names=fields)
+                self.particles = FlashParticles(filename=file_)
+                self.particles._load_particles(*args, **load_kwargs)
+
+            case FileType.PLT_PRT:
+                file_ = mesh_file(FileType.PLT)
+                self.mesh = FlashAMR(filename=file_)
+                self.mesh.load()
+                if fields:
+                    self.mesh.load_data(names=fields)
+                pfile_ = mesh_file(FileType.PRT)
+                self.particles = FlashParticles(filename=pfile_)
+                self.particles._load_particles(*args, **load_kwargs)
+
+            case FileType.UNI:
+                file_ = mesh_file(FileType.UNI)
+                self.mesh = FlashUniform(filename=file_)
+                self.mesh.load()
+                if fields:
+                    self.mesh.load_data(names=fields)
+
+            case _:
+                raise ValueError(f"Cannot load file type {ftype}")
+
+    def convert_filename_type(
+        self, current_filetype: FileType | str, new_filetype: FileType | str
+    ) -> Optional[Path]:
+        if self.mesh is None:
+            return None
+        curr = (
+            current_filetype
+            if isinstance(current_filetype, FileType)
+            else FileType[str(current_filetype).upper()]
+        )
+        new = new_filetype if isinstance(new_filetype, FileType) else FileType[str(new_filetype).upper()]
+        current_stem = self.mesh.filename.stem
+        new_stem = current_stem.replace(FileSubStem[curr.name].value, FileSubStem[new.name].value)
+        return self.mesh.filename.with_stem(new_stem)

@@ -1,0 +1,127 @@
+"""Kinetic-energy spectra: 3D FFT + spherical shell binning.
+
+TPU-native redesign of the reference's Federrath-derived implementation
+(reference: fava/mesh/FLASH/FlashUniform.py:229-304). Differences by
+design:
+
+* The FFT is the pod-sharded slab FFT from :mod:`fava_tpu.parallel.fft`
+  when a device mesh is active — the reference computes the full
+  ``np.fft.fftn`` redundantly on every rank.
+* No ``fftshift``: shell binning and the longitudinal projection are
+  permutation-invariant in k, so we use the matching unshifted integer
+  wavenumber grid. Results are identical for even grid sizes (the
+  reference's ``linspace`` k-grid is only integer-valued for even n).
+* The reference applies a stray ``.T`` to each velocity FFT in the
+  longitudinal projection for ndim>1 (FlashUniform.py:281) — a bug
+  inherited from a 2D-specific source. We compute the correct
+  projection sum(k_n * w_n); the NumPy oracle covers both behaviors.
+
+Shell binning replicates ``scipy.stats.binned_statistic(..., "mean")``
+with edges ``arange(max(n)//2) - 0.5``: right-inclusive last edge,
+NaN for empty shells.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fava_tpu.parallel import fft as pfft
+from fava_tpu.parallel import runtime
+from fava_tpu.utils import accum_dtype
+
+
+def _wavenumber_grid(shape: Tuple[int, ...], dtype):
+    """Unshifted integer wavenumber component grids for an ndim volume."""
+    ks = []
+    nd = len(shape)
+    for axis, n in enumerate(shape):
+        k = pfft._wavenumbers(n, dtype)
+        kshape = [1] * nd
+        kshape[axis] = n
+        ks.append(k.reshape(kshape))
+    return ks
+
+
+@lru_cache(maxsize=32)
+def _build_spectra_fn(shape: Tuple[int, ...], mesh_key, nbins: int):
+    """Jitted spectra core for a given volume shape (cached per shape/mesh)."""
+    mesh = mesh_key  # jax.sharding.Mesh is hashable
+    ndim = len(shape)
+    ntot = int(np.prod(shape))
+
+    def core(dens, vels):
+        adt = accum_dtype()
+        sqrt_d = jnp.sqrt(dens)
+        ffts = []
+        for v in vels:
+            w = sqrt_d * v
+            if ndim == 3:
+                fw = pfft.pfft3(w.astype(jnp.promote_types(w.dtype, jnp.float32)), mesh=mesh)
+            else:
+                fw = jnp.fft.fftn(w)
+            ffts.append(fw / ntot)  # norm="forward"
+
+        ks = _wavenumber_grid(shape, ffts[0].real.dtype)
+        k_abs2 = sum(k * k for k in ks)
+        k_abs = jnp.sqrt(k_abs2) if ndim > 1 else jnp.abs(ks[0])
+
+        total = 0.5 * sum(jnp.abs(f) ** 2 for f in ffts)
+
+        longitudinal = sum(k * f for k, f in zip(ks, ffts))
+        longitudinal = jnp.abs(longitudinal / jnp.maximum(k_abs, 1e-99)) ** 2
+        transverse = total - longitudinal
+
+        # binned_statistic "mean" with edges arange(nbins+1)-0.5.
+        idx = jnp.clip(jnp.floor(k_abs + 0.5).astype(jnp.int32), 0, nbins - 1)
+        include = k_abs <= (nbins - 0.5)
+
+        flat_idx = idx.ravel()
+        mask = include.ravel()
+        counts = jnp.zeros(nbins, dtype=adt).at[flat_idx].add(mask.astype(adt))
+
+        def binsum(val):
+            v = jnp.where(mask, val.ravel().astype(adt), 0)
+            return jnp.zeros(nbins, dtype=adt).at[flat_idx].add(v)
+
+        sums = jnp.stack([binsum(total), binsum(longitudinal), binsum(transverse)])
+        means = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), jnp.nan)
+        return means
+
+    return jax.jit(core)
+
+
+def kinetic_energy_spectra(
+    dens: jax.Array,
+    vels: Sequence[jax.Array],
+    mesh=None,
+) -> Dict[str, np.ndarray]:
+    """Total/longitudinal/transverse KE spectra of sqrt(rho)*v.
+
+    Returns {"k", "total", "longitudinal", "transverse"} with the
+    reference's integral factor k^(d-1) * 2*pi*(d-1) applied
+    (reference: fava/mesh/FLASH/FlashUniform.py:295-302).
+    """
+    mesh = mesh if mesh is not None else runtime.get_mesh()
+    shape = tuple(int(s) for s in dens.shape)
+    ndim = len(shape)
+    nbins = max(shape) // 2 - 1  # len(bins)-1 with bins = arange(max//2)-0.5
+
+    fn = _build_spectra_fn(shape, mesh, nbins)
+    means = np.asarray(fn(dens, tuple(vels)), dtype=np.float64)
+
+    k = np.arange(nbins, dtype=np.float64)
+    integral_factor = k ** (ndim - 1)
+    if ndim > 1:
+        integral_factor = integral_factor * (2.0 * np.pi * (ndim - 1))
+
+    return {
+        "k": k,
+        "total": means[0] * integral_factor,
+        "longitudinal": means[1] * integral_factor,
+        "transverse": means[2] * integral_factor,
+    }

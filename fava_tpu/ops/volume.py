@@ -1,0 +1,165 @@
+"""Volume-wise reductions, mass sums, and PDFs.
+
+These fill in the API surface the reference *declares but never
+implements* — ``volume_average``, ``volume_integration``, ``pdf1d``,
+``pdf2d``, ``mass_sum`` are registered analysis wrappers with no mesh
+backing (SURVEY §2 "declared-but-absent"); ``mass_fraction`` exists
+only on FlashUniform (reference: fava/mesh/FLASH/FlashUniform.py:449-458).
+All are AMR-aware: cells are weighted by their refinement-level volume.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fava_tpu.utils import accum_dtype
+
+
+@jax.jit
+def _block_sums(data: jax.Array) -> jax.Array:
+    return jnp.sum(data.astype(accum_dtype()), axis=tuple(range(1, data.ndim)))
+
+
+def volume_integration(
+    data: jax.Array, cell_volumes: np.ndarray, blocklist: Optional[np.ndarray] = None
+) -> float:
+    """integral(field dV) = sum over leaf blocks of blocksum * cell_volume."""
+    if blocklist is not None:
+        data = jnp.take(data, jnp.asarray(blocklist), axis=0)
+    if data.ndim == 3:  # single uniform block
+        data = data[None]
+    sums = _block_sums(data)
+    return float(jnp.sum(sums * jnp.asarray(cell_volumes, dtype=sums.dtype)))
+
+
+def volume_average(
+    data: jax.Array,
+    cell_volumes: np.ndarray,
+    domain_volume: float,
+    blocklist: Optional[np.ndarray] = None,
+) -> float:
+    return volume_integration(data, cell_volumes, blocklist) / float(domain_volume)
+
+
+def mass_sum(
+    dens: jax.Array,
+    cell_volume: float,
+    masks: Optional[Dict[str, jax.Array]] = None,
+) -> Dict[str, float]:
+    """Total mass plus per-mask masses (reference mass_fraction semantics)."""
+    mass = dens.astype(accum_dtype()) * cell_volume
+    out = {"total": float(jnp.sum(mass))}
+    for name, mask in (masks or {}).items():
+        out[name] = float(jnp.sum(jnp.where(jnp.asarray(mask), mass, 0)))
+    return out
+
+
+@lru_cache(maxsize=16)
+def _hist1d_fn(nbins: int):
+    @jax.jit
+    def hist(values, weights, lo, hi):
+        adt = accum_dtype()
+        v = values.ravel()
+        w = weights.ravel().astype(adt)
+        scaled = (v - lo) / (hi - lo) * nbins
+        idx = jnp.clip(jnp.floor(scaled).astype(jnp.int32), 0, nbins - 1)
+        valid = (v >= lo) & (v <= hi)
+        return jnp.zeros(nbins, dtype=adt).at[idx].add(jnp.where(valid, w, 0))
+
+    return hist
+
+
+@lru_cache(maxsize=16)
+def _hist2d_fn(nbx: int, nby: int):
+    @jax.jit
+    def hist(xv, yv, weights, xlo, xhi, ylo, yhi):
+        adt = accum_dtype()
+        x = xv.ravel()
+        y = yv.ravel()
+        w = weights.ravel().astype(adt)
+        ix = jnp.clip(jnp.floor((x - xlo) / (xhi - xlo) * nbx).astype(jnp.int32), 0, nbx - 1)
+        iy = jnp.clip(jnp.floor((y - ylo) / (yhi - ylo) * nby).astype(jnp.int32), 0, nby - 1)
+        valid = (x >= xlo) & (x <= xhi) & (y >= ylo) & (y <= yhi)
+        flat = ix * nby + iy
+        h = jnp.zeros(nbx * nby, dtype=adt).at[flat].add(jnp.where(valid, w, 0))
+        return h.reshape(nbx, nby)
+
+    return hist
+
+
+def _cell_weights(shape, cell_volumes: Optional[np.ndarray], dens: Optional[jax.Array]) -> jax.Array:
+    """Per-cell weights: volume (AMR-aware) and optionally mass (x dens)."""
+    if cell_volumes is None:
+        w = jnp.ones(shape, dtype=accum_dtype())
+    else:
+        cv = jnp.asarray(cell_volumes, dtype=accum_dtype())
+        w = jnp.broadcast_to(cv.reshape((-1,) + (1,) * (len(shape) - 1)), shape)
+    if dens is not None:
+        w = w * dens.astype(accum_dtype())
+    return w
+
+
+def pdf1d(
+    values: jax.Array,
+    *,
+    nbins: int = 100,
+    vrange: Optional[Tuple[float, float]] = None,
+    weights: Optional[jax.Array] = None,
+    density: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Weighted 1D PDF of a field (declared-but-absent in the reference)."""
+    if vrange is None:
+        vrange = (float(jnp.min(values)), float(jnp.max(values)))
+    lo, hi = float(vrange[0]), float(vrange[1])
+    if hi <= lo:
+        hi = lo + 1.0
+    w = weights if weights is not None else jnp.ones_like(values)
+    counts = np.asarray(_hist1d_fn(int(nbins))(values, w, lo, hi), dtype=np.float64)
+    edges = np.linspace(lo, hi, nbins + 1)
+    out = counts
+    if density:
+        total = counts.sum()
+        widths = np.diff(edges)
+        out = counts / (total * widths) if total > 0 else counts
+    return {"edges": edges, "centers": 0.5 * (edges[1:] + edges[:-1]), "pdf": out, "counts": counts}
+
+
+def pdf2d(
+    xvalues: jax.Array,
+    yvalues: jax.Array,
+    *,
+    nbins: Tuple[int, int] = (100, 100),
+    xrange: Optional[Tuple[float, float]] = None,
+    yrange: Optional[Tuple[float, float]] = None,
+    weights: Optional[jax.Array] = None,
+    density: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Weighted joint PDF of two fields (declared-but-absent in the reference)."""
+    if xrange is None:
+        xrange = (float(jnp.min(xvalues)), float(jnp.max(xvalues)))
+    if yrange is None:
+        yrange = (float(jnp.min(yvalues)), float(jnp.max(yvalues)))
+    xlo, xhi = map(float, xrange)
+    ylo, yhi = map(float, yrange)
+    if xhi <= xlo:
+        xhi = xlo + 1.0
+    if yhi <= ylo:
+        yhi = ylo + 1.0
+    w = weights if weights is not None else jnp.ones_like(xvalues)
+    counts = np.asarray(
+        _hist2d_fn(int(nbins[0]), int(nbins[1]))(xvalues, yvalues, w, xlo, xhi, ylo, yhi),
+        dtype=np.float64,
+    )
+    xedges = np.linspace(xlo, xhi, nbins[0] + 1)
+    yedges = np.linspace(ylo, yhi, nbins[1] + 1)
+    out = counts
+    if density:
+        total = counts.sum()
+        area = np.outer(np.diff(xedges), np.diff(yedges))
+        out = counts / (total * area) if total > 0 else counts
+    return {"xedges": xedges, "yedges": yedges, "pdf": out, "counts": counts}

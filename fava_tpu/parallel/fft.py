@@ -1,0 +1,76 @@
+"""Distributed 3D FFT over the device mesh (slab / pencil decomposition).
+
+The reference computes the full ``np.fft.fftn`` redundantly on every MPI
+rank against a node-shared array (reference: fava/mesh/FLASH/FlashUniform.py:268)
+— it never landed its planned ``mpi4py-fft`` decomposition. Here the 3D
+FFT is genuinely decomposed over ICI:
+
+  input slab-sharded along x:  (nx/d, ny, nz)  per device
+    1. batched local FFT over the two resident axes (y, z)
+    2. ``all_to_all`` transpose x<->y over the mesh axis (rides ICI)
+    3. local FFT over the now-resident x axis
+  output slab-sharded along y: (nx, ny/d, nz)  per device
+
+All shell-binned spectra downstream are permutation-invariant in k, so
+no inverse transpose or fftshift is needed — callers use the matching
+unshifted k-grid from :func:`local_k_slab`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fava_tpu.parallel import runtime
+
+
+def _fft_yz_then_transpose_then_x(local, axis_name: str):
+    # Local FFT along the fully-resident trailing axes.
+    local = jnp.fft.fftn(local, axes=(1, 2))
+    # Transpose shards: split y across devices, gather x. (nx/d, ny, nz) -> (nx, ny/d, nz)
+    local = jax.lax.all_to_all(local, axis_name, split_axis=1, concat_axis=0, tiled=True)
+    # FFT along the now-resident x axis.
+    return jnp.fft.fft(local, axis=0)
+
+
+def pfft3(x: jax.Array, mesh: Optional[Mesh] = None, axis_name: str = runtime.SPACE_AXIS) -> jax.Array:
+    """Forward unnormalized 3D FFT of a volume sharded along axis 0.
+
+    Returns the transform sharded along axis 1 (y-slabs), in *unshifted*
+    k-order. Falls back to a plain ``jnp.fft.fftn`` without a mesh.
+    """
+    mesh = mesh if mesh is not None else runtime.get_mesh()
+    if mesh is None or axis_name not in mesh.axis_names or mesh.shape[axis_name] == 1:
+        return jnp.fft.fftn(x)
+
+    return jax.shard_map(
+        partial(_fft_yz_then_transpose_then_x, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=P(axis_name, None, None),
+        out_specs=P(None, axis_name, None),
+    )(x)
+
+
+def local_k_slab(shape, axis_name_index: int, lo: int, hi: int, dtype=jnp.float32):
+    """Integer wavenumber grids (unshifted FFT order) for a local y-slab.
+
+    For a global volume of ``shape`` = (nx, ny, nz) whose transform is
+    sharded along y as [lo, hi), returns (kx, ky, kz) broadcastable to the
+    local block (nx, hi-lo, nz). Wavenumbers are the integers
+    [0..n/2-1, -n/2..-1], matching ``fftshift``+linspace on even n
+    (reference: fava/mesh/FLASH/FlashUniform.py:244-253).
+    """
+    nx, ny, nz = shape
+    kx = _wavenumbers(nx, dtype)[:, None, None]
+    ky = _wavenumbers(ny, dtype)[lo:hi][None, :, None]
+    kz = _wavenumbers(nz, dtype)[None, None, :]
+    return kx, ky, kz
+
+
+def _wavenumbers(n: int, dtype) -> jax.Array:
+    k = jnp.arange(n)
+    return jnp.where(k <= (n - 1) // 2, k, k - n).astype(dtype)
