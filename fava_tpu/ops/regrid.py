@@ -97,7 +97,7 @@ class RegridPlan:
         if subdomain_flag:
             total_cells[:ndim] = np.diff(sub_bcids[:ndim]).ravel()
             self.out_origin = sub_bcids[:, 0].astype(np.int64)
-            self.domain_box = grid_box[:, :1] + sub_bcids * self.grid_delta
+            self.domain_box = grid_box[:, :1] + sub_bcids * self.grid_delta[:, None]
         else:
             total_cells[:ndim] = fine_blks[:ndim] * ncells_vec[:ndim]
             self.out_origin = np.zeros(MESH_MDIM, dtype=np.int64)

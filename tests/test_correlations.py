@@ -1,0 +1,75 @@
+"""Auto/cross correlation time-series drivers."""
+
+import numpy as np
+import pytest
+
+import fava_tpu
+from fava_tpu.io import synthetic
+
+
+@pytest.fixture()
+def series_dir(tmp_path):
+    # Three identical plt snapshots (static field) at different times.
+    for i, t in enumerate([0.0, 0.1, 0.2], start=1):
+        synthetic.make_amr_file(
+            tmp_path / f"rt_hdf5_plt_cnt_{i:04d}", ncells=(4, 4, 4), nblks=(2, 2, 2), time=t
+        )
+    # Particle snapshots with time-varying data (distinct seeds, same tag set).
+    for i, t in enumerate([0.0, 0.1, 0.2], start=1):
+        synthetic.make_particle_file(
+            tmp_path / f"rt_hdf5_part_{i:04d}", nparticles=32, time=t, seed=100 + i
+        )
+    return tmp_path
+
+
+def test_eulerian_autocorrelation_static_field(series_dir):
+    m = fava_tpu.FLASH(series_dir)
+    times, results = m.eulerian_autocorrelation(nsamples=20, fields=["dens"], seed=1)
+    np.testing.assert_allclose(times, [0.0, 0.1, 0.2])
+    # Static field: correlation stays exactly 1.
+    np.testing.assert_allclose(results["dens"], 1.0, rtol=1e-12)
+
+
+def test_lagrangian_autocorrelation(series_dir):
+    m = fava_tpu.FLASH(series_dir)
+    times, results = m.lagrangian_autocorrelation(nsamples=8, fields=["velx"])
+    # Perfect self-correlation at t=0; bounded by 1 afterwards.
+    np.testing.assert_allclose(results["velx"][0], 1.0, rtol=1e-12)
+    assert (np.abs(results["velx"]) <= 1.0 + 1e-12).all()
+
+
+def test_cross_correlation_formulas(series_dir):
+    m = fava_tpu.FLASH(series_dir)
+    # Pick tags that exist.
+    m.load(file_type="prt")
+    tags = np.sort(m.particles.data["tag"])
+    rho = m.cross_correlation(
+        "velx",
+        "vely",
+        sample_points=tags[:4],
+        poi_idx=int(tags[5]),
+        lagrangian_tracking=True,
+        tag_field="tag",
+    )
+    assert rho.shape == (4,)
+
+    # Direct oracle over the series: load each file, gather by tag.
+    nfiles = 3
+    samp = np.zeros((nfiles, 4))
+    temp = np.zeros((nfiles, 1))
+    for i in range(nfiles):
+        m.load(file_index=i, file_type="prt")
+        samp[i] = m.particles.select_by_tags(tags[:4])["velx"]
+        temp[i] = m.particles.select_by_tags(tags[5:6])["vely"]
+    smean = samp[:-1].mean(axis=0)
+    tmean = temp[1:].mean()
+    sstd = samp[:-1].std(axis=0)
+    tstd = temp[1:].std()
+    Rts = np.sum(temp[1:] * samp[:-1], axis=0) / float(nfiles - 1)
+    expected = (Rts - smean * tmean) / (sstd * tstd)
+    np.testing.assert_allclose(rho, expected, rtol=1e-12)
+
+
+def test_cross_correlation_requires_tracking_mode(series_dir):
+    m = fava_tpu.FLASH(series_dir)
+    assert m.cross_correlation("velx", "vely", np.array([1.0]), 2) is None

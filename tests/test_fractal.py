@@ -1,0 +1,50 @@
+"""Fractal dimension vs the literal-loop oracle + analytic sanity cases."""
+
+import numpy as np
+import pytest
+
+from fava_tpu.ops.fractal import edge_detect, fractal_dimension
+from tests.oracles.fractal import edge_detect_oracle, fractal_dimension_oracle
+
+import jax.numpy as jnp
+
+
+def _smooth_volume(n=16, seed=2):
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 1, n)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    return 1.0 / (1.0 + np.exp((X - 0.5) * 15)) + 0.05 * rng.standard_normal((n, n, n))
+
+
+def test_edge_detect_matches_oracle():
+    data = _smooth_volume()
+    got = np.asarray(edge_detect(jnp.asarray(data), jnp.asarray(0.5)))
+    ref = edge_detect_oracle(data, 0.5)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fractal_dimension_matches_oracle():
+    data = _smooth_volume()
+    got = fractal_dimension(data, 0.5)["0.5"]
+    ref = fractal_dimension_oracle(data, 0.5)
+    for key in ref:
+        np.testing.assert_allclose(got[key], ref[key], rtol=1e-12, err_msg=key)
+
+
+def test_flat_interface_dimension_is_two():
+    # A planar contour surface has box-counting dimension ~2.
+    n = 32
+    x = np.linspace(0, 1, n)
+    X = np.meshgrid(x, x, x, indexing="ij")[0]
+    data = 1.0 - X  # decreasing in x, crosses 0.5 on a plane
+    got = fractal_dimension(data, 0.5)["0.5"]
+    assert abs(got["average fractal dimension"] - 2.0) < 0.2
+    assert got["R2"] > 0.99
+
+
+def test_contour_list_and_validation():
+    data = _smooth_volume(8)
+    out = fractal_dimension(data, [0.4, 0.6])
+    assert set(out.keys()) == {"0.4", "0.6"}
+    with pytest.raises(ValueError):
+        fractal_dimension(data, "bad")

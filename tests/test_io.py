@@ -1,0 +1,73 @@
+"""FLASH file I/O: write/read roundtrips, axis swaps, parameter tables."""
+
+import h5py
+import numpy as np
+
+from fava_tpu.io import flash_file, synthetic
+
+
+def test_uniform_file_roundtrip(tmp_path):
+    path = tmp_path / "rt_hdf5_uniform_0005"
+    synthetic.make_uniform_file(path, ncells=(8, 6, 4))
+
+    with h5py.File(path, "r") as f:
+        scalars = flash_file.read_scalars(f)
+        runtime = flash_file.read_runtime_parameters(f)
+        names = flash_file.read_unknown_names(f)
+        dens = flash_file.read_field(f, "dens")
+        meta = flash_file.read_block_metadata(f)
+
+    assert scalars["integer"]["nxb"] == 8
+    assert scalars["integer"]["nyb"] == 6
+    assert scalars["integer"]["nzb"] == 4
+    assert scalars["string"]["geometry"] == "cartesian"
+    assert runtime["real"]["xmax"] == 1.0
+    assert set(names) == set(synthetic.DEFAULT_FIELDS)
+    # Axis swap: file stores (nz, ny, nx); reader returns (nx, ny, nz).
+    # Uniform files hold the bare 3D volume (as written by from_amr).
+    assert dens.shape == (8, 6, 4)
+    assert meta["bounding box"].shape == (1, 3, 2)
+
+
+def test_field_axis_swap_is_involutive(tmp_path):
+    path = tmp_path / "x_hdf5_uniform_0001"
+    rng = np.random.default_rng(0)
+    data = {"dens": rng.random((6, 5, 4)) + 1.0}
+    synthetic.make_uniform_file(path, ncells=(6, 5, 4), field_data=data)
+
+    with h5py.File(path, "r") as f:
+        read = flash_file.read_field(f, "dens")
+        raw = f["dens"][()]
+
+    assert raw.shape == (4, 5, 6)  # file order (nz, ny, nx)
+    np.testing.assert_allclose(read.squeeze(), data["dens"], rtol=1e-6)
+
+
+def test_amr_tree_consistency(tmp_path):
+    path = tmp_path / "rt_hdf5_plt_cnt_0004"
+    synthetic.make_amr_file(path, ncells=(4, 4, 4), nblks=(2, 1, 1), refine={1: 2})
+
+    with h5py.File(path, "r") as f:
+        meta = flash_file.read_block_metadata(f)
+
+    node_type = meta["node type"]
+    refine_level = meta["refine level"]
+    bounds = meta["bounding box"]
+    # 2 roots, one refined into 8 children -> 10 blocks, 9 leaves.
+    assert len(node_type) == 10
+    assert (node_type == 1).sum() == 9
+    assert refine_level.max() == 2
+    # Leaves tile the domain: total leaf volume == domain volume.
+    leaf_vol = sum(np.prod(bounds[b, :, 1] - bounds[b, :, 0]) for b in np.nonzero(node_type == 1)[0])
+    np.testing.assert_allclose(leaf_vol, 1.0)
+
+
+def test_particle_file_roundtrip(tmp_path):
+    path = tmp_path / "rt_hdf5_part_0002"
+    synthetic.make_particle_file(path, nparticles=32)
+    with h5py.File(path, "r") as f:
+        meta = flash_file.read_particle_metadata(f)
+        parts = flash_file.read_particles(f, meta["particle names"], select=["tag", "velx"])
+    assert meta["integer scalars"]["globalnumparticles"] == 32
+    assert set(parts.keys()) == {"tag", "velx"}
+    assert parts["tag"].shape == (32,)

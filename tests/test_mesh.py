@@ -1,0 +1,114 @@
+"""Mesh classes: sniffing, geometry queries, block bookkeeping."""
+
+import numpy as np
+import pytest
+
+import fava_tpu
+from fava_tpu.mesh import FLASH as FlashAMR
+from fava_tpu.mesh import FlashParticles, FlashUniform, Mesh, Structured, Unstructured
+
+
+def test_mesh_type_names():
+    assert Structured().mesh_type == "Structured"
+    assert Unstructured().mesh_type == "Unstructured"
+    assert not Mesh.is_this_your_mesh("anything")
+
+
+def test_file_sniffing():
+    assert FlashAMR.is_this_your_mesh("run_hdf5_plt_cnt_0001")
+    assert FlashAMR.is_this_your_mesh("run_hdf5_chk_0001")
+    assert not FlashAMR.is_this_your_mesh("run_hdf5_uniform_0001")
+    assert FlashUniform.is_this_your_mesh("run_hdf5_uniform_0001")
+    assert FlashParticles.is_this_your_mesh("run_hdf5_part_0001")
+
+
+@pytest.fixture()
+def amr_mesh(amr_file):
+    mesh = FlashAMR(amr_file)
+    mesh.load()
+    return mesh
+
+
+def test_amr_metadata(amr_mesh):
+    assert amr_mesh.ndim == 3
+    assert amr_mesh.nxb == 8
+    assert amr_mesh.refine_level_max == 3
+    assert amr_mesh.geometry.value == "cartesian"
+    np.testing.assert_allclose(amr_mesh.domain_volume, 1.0)
+
+    leaves = amr_mesh.get_blocklist("LEAF")
+    allb = amr_mesh.get_blocklist("ALL")
+    assert len(allb) == amr_mesh.nblocks
+    assert len(leaves) < len(allb)
+    # Leaf volumes tile the domain.
+    vols = amr_mesh.get_cell_volumes() * amr_mesh.ncells
+    np.testing.assert_allclose(vols.sum(), 1.0)
+
+
+def test_deltas_and_volumes(amr_mesh):
+    lmax = amr_mesh.refine_level_max
+    d0 = amr_mesh.get_minimum_deltas(0)
+    np.testing.assert_allclose(d0, 1.0 / (8 * 2 * 2 ** (lmax - 1)))
+    np.testing.assert_allclose(
+        amr_mesh.get_delta_from_refine_level(0, 1), 1.0 / (8 * 2)
+    )
+    np.testing.assert_allclose(
+        amr_mesh.cell_volume_min, amr_mesh.get_cell_volume_from_refinement(lmax)
+    )
+    assert amr_mesh.cell_volume_max > amr_mesh.cell_volume_min
+
+
+def test_cell_coords(amr_mesh):
+    x = amr_mesh.get_cell_coords(axis=0, blockID=0, edge="CENTER")
+    lb, ub = amr_mesh.block_bounds[0, 0]
+    dx = (ub - lb) / amr_mesh.nxb
+    assert len(x) == amr_mesh.nxb
+    np.testing.assert_allclose(x[0], lb + dx / 2)
+    np.testing.assert_allclose(x[-1], ub - dx / 2)
+    xl = amr_mesh.get_cell_coords(axis=0, blockID=0, edge="LEFT")
+    np.testing.assert_allclose(xl[0], lb)
+
+
+def test_point_location(amr_mesh):
+    pts = np.array([[0.1, 0.1, 0.1], [0.9, 0.9, 0.9], [0.51, 0.49, 0.5]])
+    blk, cells, found = amr_mesh.locate_points(pts)
+    assert found.all()
+    for p, b in zip(pts, blk):
+        assert amr_mesh.is_point_in_block(p, b)
+    # get_coord_index agrees with locate_points
+    idx, b0 = amr_mesh.get_coord_index(pts[0], amr_mesh.get_blocklist("LEAF"))
+    assert b0 == blk[0]
+    assert idx == [int(c) for c in cells[0]]
+
+
+def test_sample_fields_values(amr_mesh):
+    pts = np.array([[0.3, 0.4, 0.6]])
+    values, vol_frac, found = amr_mesh.sample_fields(pts, ["dens"])
+    assert found.all()
+    blk, cells, _ = amr_mesh.locate_points(pts)
+    direct = amr_mesh.host_data("dens")[blk[0], cells[0, 0], cells[0, 1], cells[0, 2]]
+    np.testing.assert_allclose(values["dens"][0], direct)
+
+
+def test_uniform_mesh_load(uniform_file):
+    mesh = FlashUniform(uniform_file)
+    mesh.load()
+    assert mesh.nblocks == 1
+    assert tuple(mesh.nCellsVec) == (16, 16, 16)
+    d = mesh.data("dens")
+    assert d.shape == (16, 16, 16)
+    assert float(np.asarray(d).min()) > 0
+
+
+def test_particles_load(particle_file):
+    p = FlashParticles(particle_file)
+    p.load()
+    assert p.nParticles == 128
+    tags = p.data["tag"]
+    assert np.all(np.diff(tags) > 0)  # sorted by tag
+    coords = p.get_coords()
+    assert coords.shape == (128, 3)
+    stats = p.statistics(["velx"])
+    assert set(stats["velx"].keys()) == {"mean", "rms", "min", "max"}
+    sel = p.select_by_tags(tags[[3, 7]])
+    np.testing.assert_allclose(sel["tag"], tags[[3, 7]])

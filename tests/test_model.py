@@ -1,0 +1,106 @@
+"""Model registries, file catalogs, and load dispatch."""
+
+import numpy as np
+import pytest
+
+import fava_tpu
+from fava_tpu import FileType, Model
+from fava_tpu.io import synthetic
+
+
+def test_mesh_registry_contents():
+    names = Model.mesh_names()
+    for expected in ("FLASH", "FlashUniform", "FlashParticles", "Structured", "Unstructured"):
+        assert expected in names
+
+
+def test_analysis_registry_contents():
+    for name in (
+        "reynolds_stress",
+        "slice_average",
+        "slice_integration",
+        "volume_average",
+        "volume_integration",
+        "fractal_dimension",
+        "kinetic_energy_spectra",
+        "structure_functions",
+        "pdf1d",
+        "pdf2d",
+        "mass_sum",
+        "favre_profiles",
+        "eulerian_autocorrelation",
+        "lagrangian_autocorrelation",
+        "cross_correlation",
+    ):
+        assert hasattr(Model, name), name
+
+
+@pytest.fixture()
+def model_dir(tmp_path):
+    synthetic.make_amr_file(tmp_path / "rt_hdf5_plt_cnt_0001", ncells=(4, 4, 4), nblks=(1, 1, 1))
+    synthetic.make_amr_file(tmp_path / "rt_hdf5_plt_cnt_0003", ncells=(4, 4, 4), nblks=(1, 1, 1))
+    synthetic.make_amr_file(tmp_path / "rt_hdf5_chk_0002", ncells=(4, 4, 4), nblks=(1, 1, 1))
+    synthetic.make_uniform_file(tmp_path / "rt_hdf5_uniform_0001", ncells=(8, 8, 8))
+    synthetic.make_particle_file(tmp_path / "rt_hdf5_part_0001", nparticles=16)
+    return tmp_path
+
+
+def test_catalogs_and_nfiles(model_dir):
+    m = fava_tpu.FLASH(model_dir)
+    assert m.nfiles(file_type="plt") == 2
+    assert m.nfiles(file_type="chk") == 1
+    assert m.nfiles(file_type="uni") == 1
+    assert m.nfiles(file_type="prt") == 1
+    assert m.nfiles(file_type=FileType.ANL) == 0
+    assert sorted(m.plt_files["by number"].keys()) == [1, 3]
+    assert sorted(m.plt_files["by index"].keys()) == [0, 1]
+
+
+def test_load_dispatch(model_dir):
+    m = fava_tpu.FLASH(model_dir)
+    m.load(file_type="plt")
+    assert m.mesh is not None and m.particles is None
+    assert m.mesh.mesh_type == "FLASH"
+
+    m.load(file_type="uni")
+    assert m.mesh.mesh_type == "FlashUniform"
+
+    m.load(file_type="prt")
+    assert m.particles is not None and m.mesh is None
+
+    m.load(file_number=3, file_type="plt")
+    assert "0003" in m.mesh.filename.name
+
+
+def test_convert_filename_type(model_dir):
+    m = fava_tpu.FLASH(model_dir)
+    m.load(file_type="plt")
+    anl = m.convert_filename_type("plt", "anl")
+    assert "hdf5_analysis_0001" in str(anl)
+    uni = m.convert_filename_type("plt", "uni")
+    assert "hdf5_uniform_0001" in str(uni)
+
+
+def test_generic_model_load_sniffing(model_dir):
+    m = Model(model_dir)
+    # files are sorted: chk comes first
+    m.load(0)
+    assert m.mesh.mesh_type in ("FLASH", "FlashParticles")
+
+
+def test_save_to_hdf5_roundtrip(model_dir, tmp_path):
+    m = fava_tpu.FLASH(model_dir)
+    out = tmp_path / "out_hdf5_analysis_0001"
+    data = {"group": {"sub": {"a": np.arange(4)}, "b": 3.5}, "c": np.eye(2)}
+    m.save_to_hdf5(data, out)
+    # Overwrite of an existing dataset must not raise.
+    m.save_to_hdf5({"group": {"b": 4.5}}, out)
+
+    import h5py
+
+    with h5py.File(out, "r") as f:
+        assert f["group"]["sub"]["a"][()].tolist() == [0, 1, 2, 3]
+        assert f["group"]["b"][()] == 4.5
+        assert f["c"].shape == (2, 2)
+    assert m.hdf5_key_exists("group", out)
+    assert not m.hdf5_key_exists("nope", out)

@@ -1,0 +1,101 @@
+"""AMR->uniform regrid vs the per-cell mapping oracle."""
+
+import numpy as np
+import pytest
+
+import fava_tpu
+from fava_tpu.mesh import FLASH as FlashAMR
+from fava_tpu.mesh import FlashUniform
+from tests.oracles.regrid import from_amr_oracle
+
+
+@pytest.fixture()
+def amr_mesh(tmp_path):
+    from fava_tpu.io import synthetic
+
+    path = tmp_path / "rt_hdf5_plt_cnt_0001"
+    synthetic.make_amr_file(path, ncells=(4, 4, 4), nblks=(2, 2, 2), refine={0: 2, 5: 3})
+    mesh = FlashAMR(path)
+    mesh.load()
+    mesh.load_data(["dens", "velx"])
+    return mesh
+
+
+def _oracle(mesh, **kwargs):
+    data = {k: mesh.host_data(k) for k in ("dens", "velx")}
+    return from_amr_oracle(
+        data,
+        block_bounds=np.asarray(mesh.block_bounds),
+        node_type=np.asarray(mesh.node_type),
+        refine_level=np.asarray(mesh.refine_level).astype(int),
+        ncells=mesh.nCellsVec,
+        nblks=mesh.nBlksVec,
+        ndim=3,
+        fields=["dens", "velx"],
+        **kwargs,
+    )
+
+
+def test_full_domain_regrid_matches_oracle(amr_mesh):
+    expected, total = _oracle(amr_mesh)
+    amr_mesh.from_amr(fields=["dens", "velx"], save_file=False)
+    assert tuple(amr_mesh.nCellsVec) == tuple(total)
+    for key in ("dens", "velx"):
+        np.testing.assert_allclose(
+            np.asarray(amr_mesh._data[key]), expected[key], rtol=1e-12, err_msg=key
+        )
+
+
+def test_subdomain_regrid_matches_oracle(amr_mesh):
+    sub = np.array([[0.25, 0.75], [0.25, 0.75], [0.25, 0.75]])
+    expected, total = _oracle(amr_mesh, subdomain_coords=sub)
+    amr_mesh.from_amr(subdomain_coords=sub, fields=["dens", "velx"], save_file=False)
+    assert tuple(amr_mesh.nCellsVec) == tuple(total)
+    for key in ("dens", "velx"):
+        np.testing.assert_allclose(
+            np.asarray(amr_mesh._data[key]), expected[key], rtol=1e-12, err_msg=key
+        )
+    # Collapsed mesh bounds equal the (BCID-snapped) subdomain box.
+    np.testing.assert_allclose(amr_mesh.xmin, 0.25, atol=1e-12)
+    np.testing.assert_allclose(amr_mesh.xmax, 0.75, atol=1e-12)
+
+
+def test_refine_level_truncation_matches_oracle(amr_mesh):
+    # Regrid to level 2: level-3 children excluded, their level-2 parent used.
+    expected, total = _oracle(amr_mesh, refine_to=2)
+    amr_mesh.from_amr(refine_level=2, fields=["dens", "velx"], save_file=False)
+    assert tuple(amr_mesh.nCellsVec) == tuple(total)
+    for key in ("dens", "velx"):
+        np.testing.assert_allclose(
+            np.asarray(amr_mesh._data[key]), expected[key], rtol=1e-12, err_msg=key
+        )
+
+
+def test_from_amr_writes_loadable_uniform_file(amr_mesh, tmp_path):
+    out = tmp_path / "rt_hdf5_uniform_0001"
+    amr_mesh.from_amr(fields=["dens", "velx"], filename=out)
+    assert out.is_file()
+
+    uni = FlashUniform(out)
+    uni.load()
+    assert tuple(uni.nCellsVec) == tuple(amr_mesh.nCellsVec)
+    # plt-derived uniform files are float32 on disk.
+    np.testing.assert_allclose(
+        np.asarray(uni.data("dens")), np.asarray(amr_mesh._data["dens"]), rtol=1e-6
+    )
+
+
+def test_subdomain_outside_domain_is_noop(amr_mesh):
+    before = amr_mesh.nblocks
+    sub = np.array([[-0.5, 0.5], [0.25, 0.75], [0.25, 0.75]])
+    amr_mesh.from_amr(subdomain_coords=sub, fields=["dens"], save_file=False)
+    assert amr_mesh.nblocks == before  # untouched, mirrors reference early-return
+
+
+def test_regrid_sharded_matches(amr_mesh, eight_device_mesh):
+    from fava_tpu.parallel import volume_sharding
+
+    expected, _ = _oracle(amr_mesh)
+    sharding = volume_sharding(eight_device_mesh, axis=0, ndim=3)
+    amr_mesh.from_amr(fields=["dens"], save_file=False, sharding=sharding)
+    np.testing.assert_allclose(np.asarray(amr_mesh._data["dens"]), expected["dens"], rtol=1e-12)

@@ -1,0 +1,74 @@
+"""Structure functions: shapes, determinism, and analytic field checks."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fava_tpu.ops.structure import structure_functions
+
+
+def _domain():
+    return np.array([[0.0, 1.0], [0.0, 1.0], [0.0, 1.0]])
+
+
+def test_output_shapes_and_keys():
+    rng = np.random.default_rng(0)
+    vels = [jnp.asarray(rng.standard_normal((8, 8, 8))) for _ in range(3)]
+    out = structure_functions(
+        vels, domain_bounds=_domain(), num_seps=6, num_points=50, sep_bounds=(0.05, 0.4)
+    )
+    assert set(out.keys()) == {"transverse", "longitudinal", "separations"}
+    assert out["separations"].shape == (6,)
+    for o in range(1, 11):
+        assert out["longitudinal"][f"{o}"].shape == (6,)
+        assert out["transverse"][f"{o}"].shape == (6,)
+        assert np.isfinite(out["longitudinal"][f"{o}"]).all()
+
+
+def test_deterministic_given_seed():
+    rng = np.random.default_rng(1)
+    vels = [jnp.asarray(rng.standard_normal((8, 8, 8))) for _ in range(3)]
+    a = structure_functions(vels, domain_bounds=_domain(), num_seps=4, num_points=32, sep_bounds=(0.1, 0.3), seed=5)
+    b = structure_functions(vels, domain_bounds=_domain(), num_seps=4, num_points=32, sep_bounds=(0.1, 0.3), seed=5)
+    c = structure_functions(vels, domain_bounds=_domain(), num_seps=4, num_points=32, sep_bounds=(0.1, 0.3), seed=6)
+    np.testing.assert_array_equal(a["longitudinal"]["2"], b["longitudinal"]["2"])
+    assert not np.array_equal(a["longitudinal"]["2"], c["longitudinal"]["2"])
+
+
+def test_constant_field_gives_zero():
+    vels = [jnp.ones((8, 8, 8)) for _ in range(3)]
+    out = structure_functions(
+        vels, domain_bounds=_domain(), num_seps=4, num_points=64, sep_bounds=(0.1, 0.4)
+    )
+    for o in range(1, 11):
+        np.testing.assert_allclose(out["longitudinal"][f"{o}"], 0.0, atol=1e-12)
+        np.testing.assert_allclose(out["transverse"][f"{o}"], 0.0, atol=1e-12)
+
+
+def test_linear_shear_second_order_scaling():
+    """For v = (S*y, 0, 0), the 2nd-order structure function grows ~ r^2
+    (ignoring periodic wrap) — check monotonic growth at small r."""
+    n = 32
+    y = (np.arange(n) + 0.5) / n
+    vx = np.broadcast_to(y[None, :, None], (n, n, n)).copy()
+    vels = [jnp.asarray(vx), jnp.zeros((n, n, n)), jnp.zeros((n, n, n))]
+    out = structure_functions(
+        vels,
+        domain_bounds=_domain(),
+        num_seps=5,
+        num_points=4000,
+        sep_bounds=(0.05, 0.2),
+        log_scale=False,
+        seed=0,
+    )
+    s2 = out["longitudinal"]["2"] + out["transverse"]["2"]
+    assert (np.diff(s2) > 0).all()
+
+
+def test_anisotropic_mode_accepts_reference_spelling(uniform_file):
+    from fava_tpu.mesh import FlashUniform
+
+    mesh = FlashUniform(uniform_file)
+    mesh.load()
+    out = mesh.structure_functions(num_seps=3, num_points=16, sep_bounds=(0.1, 0.3), anistropic=True)
+    assert "separations" in out
