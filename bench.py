@@ -1,0 +1,158 @@
+"""Headline benchmark: per-snapshot wall-clock for spectra + Reynolds stress.
+
+Times the flagship fused analysis step (KE spectra total/long/trans +
+Reynolds/Favre x-profiles) on a synthetic uniform snapshot, and compares
+against a float64 NumPy implementation of the reference algorithms
+(np.fft.fftn + scipy binned_statistic + per-row covariance loops —
+the exact shape of fava/mesh/FLASH/FlashUniform.py:229-304 and
+_flash.py:1506-1611 on a single-block uniform mesh).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <seconds>, "unit": "s", "vs_baseline": <speedup>}
+
+The NumPy baseline is expensive (minutes at 512^3), so its timing is
+cached in .bench_baseline.json keyed by grid size. Grid size defaults to
+512 on TPU-class devices and 128 elsewhere; override with BENCH_N.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+CACHE = Path(__file__).parent / ".bench_baseline.json"
+
+
+def _grid_size() -> int:
+    if "BENCH_N" in os.environ:
+        return int(os.environ["BENCH_N"])
+    import jax
+
+    platform = jax.devices()[0].platform
+    return 512 if platform in ("tpu", "axon") else 128
+
+
+def _device_time(n: int, repeats: int = 3) -> float:
+    import jax
+
+    from fava_tpu import utils as futils
+    from fava_tpu.flagship import jitted_analysis_step, make_example_fields
+
+    futils.timing.VERBOSE = False
+
+    fields = make_example_fields(n=n)
+    for f in fields:
+        f.block_until_ready()
+
+    step = jitted_analysis_step(None)
+
+    def sync(out):
+        # Fetch the small outputs: forces full device sync (the axon
+        # tunnel's block_until_ready does not reliably synchronize).
+        np.asarray(out["spectra_total"])
+        np.asarray(out["reynolds_stress"])
+        np.asarray(out["favre_rms"])
+
+    sync(step(*fields))  # compile + first run
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = step(*fields)
+        sync(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _numpy_baseline_time(n: int) -> float:
+    """Reference-shaped float64 NumPy implementation, timed once and cached."""
+    if CACHE.is_file():
+        cache = json.loads(CACHE.read_text())
+        if str(n) in cache:
+            return float(cache[str(n)])
+    else:
+        cache = {}
+
+    from scipy.stats import binned_statistic
+
+    rng = np.random.default_rng(0)
+    shape = (n, n, n)
+    dens = 1.0 + 0.3 * rng.random(shape)
+    vels = [rng.standard_normal(shape) for _ in range(3)]
+
+    t0 = time.perf_counter()
+
+    # --- KE spectra (reference algorithm) ---
+    k_num = np.array(shape)
+    k_start = -k_num // 2
+    k = np.meshgrid(
+        *(np.linspace(ks, -ks - 1, nn) for ks, nn in zip(k_start, k_num)), indexing="ij"
+    )
+    k_abs = np.sqrt(sum(kk**2 for kk in k))
+    bins = np.arange(np.max(k_num) // 2) - 0.5
+
+    w = np.sqrt(dens)
+    total = np.zeros(shape)
+    longi = np.zeros(shape, dtype=np.complex128)
+    for comp in range(3):
+        fft = np.fft.fftshift(np.fft.fftn(w * vels[comp], norm="forward"))
+        total += 0.5 * np.abs(fft) ** 2
+        longi += k[comp] * fft
+        del fft
+    long_pow = np.abs(longi / np.maximum(k_abs, 1e-99)) ** 2
+    del longi
+    trans = total - long_pow
+    for val in (total, long_pow, trans):
+        binned_statistic(k_abs.ravel(), val.ravel(), bins=bins, statistic="mean")
+    del total, long_pow, trans, k_abs, k
+
+    # --- Reynolds stress x-profiles (reference two-pass algorithm) ---
+    layer = float(n * n)
+    means = {"dens": dens.sum(axis=(1, 2)) / layer}
+    for i, v in enumerate(vels):
+        means[i] = v.sum(axis=(1, 2)) / layer
+    for i in range(3):
+        for j in range(i, 3):
+            acc = np.empty(n)
+            for row in range(n):
+                acc[row] = np.sum(
+                    dens[row] * (vels[i][row] - means[i][row]) * (vels[j][row] - means[j][row])
+                )
+            acc /= layer
+
+    elapsed = time.perf_counter() - t0
+
+    cache[str(n)] = elapsed
+    CACHE.write_text(json.dumps(cache))
+    return elapsed
+
+
+def main() -> None:
+    n = _grid_size()
+    device_s = _device_time(n)
+    try:
+        baseline_s = _numpy_baseline_time(n)
+        vs = baseline_s / device_s
+    except MemoryError:
+        vs = float("nan")
+
+    print(
+        json.dumps(
+            {
+                "metric": f"per-snapshot wall-clock at {n}^3 (spectra + Reynolds stress)",
+                "value": round(device_s, 6),
+                "unit": "s",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.stderr.write(f"bench: devices={os.environ.get('JAX_PLATFORMS', 'default')}\n")
+    main()

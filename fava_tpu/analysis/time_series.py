@@ -1,0 +1,125 @@
+"""Multi-snapshot time-series drivers with async ingest.
+
+BASELINE config #3: Favre-averaged profiles + mass-weighted RMS
+fluctuations over a plt snapshot series. No reference equivalent —
+the reference re-loads every file synchronously per analysis. Here the
+SnapshotPrefetcher overlaps HDF5 reads + host->device transfer of
+snapshot N+1 with device compute on snapshot N.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from fava_tpu.io.ingest import Snapshot, SnapshotPrefetcher
+from fava_tpu.models.model import Model
+from fava_tpu.ops import profiles as profile_ops
+
+
+def _geometry_from_snapshot(snap: Snapshot, raxis: int) -> profile_ops.ProfileGeometry:
+    ints = snap.scalars["integer"]
+    rints = snap.runtime_parameters["integer"]
+    reals = snap.runtime_parameters["real"]
+    ndim = int(ints["dimensionality"])
+    node_type = snap.metadata.get("node type", np.ones(1, dtype=np.int64))
+    refine_level = snap.metadata.get("refine level", np.ones(1, dtype=np.int64))
+    return profile_ops.ProfileGeometry(
+        block_bounds=snap.metadata["bounding box"],
+        refine_level=np.asarray(refine_level),
+        blocklist=np.nonzero(np.asarray(node_type) == 1)[0],
+        domain_bounds=np.array(
+            [
+                [reals.get("xmin", 0.0), reals.get("xmax", 1.0)],
+                [reals.get("ymin", 0.0), reals.get("ymax", 1.0)],
+                [reals.get("zmin", 0.0), reals.get("zmax", 1.0)],
+            ],
+            dtype=np.float64,
+        ),
+        ncells_vec=np.array([ints["nxb"], ints["nyb"], ints["nzb"]], dtype=np.int64),
+        nblks_vec=np.array(
+            [rints.get("nblockx", 1), rints.get("nblocky", 1), rints.get("nblockz", 1)],
+            dtype=np.int64,
+        ),
+        ndim=ndim,
+        raxis=raxis,
+    )
+
+
+def _ensure_block_axis(fields: Dict) -> Dict:
+    return {k: (v[None] if v.ndim == 3 else v) for k, v in fields.items()}
+
+
+@Model.register_analysis(use_timer=True)
+def favre_series(
+    self,
+    file_type: str = "plt",
+    raxis: int = 0,
+    prefetch_depth: int = 2,
+    file_indices: Optional[Sequence[int]] = None,
+) -> Dict[str, np.ndarray]:
+    """Favre means + mass-weighted RMS profiles over a snapshot series.
+
+    Returns stacked (nfiles, nfine) profiles per velocity component plus
+    the times and the common span.
+    """
+    catalog = {"plt": self.plt_files, "chk": self.chk_files, "uni": self.uni_files}[file_type]
+    indices = sorted(catalog["by index"].keys()) if file_indices is None else list(file_indices)
+    paths = [catalog["by index"][i] for i in indices]
+
+    fields = ["dens", "velx", "vely", "velz"]
+    times = []
+    stacked: Dict[str, list] = {}
+    span = None
+
+    for snap in SnapshotPrefetcher(paths, fields, depth=prefetch_depth):
+        geom = _geometry_from_snapshot(snap, raxis)
+        ndim = geom.ndim
+        data = _ensure_block_axis(snap.fields)
+        out = profile_ops.favre_profiles(data, geom)
+        times.append(snap.time)
+        span = out["span"]
+        for a in "xyz"[:ndim]:
+            stacked.setdefault(f"favre_mean_vel{a}", []).append(out["favre_mean"][f"vel{a}"])
+            stacked.setdefault(f"favre_rms_vel{a}", []).append(out["favre_rms"][f"vel{a}"])
+        stacked.setdefault("mean_dens", []).append(out["mean_dens"])
+
+    result: Dict[str, np.ndarray] = {k: np.stack(v) for k, v in stacked.items()}
+    result["times"] = np.asarray(times)
+    result["span"] = span
+    return result
+
+
+@Model.register_analysis(use_timer=True)
+def reynolds_series(
+    self,
+    file_type: str = "plt",
+    raxis: int = 0,
+    prefetch_depth: int = 2,
+    file_indices: Optional[Sequence[int]] = None,
+) -> Dict[str, np.ndarray]:
+    """Reynolds-stress profiles over a snapshot series (async ingest)."""
+    catalog = {"plt": self.plt_files, "chk": self.chk_files, "uni": self.uni_files}[file_type]
+    indices = sorted(catalog["by index"].keys()) if file_indices is None else list(file_indices)
+    paths = [catalog["by index"][i] for i in indices]
+
+    fields = ["dens", "velx", "vely", "velz"]
+    times = []
+    stacked: Dict[str, list] = {}
+    radius = None
+
+    for snap in SnapshotPrefetcher(paths, fields, depth=prefetch_depth):
+        geom = _geometry_from_snapshot(snap, raxis)
+        data = _ensure_block_axis(snap.fields)
+        radius, stress, means = profile_ops.reynolds_stress(data, geom)
+        times.append(snap.time)
+        for k, v in stress.items():
+            stacked.setdefault(k, []).append(v)
+        for k, v in means.items():
+            stacked.setdefault(f"mean_{k}", []).append(v)
+
+    result: Dict[str, np.ndarray] = {k: np.stack(v) for k, v in stacked.items()}
+    result["times"] = np.asarray(times)
+    result["radius"] = radius
+    return result

@@ -1,0 +1,141 @@
+"""Flagship fused analysis step.
+
+One jittable program computing the headline workload of BASELINE.json —
+kinetic-energy spectra (total/longitudinal/transverse, shell-binned)
+plus Reynolds-stress and Favre profiles along x — on a uniform volume,
+in a single pass structure that XLA fuses end-to-end. This is the
+function the benchmark times and the multi-chip dryrun shards.
+
+Sharding: the volume is slab-sharded along x over the mesh "space"
+axis (pencil FFT via parallel.fft.pfft3 with an all_to_all transpose);
+profile/shell reductions partition automatically under jit. A leading
+snapshot batch axis may additionally shard over a "snap" axis.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fava_tpu.parallel import fft as pfft
+from fava_tpu.parallel import runtime
+from fava_tpu.utils import accum_dtype
+
+
+def uniform_analysis_step(
+    dens: jax.Array,
+    velx: jax.Array,
+    vely: jax.Array,
+    velz: jax.Array,
+    mesh=None,
+) -> Dict[str, jax.Array]:
+    """Spectra + Reynolds/Favre x-profiles of one uniform snapshot.
+
+    Pure jnp; safe to wrap in jax.jit (mesh is baked in by closure).
+    """
+    shape = dens.shape
+    nx, ny, nz = shape
+    nbins = max(shape) // 2 - 1
+    ntot = nx * ny * nz
+    adt = accum_dtype()
+    vels = (velx, vely, velz)
+
+    # --- Spectra -------------------------------------------------------
+    sqrt_d = jnp.sqrt(dens)
+    ffts = [pfft.pfft3(sqrt_d * v, mesh=mesh) / ntot for v in vels]
+
+    ks = []
+    for axis, n in enumerate(shape):
+        k = pfft._wavenumbers(n, ffts[0].real.dtype)
+        kshape = [1, 1, 1]
+        kshape[axis] = n
+        ks.append(k.reshape(kshape))
+    k_abs = jnp.sqrt(sum(k * k for k in ks))
+
+    total = 0.5 * sum(jnp.abs(f) ** 2 for f in ffts)
+    longi = sum(k * f for k, f in zip(ks, ffts))
+    longi = jnp.abs(longi / jnp.maximum(k_abs, 1e-99)) ** 2
+    trans = total - longi
+
+    if mesh is None:
+        # Fused Pallas shell binning (jnp scatter fallback off-TPU).
+        from fava_tpu.ops import pallas_kernels
+
+        counts, sums3 = pallas_kernels.shell_bin_sums(total, longi, trans, nbins)
+    else:
+        stacked = jnp.stack([total.ravel(), longi.ravel(), trans.ravel()])
+        idx = jnp.clip(jnp.floor(k_abs + 0.5).astype(jnp.int32), 0, nbins - 1).ravel()
+        mask = (k_abs <= (nbins - 0.5)).ravel()
+        counts = jnp.zeros(nbins, dtype=adt).at[idx].add(mask.astype(adt))
+        sums3 = jnp.zeros((3, nbins), dtype=adt).at[:, idx].add(
+            jnp.where(mask, stacked.astype(adt), 0)
+        )
+
+    spectra = {
+        "counts": counts,
+        "total": sums3[0],
+        "longitudinal": sums3[1],
+        "transverse": sums3[2],
+    }
+
+    # --- Profiles along x (uniform grid: rows ARE the fine bins) ------
+    if mesh is None:
+        from fava_tpu.ops import pallas_kernels
+
+        moments = pallas_kernels.row_moments_volume(dens, *vels).astype(adt)
+        d_row = moments[0]
+        v_rows = [moments[1 + i] for i in range(3)]
+        dv_rows = [moments[4 + i] for i in range(3)]
+        dvv_rows = [moments[7 + p] for p in range(6)]
+    else:
+
+        def rows(x):
+            return jnp.sum(x.astype(adt), axis=(1, 2))
+
+        d_row = rows(dens)
+        v_rows = [rows(v) for v in vels]
+        dv_rows = [rows(dens * v) for v in vels]
+        dvv_rows = [rows(dens * vels[i] * vels[j]) for i in range(3) for j in range(i, 3)]
+
+    layer = jnp.asarray(ny * nz, dtype=adt)
+    mean_d = d_row / layer
+    means = [vr / layer for vr in v_rows]
+
+    pairs = [(i, j) for i in range(3) for j in range(i, 3)]
+    stress = []
+    for p, (i, j) in enumerate(pairs):
+        s = dvv_rows[p] - means[j] * dv_rows[i] - means[i] * dv_rows[j] + means[i] * means[j] * d_row
+        stress.append(s / layer)
+
+    favre_mean = [dvr / d_row for dvr in dv_rows]
+    diag = [pairs.index((i, i)) for i in range(3)]
+    favre_rms = [
+        jnp.sqrt(jnp.maximum(dvv_rows[diag[i]] / d_row - favre_mean[i] ** 2, 0.0)) for i in range(3)
+    ]
+
+    return {
+        **{f"spectra_{k}": v for k, v in spectra.items()},
+        "mean_dens": mean_d,
+        "reynolds_stress": jnp.stack(stress),
+        "favre_mean": jnp.stack(favre_mean),
+        "favre_rms": jnp.stack(favre_rms),
+        "total_mass": jnp.sum(dens.astype(adt)),
+    }
+
+
+@lru_cache(maxsize=8)
+def jitted_analysis_step(mesh=None):
+    return jax.jit(lambda d, vx, vy, vz: uniform_analysis_step(d, vx, vy, vz, mesh=mesh))
+
+
+def make_example_fields(n: int = 64, dtype=jnp.float32, seed: int = 0):
+    """Deterministic synthetic turbulence-like fields on device."""
+    keys = jax.random.split(jax.random.PRNGKey(seed), 4)
+    shape = (n, n, n)
+    dens = 1.0 + 0.3 * jax.random.uniform(keys[0], shape, dtype=dtype)
+    vels = [jax.random.normal(keys[i + 1], shape, dtype=dtype) for i in range(3)]
+    return dens, *vels

@@ -1,0 +1,122 @@
+"""Async HDF5 -> HBM ingest pipeline.
+
+The reference reads every snapshot synchronously on the MPI root into
+shared windows (reference: fava/mesh/FLASH/_flash.py:306-341), stalling
+all compute during I/O. Here a background thread pool reads snapshot
+N+1 (and starts its host->device transfer) while the device computes on
+snapshot N — double-buffered so the TPU never idles on the filesystem
+(BASELINE north star: async ingest, config #3/#5).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import h5py
+import jax
+import numpy as np
+
+from fava_tpu.io import flash_file
+from fava_tpu.utils import compute_dtype
+
+
+@dataclass
+class Snapshot:
+    """One ingested snapshot: device-resident fields + host metadata."""
+
+    path: Path
+    time: float
+    fields: Dict[str, jax.Array]
+    scalars: Dict[str, Dict]
+    runtime_parameters: Dict[str, Dict]
+    metadata: Dict[str, np.ndarray]
+    nbytes: int
+
+
+def _read_snapshot(path: Path, fields: Sequence[str], sharding=None) -> Snapshot:
+    dtype = compute_dtype()
+    with h5py.File(path, "r") as f:
+        scalars = flash_file.read_scalars(f)
+        runtime = flash_file.read_runtime_parameters(f)
+        meta = flash_file.read_block_metadata(f)
+        available = flash_file.read_unknown_names(f)
+        nbytes = 0
+        device_fields: Dict[str, jax.Array] = {}
+        for name in fields:
+            if name not in available:
+                continue
+            host = flash_file.read_field(f, name, dtype=dtype)
+            nbytes += host.nbytes
+            # device_put is async: the transfer overlaps the next read.
+            device_fields[name] = (
+                jax.device_put(host, sharding) if sharding is not None else jax.device_put(host)
+            )
+    return Snapshot(
+        path=Path(path),
+        time=float(scalars["real"].get("time", 0.0)),
+        fields=device_fields,
+        scalars=scalars,
+        runtime_parameters=runtime,
+        metadata=meta,
+        nbytes=nbytes,
+    )
+
+
+class SnapshotPrefetcher:
+    """Double-buffered iterator over a snapshot series.
+
+    While the caller processes snapshot N, up to ``depth`` background
+    workers read and device_put snapshots N+1..N+depth.
+    """
+
+    def __init__(
+        self,
+        paths: Sequence[str | Path],
+        fields: Sequence[str],
+        depth: int = 2,
+        sharding=None,
+    ) -> None:
+        self.paths = [Path(p) for p in paths]
+        self.fields = list(fields)
+        self.depth = max(1, int(depth))
+        self.sharding = sharding
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __iter__(self) -> Iterator[Snapshot]:
+        if not self.paths:
+            return
+        with cf.ThreadPoolExecutor(max_workers=self.depth) as pool:
+            pending: List[cf.Future] = []
+            for p in self.paths[: self.depth]:
+                pending.append(pool.submit(_read_snapshot, p, self.fields, self.sharding))
+            next_idx = self.depth
+            while pending:
+                fut = pending.pop(0)
+                if next_idx < len(self.paths):
+                    pending.append(
+                        pool.submit(_read_snapshot, self.paths[next_idx], self.fields, self.sharding)
+                    )
+                    next_idx += 1
+                yield fut.result()
+
+
+def ingest_bandwidth_gbps(paths: Sequence[str | Path], fields: Sequence[str], depth: int = 2) -> float:
+    """Measure HDF5 -> HBM ingest bandwidth over a series (GB/s)."""
+    import time
+
+    total = 0
+    t0 = time.perf_counter()
+    last = None
+    for snap in SnapshotPrefetcher(paths, fields, depth=depth):
+        total += snap.nbytes
+        last = snap
+    if last is not None:
+        for arr in last.fields.values():
+            arr.block_until_ready()
+    dt = time.perf_counter() - t0
+    return total / dt / 1e9

@@ -1,0 +1,243 @@
+"""Pallas TPU kernels for the hot reduction paths.
+
+Two fused kernels replace the XLA-generated code where it underperforms:
+
+* ``row_moments_volume`` — the 13 per-row moments feeding Reynolds/
+  Favre profiles (dens, v_i, dens*v_i, dens*v_i*v_j). XLA emits ~13
+  separate reduction passes over the fields (~59 ms at 256^3 measured);
+  the kernel streams each x-slab through VMEM once and computes all 13
+  sums in a single pass (~memory-bound: 4 field reads total).
+
+* ``shell_bin_sums`` — spherical-shell binning of the spectral power
+  volumes. The gather/scatter formulations are slow on TPU (174 ms for
+  a 16M-point gather at 256^3); the kernel recomputes the shell index
+  of each k-cell on the fly from iota (no index memory traffic at all)
+  and accumulates per-shell sums via an outer-product update, reading
+  the three power volumes exactly once.
+
+Both kernels fall back to jnp implementations off-TPU (CPU tests use
+the jnp paths in float64).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+NMOM = 13
+
+# Tests set this to run the kernels in interpreter mode on CPU.
+FORCE_INTERPRET = False
+
+
+def on_tpu() -> bool:
+    return jax.devices()[0].platform == "tpu"
+
+
+def _pallas_ok(shape: Tuple[int, int, int]) -> bool:
+    nx, ny, nz = shape
+    return (on_tpu() or FORCE_INTERPRET) and nz % LANE == 0 and ny % 8 == 0
+
+
+# ---------------------------------------------------------------------------
+# Fused 13-moment row reduction
+
+
+def _moments_kernel(d_ref, x_ref, y_ref, z_ref, out_ref):
+    d = d_ref[0]
+    vx = x_ref[0]
+    vy = y_ref[0]
+    vz = z_ref[0]
+
+    dvx = d * vx
+    dvy = d * vy
+    dvz = d * vz
+
+    sums = jnp.stack(
+        [
+            jnp.sum(d),
+            jnp.sum(vx),
+            jnp.sum(vy),
+            jnp.sum(vz),
+            jnp.sum(dvx),
+            jnp.sum(dvy),
+            jnp.sum(dvz),
+            jnp.sum(dvx * vx),
+            jnp.sum(dvx * vy),
+            jnp.sum(dvx * vz),
+            jnp.sum(dvy * vy),
+            jnp.sum(dvy * vz),
+            jnp.sum(dvz * vz),
+        ]
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    padded = jnp.zeros((1, LANE), dtype=out_ref.dtype)
+    for m in range(NMOM):
+        padded = jnp.where(lane == m, sums[m], padded)
+    i = pl.program_id(0)
+    out_ref[pl.ds(i, 1), :] = padded
+
+
+@lru_cache(maxsize=8)
+def _build_moments_fn(shape: Tuple[int, int, int], dtype_name: str, interpret: bool = False):
+    nx, ny, nz = shape
+    dtype = jnp.dtype(dtype_name)
+
+    slab = pl.BlockSpec((1, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    def run(d, vx, vy, vz):
+        out = pl.pallas_call(
+            _moments_kernel,
+            grid=(nx,),
+            in_specs=[slab, slab, slab, slab],
+            # Full-array output block kept resident across grid steps;
+            # each step writes its own row.
+            out_specs=pl.BlockSpec((nx, LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nx, LANE), dtype),
+            interpret=interpret,
+        )(d, vx, vy, vz)
+        return out[:, :NMOM].T  # (13, nx)
+
+    return jax.jit(run)
+
+
+def row_moments_volume(dens: jax.Array, vx: jax.Array, vy: jax.Array, vz: jax.Array) -> jax.Array:
+    """(13, nx) row moments of a uniform volume, profile along x.
+
+    Moment order matches ops.profiles._row_moments for ndim=3:
+    [d, vx, vy, vz, d*vx, d*vy, d*vz, d*vxvx, d*vxvy, d*vxvz, d*vyvy, d*vyvz, d*vzvz].
+    """
+    shape = tuple(int(s) for s in dens.shape)
+    if not _pallas_ok(shape):
+        return _row_moments_jnp(dens, vx, vy, vz)
+    return _build_moments_fn(shape, str(dens.dtype), FORCE_INTERPRET)(dens, vx, vy, vz)
+
+
+@jax.jit
+def _row_moments_jnp(d, vx, vy, vz):
+    rows = lambda a: jnp.sum(a, axis=(1, 2))
+    dvx, dvy, dvz = d * vx, d * vy, d * vz
+    return jnp.stack(
+        [
+            rows(d),
+            rows(vx),
+            rows(vy),
+            rows(vz),
+            rows(dvx),
+            rows(dvy),
+            rows(dvz),
+            rows(dvx * vx),
+            rows(dvx * vy),
+            rows(dvx * vz),
+            rows(dvy * vy),
+            rows(dvy * vz),
+            rows(dvz * vz),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spherical-shell binning
+
+
+def _shell_kernel(t_ref, l_ref, r_ref, out_ref, *, nx, ny, nz, nbins):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def wavenum(idx, n):
+        return jnp.where(idx <= (n - 1) // 2, idx, idx - n).astype(jnp.float32)
+
+    kx = wavenum(i, nx)
+    jy = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
+    kz = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 1)
+    ky = wavenum(jy, ny)
+    kzf = wavenum(kz, nz)
+
+    k_abs = jnp.sqrt(kx * kx + ky * ky + kzf * kzf)
+    shell = jnp.floor(k_abs + 0.5).astype(jnp.int32)
+    valid = k_abs <= (nbins - 0.5)
+    shell = jnp.where(valid, jnp.minimum(shell, nbins - 1), nbins)  # overflow -> nbins
+
+    t = t_ref[0]
+    l = l_ref[0]
+    r = r_ref[0]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+
+    def body(b, acc):
+        m = (shell == b).astype(t.dtype)
+        partial = jnp.stack([jnp.sum(m), jnp.sum(t * m), jnp.sum(l * m), jnp.sum(r * m)])
+        onehot = (lane == b).astype(acc.dtype)
+        return acc + partial[:, None] * onehot
+
+    # Shells below floor(|kx|+0.5) are unreachable in this slab (|k| >= |kx|),
+    # so start the bin loop there — halves the loop work on average.
+    b_lo = jnp.maximum(jnp.floor(jnp.abs(kx) - 0.5).astype(jnp.int32), 0)
+    acc = jax.lax.fori_loop(b_lo, nbins, body, jnp.zeros((4, LANE), dtype=out_ref.dtype))
+    out_ref[...] += acc
+
+
+@lru_cache(maxsize=8)
+def _build_shell_fn(shape: Tuple[int, int, int], nbins: int, dtype_name: str, interpret: bool = False):
+    nx, ny, nz = shape
+    dtype = jnp.dtype(dtype_name)
+    slab = pl.BlockSpec((1, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    kernel = partial(_shell_kernel, nx=nx, ny=ny, nz=nz, nbins=nbins)
+
+    def run(total, longi, trans):
+        out = pl.pallas_call(
+            kernel,
+            grid=(nx,),
+            in_specs=[slab, slab, slab],
+            out_specs=pl.BlockSpec((4, LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((4, LANE), dtype),
+            interpret=interpret,
+        )(total, longi, trans)
+        return out[0, :nbins], out[1:4, :nbins]  # counts, (3, nbins) sums
+
+    return jax.jit(run)
+
+
+def shell_bin_sums(total: jax.Array, longi: jax.Array, trans: jax.Array, nbins: int):
+    """Per-shell (counts, sums[3]) of three power volumes.
+
+    Shell index floor(|k|+0.5) with the right-inclusive last edge of
+    scipy.stats.binned_statistic (reference: FlashUniform.py:286-293).
+    """
+    shape = tuple(int(s) for s in total.shape)
+    if not _pallas_ok(shape):
+        return _shell_bin_jnp(total, longi, trans, nbins)
+    return _build_shell_fn(shape, int(nbins), str(total.dtype), FORCE_INTERPRET)(
+        total, longi, trans
+    )
+
+
+@partial(jax.jit, static_argnames=("nbins",))
+def _shell_bin_jnp(total, longi, trans, nbins):
+    shape = total.shape
+    nd = len(shape)
+    k2 = jnp.zeros(shape, dtype=total.dtype)
+    for axis, n in enumerate(shape):
+        k = jnp.arange(n)
+        k = jnp.where(k <= (n - 1) // 2, k, k - n).astype(total.dtype)
+        kshape = [1] * nd
+        kshape[axis] = n
+        k2 = k2 + k.reshape(kshape) ** 2
+    k_abs = jnp.sqrt(k2)
+    idx = jnp.clip(jnp.floor(k_abs + 0.5).astype(jnp.int32), 0, nbins - 1).ravel()
+    mask = (k_abs <= (nbins - 0.5)).ravel()
+    counts = jnp.zeros(nbins, dtype=total.dtype).at[idx].add(mask.astype(total.dtype))
+    stacked = jnp.stack([total.ravel(), longi.ravel(), trans.ravel()])
+    sums = jnp.zeros((3, nbins), dtype=total.dtype).at[:, idx].add(jnp.where(mask, stacked, 0))
+    return counts, sums

@@ -47,6 +47,53 @@ def _wavenumber_grid(shape: Tuple[int, ...], dtype):
     return ks
 
 
+@lru_cache(maxsize=8)
+def shell_bin_plan(shape: Tuple[int, ...]):
+    """Host-precomputed spherical-shell binning plan for a k-volume.
+
+    The shell geometry is static per shape, so instead of runtime
+    scatter-adds (slow on TPU: serialized updates), we precompute a
+    permutation sorting cells by shell. On device, shell sums become
+    gather + cumsum + segment-boundary differences — pure streaming
+    bandwidth, no scatters. Returns (perm int32, starts, ends, counts).
+    Cells beyond the last bin edge sort into a trailing overflow
+    segment that is never read.
+    """
+    import numpy as np
+
+    nd = len(shape)
+    nbins = max(shape) // 2 - 1
+
+    k2 = np.zeros(shape, dtype=np.float64)
+    for axis, n in enumerate(shape):
+        k = np.arange(n)
+        k = np.where(k <= (n - 1) // 2, k, k - n).astype(np.float64)
+        kshape = [1] * nd
+        kshape[axis] = n
+        k2 = k2 + (k.reshape(kshape)) ** 2
+    k_abs = np.sqrt(k2).ravel()
+
+    idx = np.clip(np.floor(k_abs + 0.5).astype(np.int64), 0, nbins - 1)
+    idx[k_abs > (nbins - 0.5)] = nbins  # overflow segment
+
+    perm = np.argsort(idx, kind="stable").astype(np.int32)
+    sorted_idx = idx[perm]
+    starts = np.searchsorted(sorted_idx, np.arange(nbins)).astype(np.int64)
+    ends = np.searchsorted(sorted_idx, np.arange(nbins), side="right").astype(np.int64)
+    counts = (ends - starts).astype(np.float64)
+    return perm, starts, ends, counts
+
+
+def _segment_means(vals, perm, starts, ends, counts, adt):
+    """Per-shell means of a stack (C, N) using the sorted-segment plan."""
+    sorted_vals = jnp.take(vals, perm, axis=-1).astype(adt)
+    csum = jnp.cumsum(sorted_vals, axis=-1)
+    zero = jnp.zeros(sorted_vals.shape[:-1] + (1,), dtype=adt)
+    csum = jnp.concatenate([zero, csum], axis=-1)
+    sums = csum[..., ends] - csum[..., starts]
+    return sums / jnp.maximum(counts, 1.0)
+
+
 @lru_cache(maxsize=32)
 def _build_spectra_fn(shape: Tuple[int, ...], mesh_key, nbins: int):
     """Jitted spectra core for a given volume shape (cached per shape/mesh)."""
@@ -77,18 +124,26 @@ def _build_spectra_fn(shape: Tuple[int, ...], mesh_key, nbins: int):
         transverse = total - longitudinal
 
         # binned_statistic "mean" with edges arange(nbins+1)-0.5.
-        idx = jnp.clip(jnp.floor(k_abs + 0.5).astype(jnp.int32), 0, nbins - 1)
-        include = k_abs <= (nbins - 0.5)
+        if mesh is None and ndim == 3:
+            # Single-chip fast path: fused Pallas shell binning on TPU,
+            # jnp scatter fallback elsewhere.
+            from fava_tpu.ops.pallas_kernels import shell_bin_sums
 
-        flat_idx = idx.ravel()
-        mask = include.ravel()
-        counts = jnp.zeros(nbins, dtype=adt).at[flat_idx].add(mask.astype(adt))
-
-        def binsum(val):
-            v = jnp.where(mask, val.ravel().astype(adt), 0)
-            return jnp.zeros(nbins, dtype=adt).at[flat_idx].add(v)
-
-        sums = jnp.stack([binsum(total), binsum(longitudinal), binsum(transverse)])
+            counts, sums = shell_bin_sums(
+                total.astype(adt), longitudinal.astype(adt), transverse.astype(adt), nbins
+            )
+        else:
+            # Sharded (or low-dim) path: local scatter-adds partition
+            # over the mesh.
+            stacked = jnp.stack([total.ravel(), longitudinal.ravel(), transverse.ravel()])
+            idx = jnp.clip(jnp.floor(k_abs + 0.5).astype(jnp.int32), 0, nbins - 1)
+            include = k_abs <= (nbins - 0.5)
+            flat_idx = idx.ravel()
+            mask = include.ravel()
+            counts = jnp.zeros(nbins, dtype=adt).at[flat_idx].add(mask.astype(adt))
+            sums = jnp.zeros((3, nbins), dtype=adt).at[:, flat_idx].add(
+                jnp.where(mask, stacked.astype(adt), 0)
+            )
         means = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), jnp.nan)
         return means
 

@@ -1,0 +1,274 @@
+"""Pipeline orchestration with JSON checkpoint/resume.
+
+TPU-native rebuild of the reference pipeline
+(reference: fava/__main__.py:22-279): four stages over a FLASH snapshot
+series — per-plt Reynolds stress + flame-window fit, window-trajectory
+smoothing, moving-window extraction via from_amr, and uniform-data
+analyses (fractal dimension, structure functions, KE spectra) — with a
+``fava.checkpoint`` JSON for resumability and SIGINT/SIGTERM-safe
+checkpointing via the interrupt handler.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import logging
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import h5py
+import numpy as np
+
+from fava_tpu.models import FLASH
+from fava_tpu.utils import FAVAInterruptHandler, timer
+
+LOGGER = logging.getLogger(__name__)
+
+PIPELINE_CHECKPOINT_NAME = "fava.checkpoint"
+PIPELINE_SETTINGS_NAME = "pipeline_settings.json"
+
+
+class Pipeline:
+    """Stage driver over a FLASH model directory."""
+
+    def __init__(self, workdir: Optional[Path] = None) -> None:
+        self.workdir = Path(workdir) if workdir is not None else Path.cwd()
+        self.checkpoint_file = self.workdir / PIPELINE_CHECKPOINT_NAME
+        self.settings_file = self.workdir / PIPELINE_SETTINGS_NAME
+        self.checkpoint_data: Dict[str, Any] = {}
+
+    # ------------------------------------------------------------------
+    # Settings / checkpoint
+    def load_settings(self, settings_path: Optional[Path] = None) -> None:
+        path = Path(settings_path) if settings_path is not None else self.settings_file
+        with path.open("r") as f:
+            self.settings: Dict[str, Any] = json.load(f)
+
+        self.checkpoint_data["settings"] = copy.deepcopy(self.settings)
+        self.basename: str = self._validated("basename", str)
+        self.ndim: int = self._validated("dimension", int)
+        self.model_name: str = self._validated("model", str)
+        self.data_dir = Path(self._validated("data folder", str))
+        self.output_dir = Path(self._validated("output folder", str))
+        self.model: FLASH = FLASH(self.data_dir)
+
+    def _validated(self, key: str, vtype) -> Any:
+        assert key in self.settings, f"Missing pipeline setting: {key}"
+        assert isinstance(self.settings[key], vtype), f"Setting {key} must be {vtype}"
+        return self.settings[key]
+
+    def checkpoint(self) -> None:
+        with self.checkpoint_file.open("w") as f:
+            json.dump(self.checkpoint_data, f, ensure_ascii=True, indent=4, default=str)
+
+    def restart(self) -> None:
+        if self.checkpoint_file.is_file():
+            with self.checkpoint_file.open("r") as f:
+                self.checkpoint_data = json.load(f)
+        self.load_settings()
+
+    def refresh_model(self) -> None:
+        # Extracted uniform files land in output_dir; rescan there when
+        # it differs from the data dir (the reference assumes they match).
+        target = self.data_dir
+        if self.output_dir != self.data_dir and any(self.output_dir.glob("*hdf5_uniform_????")):
+            target = self.output_dir
+        self.model = FLASH(target)
+
+    # ------------------------------------------------------------------
+    def _flam_or_rpv1(self) -> bool:
+        self.flam = "rpv1"
+        if self.model.mesh.data(self.flam) is None:
+            self.flam = "flam"
+        return self.model.mesh.data(self.flam) is not None
+
+    # ------------------------------------------------------------------
+    # Stage 1: per-plt Reynolds stress + flame window
+    def reynolds_stress(self, index: int) -> None:
+        file_type = "plt"
+        self.model.load(file_index=index, file_type=file_type)
+        fn = self.output_dir / self.model.convert_filename_type(file_type, "anl").name
+
+        print("REYNOLDS STRESS:", fn, flush=True)
+
+        pkey = "reynolds stresses"
+        skey = "scalars"
+        try:
+            with h5py.File(fn, "r") as f:
+                x = f[pkey]["radius"][()]
+                s = {rkey: f[pkey]["tensor"][rkey][()] for rkey in f[pkey]["tensor"].keys()}
+        except Exception:
+            x, s, m = self.model.reynolds_stress()
+            self.model.save_to_hdf5(
+                data={pkey: {"tensor": s, "radius": x, "means": m}}, filename=fn
+            )
+
+        if not self._flam_or_rpv1():
+            return
+
+        span, alp = self.model.slice_average(self.flam, axis=0)
+        ccx = 0.5 * (x[1:] + x[:-1])
+        mask = np.argwhere((0.0 < alp) & (alp < 1.0)).flatten()
+        if mask.size < 4:
+            mask = None
+
+        try:
+            centroid = self.model.mesh.flame_window(ccx, s, mask)
+        except Exception as exc:
+            # LM non-convergence on degenerate profiles: fall back to the
+            # transverse-stress peak so the pipeline stays resumable.
+            LOGGER.warning("flame_window fit failed (%s); using stress peak", exc)
+            centroid = float(ccx[np.argmax(s["Ryy"] + s["Rzz"])])
+
+        window = self.settings.get("flame window", {})
+        half_width = float(window.get("half width", 16e5))
+        dx = float(window.get("dx", 0.0))
+
+        left = self.model.mesh.domain_bounds[:, 0].copy()
+        right = self.model.mesh.domain_bounds[:, 1].copy()
+        left[0] = centroid - half_width + dx
+        right[0] = centroid + half_width + dx
+
+        window_bounds = right - left
+        window_dimensions = (window_bounds / self.model.mesh.get_minimum_deltas(axis=1)).astype(int)
+
+        print("Flame Window:", right, window_dimensions, flush=True)
+        self.model.save_to_hdf5(
+            data={
+                skey: {
+                    "time": self.model.mesh.time,
+                    "window left": left,
+                    "window right": right,
+                    "window dimensions": window_dimensions,
+                }
+            },
+            filename=fn,
+        )
+
+    # ------------------------------------------------------------------
+    # Stage 2: smooth the window trajectory across the series
+    def smooth_window_trajectory(self) -> None:
+        n = self.model.nfiles(file_type="plt")
+        self.xmax = np.zeros(n)
+        self.time = np.zeros(n)
+
+        for i, p in enumerate(sorted(self.model.plt_files["by index"].keys())):
+            self.model.load(file_index=p, file_type="plt")
+            fn = self.output_dir / self.model.convert_filename_type("plt", "anl").name
+            with h5py.File(fn, "r") as f:
+                win_right = f["scalars"]["window right"][()]
+            self.xmax[i] = win_right[0]
+            self.time[i] = self.model.mesh.time
+
+        if n > 1 and np.ptp(self.time) > 0:
+            coef = np.polyfit(self.time, self.xmax, 1)
+        else:
+            coef = np.array([0.0, self.xmax[0] if n else 0.0])
+        self.t0 = self.time[0] if n else 0.0
+        self.x0 = self.xmax[0] if n else 0.0
+        self.func = np.poly1d(coef)
+
+    # ------------------------------------------------------------------
+    # Stage 3: extract moving flame windows to uniform files
+    def extract_windows(self, index: int) -> None:
+        self.model.load(file_index=index, file_type="plt")
+        if not self._flam_or_rpv1():
+            return
+
+        window = self.settings.get("flame window", {})
+        half_width = float(window.get("half width", 16e5))
+        transverse = window.get("transverse", [-16e5, 16e5])
+
+        xmax = self.x0 + (self.func(self.model.mesh.time) - self.func(self.t0))
+        subdomain_coords = np.array(
+            [[xmax - 2 * half_width, xmax], list(transverse), list(transverse)]
+        )
+        # Clamp into the domain so a drifting window stays extractable
+        # (from_amr no-ops on out-of-domain subdomains, like the reference).
+        dom = self.model.mesh.domain_bounds
+        for a in range(3):
+            width = subdomain_coords[a, 1] - subdomain_coords[a, 0]
+            if subdomain_coords[a, 0] < dom[a, 0]:
+                subdomain_coords[a] = [dom[a, 0], min(dom[a, 0] + width, dom[a, 1])]
+            if subdomain_coords[a, 1] > dom[a, 1]:
+                subdomain_coords[a] = [max(dom[a, 1] - width, dom[a, 0]), dom[a, 1]]
+        fields = [self.flam, "dens", "pres", "temp", "velx", "vely", "velz", "divv", "igtm", "vort"]
+        fields = [f for f in fields if f in self.model.mesh.fields]
+
+        fn = self.output_dir / self.model.convert_filename_type("plt", "uni").name
+        print("EXTRACT:", fn, flush=True)
+        if fn.is_file():
+            return
+        self.model.mesh.from_amr(subdomain_coords=subdomain_coords, fields=fields, filename=fn)
+
+    # ------------------------------------------------------------------
+    # Stage 4: uniform-grid analyses with per-analysis resume cursor
+    def analyze_uniform_data(self, index: int) -> None:
+        pkey = "analyze uniform data"
+        self.model.load(file_index=index, file_type="uni")
+        if not self._flam_or_rpv1():
+            return
+
+        fn = self.output_dir / self.model.convert_filename_type("uni", "anl").name
+        print("ANALYSIS:", fn, flush=True)
+
+        analyses = {
+            "fractal dimension": self.model.fractal_dimension,
+            "structure functions": self.model.structure_functions,
+            "kinetic energy spectra": self.model.kinetic_energy_spectra,
+        }
+
+        akeys = list(analyses.keys())
+        begin_key = self.checkpoint_data.setdefault(pkey, {}).get("analysis")
+        begin = akeys.index(begin_key) if begin_key in akeys else 0
+
+        for akey in akeys[begin:]:
+            self.checkpoint_data[pkey]["analysis"] = akey
+            if not self.settings.get(akey, {}).get("skip", False):
+                _settings = self.settings.get(akey, {}).get("settings", {})
+                retval = analyses[akey](**_settings)
+                self.model.save_to_hdf5(data={akey: retval}, filename=fn)
+
+        self.checkpoint_data[pkey]["analysis"] = None
+
+
+@timer
+def main(workdir: Optional[Path] = None) -> int:
+    pipe = Pipeline(workdir)
+    pipe.restart()
+    pipe.output_dir.mkdir(parents=True, exist_ok=True)
+
+    print("\n-------------\n", pipe.checkpoint_data, "\n-------------\n", flush=True)
+
+    with FAVAInterruptHandler(external_handler=pipe.checkpoint):
+        pkey = "reynolds stress"
+        if not pipe.settings.get(pkey, {}).get("skip", False):
+            begin = pipe.checkpoint_data.get(pkey, {}).get("index", 0)
+            for i in sorted(pipe.model.plt_files["by index"].keys())[begin:]:
+                pipe.reynolds_stress(index=i)
+                pipe.checkpoint_data[pkey] = {"index": i + 1}
+                pipe.checkpoint()
+
+        pipe.smooth_window_trajectory()
+
+        pkey = "extract windows"
+        if not pipe.settings.get(pkey, {}).get("skip", False):
+            begin = pipe.checkpoint_data.get(pkey, {}).get("index", 0)
+            for i in sorted(pipe.model.plt_files["by index"].keys())[begin:]:
+                pipe.extract_windows(index=i)
+                pipe.checkpoint_data[pkey] = {"index": i + 1}
+                pipe.checkpoint()
+
+        pipe.refresh_model()
+
+        pkey = "analyze uniform data"
+        pipe.checkpoint_data.setdefault(pkey, {})
+        begin = pipe.checkpoint_data[pkey].get("index", 0)
+        for i in sorted(pipe.model.uni_files["by index"].keys())[begin:]:
+            pipe.analyze_uniform_data(i)
+            pipe.checkpoint_data[pkey]["index"] = i + 1
+            pipe.checkpoint()
+
+        print("DONE!", flush=True)
+    return 0

@@ -1,0 +1,72 @@
+"""Async ingest + snapshot time-series drivers."""
+
+import numpy as np
+import pytest
+
+import fava_tpu
+from fava_tpu.io import synthetic
+from fava_tpu.io.ingest import SnapshotPrefetcher, ingest_bandwidth_gbps
+
+
+@pytest.fixture()
+def series_dir(tmp_path):
+    for i, t in enumerate([0.0, 0.1, 0.2, 0.3], start=1):
+        synthetic.make_amr_file(
+            tmp_path / f"rt_hdf5_plt_cnt_{i:04d}",
+            ncells=(4, 4, 4),
+            nblks=(2, 2, 2),
+            refine={0: 2},
+            time=t,
+        )
+    return tmp_path
+
+
+def test_prefetcher_yields_all_snapshots_in_order(series_dir):
+    paths = sorted(series_dir.glob("*plt_cnt*"))
+    snaps = list(SnapshotPrefetcher(paths, ["dens", "velx"], depth=2))
+    assert len(snaps) == 4
+    np.testing.assert_allclose([s.time for s in snaps], [0.0, 0.1, 0.2, 0.3])
+    for s in snaps:
+        assert set(s.fields.keys()) == {"dens", "velx"}
+        assert s.fields["dens"].ndim == 4
+        assert s.nbytes > 0
+
+
+def test_prefetcher_skips_missing_fields(series_dir):
+    paths = sorted(series_dir.glob("*plt_cnt*"))[:1]
+    snaps = list(SnapshotPrefetcher(paths, ["dens", "notafield"]))
+    assert set(snaps[0].fields.keys()) == {"dens"}
+
+
+def test_ingest_bandwidth_positive(series_dir):
+    paths = sorted(series_dir.glob("*plt_cnt*"))
+    gbps = ingest_bandwidth_gbps(paths, ["dens", "velx", "vely", "velz"])
+    assert gbps > 0
+
+
+def test_favre_series_matches_per_file(series_dir):
+    m = fava_tpu.FLASH(series_dir)
+    out = m.favre_series(file_type="plt")
+    assert out["favre_mean_velx"].shape[0] == 4
+    np.testing.assert_allclose(out["times"], [0.0, 0.1, 0.2, 0.3])
+
+    # Cross-check snapshot 2 against the single-file mesh path.
+    m.load(file_index=2, file_type="plt")
+    single = m.favre_profiles(raxis=0)
+    np.testing.assert_allclose(
+        out["favre_mean_velx"][2], single["favre_mean"]["velx"], rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        out["favre_rms_velz"][2], single["favre_rms"]["velz"], rtol=1e-12
+    )
+
+
+def test_reynolds_series_matches_per_file(series_dir):
+    m = fava_tpu.FLASH(series_dir)
+    out = m.reynolds_series(file_type="plt")
+    assert out["Rxx"].shape[0] == 4
+
+    m.load(file_index=1, file_type="plt")
+    _, stress, means = m.reynolds_stress(raxis=0)
+    np.testing.assert_allclose(out["Rxy"][1], stress["Rxy"], rtol=1e-11)
+    np.testing.assert_allclose(out["mean_dens"][1], means["dens"], rtol=1e-12)

@@ -1,0 +1,71 @@
+"""Pallas kernels in interpreter mode vs their jnp reference paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fava_tpu.ops import pallas_kernels as pk
+
+
+@pytest.fixture()
+def force_interpret():
+    pk.FORCE_INTERPRET = True
+    yield
+    pk.FORCE_INTERPRET = False
+
+
+def _fields(n=16, seed=0, dtype=jnp.float32):
+    key = jax.random.PRNGKey(seed)
+    d = 1.0 + 0.3 * jax.random.uniform(key, (n, n, n), dtype=dtype)
+    vs = [jax.random.normal(k, (n, n, n), dtype=dtype) for k in jax.random.split(key, 3)]
+    return d, vs
+
+
+def test_row_moments_interpret_matches_jnp(force_interpret):
+    d, vs = _fields(16)
+    got = np.asarray(pk.row_moments_volume(d, *vs))
+    ref = np.asarray(pk._row_moments_jnp(d, *vs))
+    assert got.shape == (13, 16)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
+
+
+def test_shell_bin_interpret_matches_jnp(force_interpret):
+    d, vs = _fields(16, seed=1)
+    total = jnp.abs(vs[0])
+    longi = jnp.abs(vs[1])
+    trans = total - longi
+    nbins = 16 // 2 - 1
+    c_got, s_got = pk.shell_bin_sums(total, longi, trans, nbins)
+    c_ref, s_ref = pk._shell_bin_jnp(total, longi, trans, nbins)
+    np.testing.assert_allclose(np.asarray(c_got), np.asarray(c_ref))
+    np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref), rtol=2e-5, atol=1e-6)
+
+
+def test_fallback_used_for_unaligned_shapes():
+    # 12^3 violates the lane constraint: must silently use the jnp path.
+    key = jax.random.PRNGKey(0)
+    d = 1.0 + jax.random.uniform(key, (12, 12, 12))
+    vs = [jax.random.normal(k, (12, 12, 12)) for k in jax.random.split(key, 3)]
+    out = pk.row_moments_volume(d, *vs)
+    assert out.shape == (13, 12)
+
+
+def test_flagship_step_consistent_with_mesh_path():
+    """mesh=None (kernel path on TPU / jnp fallback on CPU) must agree
+    with the sharded-math path run on a single device."""
+    from fava_tpu.flagship import uniform_analysis_step
+    from fava_tpu.parallel import make_device_mesh
+
+    key = jax.random.PRNGKey(2)
+    n = 16
+    d = 1.0 + 0.3 * jax.random.uniform(key, (n, n, n))
+    vs = [jax.random.normal(k, (n, n, n)) for k in jax.random.split(key, 3)]
+
+    a = jax.jit(lambda *f: uniform_analysis_step(*f, mesh=None))(d, *vs)
+    mesh1 = make_device_mesh((1,), ("space",))
+    b = jax.jit(lambda *f: uniform_analysis_step(*f, mesh=mesh1))(d, *vs)
+    for key_ in ("spectra_total", "spectra_counts", "reynolds_stress", "favre_rms"):
+        np.testing.assert_allclose(
+            np.asarray(a[key_]), np.asarray(b[key_]), rtol=1e-9, atol=1e-15, err_msg=key_
+        )

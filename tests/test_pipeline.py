@@ -1,0 +1,101 @@
+"""End-to-end pipeline CLI: stages, checkpoint/resume, outputs."""
+
+import json
+
+import h5py
+import numpy as np
+import pytest
+
+from fava_tpu.io import synthetic
+from fava_tpu.pipeline import PIPELINE_CHECKPOINT_NAME, Pipeline, main
+
+
+@pytest.fixture()
+def pipeline_dir(tmp_path):
+    data = tmp_path / "data"
+    out = tmp_path / "out"
+    data.mkdir()
+    out.mkdir()
+    for i, t in enumerate([0.0, 0.1], start=1):
+        synthetic.make_amr_file(
+            data / f"rt_hdf5_plt_cnt_{i:04d}",
+            ncells=(4, 4, 4),
+            nblks=(2, 2, 2),
+            refine={0: 2},
+            time=t,
+        )
+
+    settings = {
+        "data folder": str(data),
+        "output folder": str(out),
+        "basename": "rt_hdf5_plt_cnt",
+        "dimension": 3,
+        "model": "synthetic",
+        "reynolds stress": {"skip": False},
+        "extract windows": {"skip": False},
+        "flame window": {"half width": 0.25, "transverse": [0.25, 0.75]},
+        "fractal dimension": {"skip": False, "settings": {"field": "flam", "contours": 0.5}},
+        "kinetic energy spectra": {"skip": False},
+        "structure functions": {
+            "skip": False,
+            "settings": {"num_seps": 4, "num_points": 32, "sep_bounds": [0.05, 0.3]},
+        },
+    }
+    with (tmp_path / "pipeline_settings.json").open("w") as f:
+        json.dump(settings, f)
+    return tmp_path, data, out
+
+
+def test_full_pipeline_run(pipeline_dir):
+    workdir, data, out = pipeline_dir
+    assert main(workdir) == 0
+
+    anl = sorted(out.glob("*hdf5_analysis_*"))
+    uni = sorted(out.glob("*hdf5_uniform_*"))
+    assert len(anl) == 2
+    assert len(uni) >= 1
+
+    with h5py.File(anl[0], "r") as f:
+        assert "reynolds stresses" in f
+        assert "scalars" in f
+        assert "window right" in f["scalars"]
+
+    # Uniform analyses were appended to the uniform-file's analysis output.
+    with h5py.File(anl[0], "r") as f:
+        keys = set(f.keys())
+    uni_anl = [p for p in anl if True]
+    found = False
+    for p in anl:
+        with h5py.File(p, "r") as f:
+            if "kinetic energy spectra" in f:
+                found = True
+    assert found
+
+    ckpt = workdir / PIPELINE_CHECKPOINT_NAME
+    assert ckpt.is_file()
+    state = json.loads(ckpt.read_text())
+    assert state["reynolds stress"]["index"] == 2
+
+
+def test_pipeline_resume_skips_done_work(pipeline_dir):
+    workdir, data, out = pipeline_dir
+    assert main(workdir) == 0
+    mtimes = {p.name: p.stat().st_mtime_ns for p in out.glob("*hdf5_uniform_*")}
+
+    # Second run must be a no-op for extraction (files exist + checkpoint).
+    assert main(workdir) == 0
+    for p in out.glob("*hdf5_uniform_*"):
+        assert p.stat().st_mtime_ns == mtimes[p.name]
+
+
+def test_pipeline_skip_flags(pipeline_dir):
+    workdir, data, out = pipeline_dir
+    settings_path = workdir / "pipeline_settings.json"
+    settings = json.loads(settings_path.read_text())
+    settings["reynolds stress"]["skip"] = True
+    settings["extract windows"]["skip"] = True
+    settings_path.write_text(json.dumps(settings))
+
+    pipe = Pipeline(workdir)
+    pipe.restart()
+    assert pipe.settings["reynolds stress"]["skip"] is True
