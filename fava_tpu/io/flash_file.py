@@ -86,6 +86,7 @@ def read_field(handle: h5py.File, name: str, dtype=np.float64) -> np.ndarray:
     FLASH files store (nblocks, nzb, nyb, nxb); we return
     (nblocks, nxb, nyb, nzb) (or 3D for uniform single-block data),
     promoted to ``dtype`` (reference: fava/mesh/FLASH/_flash.py:306-341).
+    The swap+cast runs through the native C++ kernel when available.
     """
     key = f"{name:4s}" if len(name) < 4 else name
     if key not in handle and name in handle:
@@ -93,6 +94,10 @@ def read_field(handle: h5py.File, name: str, dtype=np.float64) -> np.ndarray:
     if key not in handle:
         raise KeyError(f"{name} field not found in dataset")
     raw = handle[key][()]
+    if raw.ndim in (3, 4) and raw.dtype in (np.float32, np.float64):
+        from fava_tpu.native import swap_axes_cast
+
+        return swap_axes_cast(raw, dtype)
     return np.ascontiguousarray(np.swapaxes(raw.astype(dtype), -1, -3))
 
 

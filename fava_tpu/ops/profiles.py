@@ -180,6 +180,27 @@ def _pair_indices(nvel: int) -> List[Tuple[int, int]]:
     return [(i, j) for i in range(nvel) for j in range(i, nvel)]
 
 
+def _full_moments(data: Dict[str, jax.Array], geom: "ProfileGeometry") -> jax.Array:
+    """(13, nBleaf, nrb) stacked moments for dens + 3 velocities.
+
+    Single-block uniform volumes along x take the fused Pallas kernel;
+    the general AMR path uses the jitted jnp reductions.
+    """
+    axes = AXES_NAMES[: geom.ndim]
+    if geom.ndim == 3 and geom.raxis == 0 and geom.blocklist.size == 1:
+        from fava_tpu.ops.pallas_kernels import row_moments_volume
+
+        blk = int(geom.blocklist[0])
+        vols = [data["dens"][blk]] + [data[f"vel{a}"][blk] for a in axes]
+        return row_moments_volume(*vols)[:, None, :]
+
+    blk = jnp.asarray(geom.blocklist)
+    fields = [jnp.take(data["dens"], blk, axis=0)]
+    for a in axes:
+        fields.append(jnp.take(data[f"vel{a}"], blk, axis=0))
+    return _row_moments(tuple(fields), raxis=geom.raxis, nvel=geom.ndim, with_second_moments=True)
+
+
 def reynolds_stress(
     data: Dict[str, jax.Array],
     geom: ProfileGeometry,
@@ -194,13 +215,8 @@ def reynolds_stress(
     ndim = geom.ndim
     nvel = ndim
     axes = AXES_NAMES[:ndim]
-    blk = jnp.asarray(geom.blocklist)
 
-    fields = [jnp.take(data["dens"], blk, axis=0)]
-    for a in axes:
-        fields.append(jnp.take(data[f"vel{a}"], blk, axis=0))
-
-    moments = _row_moments(tuple(fields), raxis=geom.raxis, nvel=nvel, with_second_moments=True)
+    moments = _full_moments(data, geom)
     groups, scales = geom.device_groups(moments)
     prof = _scatter_groups(groups, scales, geom.nfine)
     prof = np.asarray(prof, dtype=np.float64)
@@ -238,13 +254,8 @@ def favre_profiles(
     ndim = geom.ndim
     nvel = ndim
     axes = AXES_NAMES[:ndim]
-    blk = jnp.asarray(geom.blocklist)
 
-    fields = [jnp.take(data["dens"], blk, axis=0)]
-    for a in axes:
-        fields.append(jnp.take(data[f"vel{a}"], blk, axis=0))
-
-    moments = _row_moments(tuple(fields), raxis=geom.raxis, nvel=nvel, with_second_moments=True)
+    moments = _full_moments(data, geom)
     groups, scales = geom.device_groups(moments)
     prof = np.asarray(_scatter_groups(groups, scales, geom.nfine), dtype=np.float64)
 
