@@ -28,6 +28,17 @@ import numpy as np
 CACHE = Path(__file__).parent / ".bench_baseline.json"
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: the axon backend compiles big
+    programs very slowly (minutes at 512^3), but cache hits load in
+    <1s, so repeated bench runs only pay compile once."""
+    import jax
+
+    cache_dir = Path(__file__).parent / ".jax_cache"
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def _grid_size() -> int:
     if "BENCH_N" in os.environ:
         return int(os.environ["BENCH_N"])
@@ -133,6 +144,7 @@ def _numpy_baseline_time(n: int) -> float:
 
 
 def main() -> None:
+    _enable_compile_cache()
     n = _grid_size()
     device_s = _device_time(n)
     try:

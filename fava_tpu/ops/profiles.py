@@ -187,7 +187,12 @@ def _full_moments(data: Dict[str, jax.Array], geom: "ProfileGeometry") -> jax.Ar
     the general AMR path uses the jitted jnp reductions.
     """
     axes = AXES_NAMES[: geom.ndim]
-    if geom.ndim == 3 and geom.raxis == 0 and geom.blocklist.size == 1:
+    single_device = True
+    try:
+        single_device = len(data["dens"].sharding.device_set) == 1
+    except AttributeError:
+        pass
+    if geom.ndim == 3 and geom.raxis == 0 and geom.blocklist.size == 1 and single_device:
         from fava_tpu.ops.pallas_kernels import row_moments_volume
 
         blk = int(geom.blocklist[0])

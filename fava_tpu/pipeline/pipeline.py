@@ -235,6 +235,11 @@ class Pipeline:
 
 @timer
 def main(workdir: Optional[Path] = None) -> int:
+    from fava_tpu.utils import configure_logging, enable_compilation_cache
+
+    configure_logging()
+    enable_compilation_cache()
+
     pipe = Pipeline(workdir)
     pipe.restart()
     pipe.output_dir.mkdir(parents=True, exist_ok=True)

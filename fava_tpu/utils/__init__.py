@@ -13,6 +13,8 @@ from fava_tpu.utils.precision import (
     set_compute_dtype,
     to_device,
 )
+from fava_tpu.utils.cache import enable_compilation_cache
+from fava_tpu.utils.logging_config import configure as configure_logging
 from fava_tpu.utils.timing import reset_timings, timer, timings, trace
 
 __all__ = [
@@ -33,4 +35,6 @@ __all__ = [
     "timings",
     "trace",
     "reset_timings",
+    "enable_compilation_cache",
+    "configure_logging",
 ]
