@@ -1,0 +1,67 @@
+"""Mesh-level multi-device integration: sharded load + analyses."""
+
+import jax
+import numpy as np
+import pytest
+
+import fava_tpu
+from fava_tpu.mesh import FlashUniform
+from fava_tpu.parallel import get_mesh, make_device_mesh, use_mesh
+
+
+def test_use_mesh_context(eight_device_mesh):
+    assert get_mesh() is None
+    with use_mesh(eight_device_mesh):
+        assert get_mesh() is eight_device_mesh
+    assert get_mesh() is None
+
+
+def test_sharded_uniform_load_and_spectra(uniform_file_32, eight_device_mesh):
+    # Unsharded reference.
+    mesh0 = FlashUniform(uniform_file_32)
+    mesh0.load()
+    spec0 = mesh0.kinetic_energy_spectra()
+
+    with use_mesh(eight_device_mesh):
+        mesh1 = FlashUniform(uniform_file_32)
+        mesh1.load()
+        d = mesh1.data("dens")
+        # Field is slab-sharded over the 8 CPU devices.
+        assert len(d.sharding.device_set) == 8
+        spec1 = mesh1.kinetic_energy_spectra()
+
+    for key in ("total", "longitudinal", "transverse"):
+        np.testing.assert_allclose(spec1[key], spec0[key], rtol=1e-9, atol=1e-18, err_msg=key)
+
+
+def test_sharded_profiles_match(uniform_file_32, eight_device_mesh):
+    mesh0 = FlashUniform(uniform_file_32)
+    mesh0.load()
+    _, stress0, means0 = mesh0.reynolds_stress()
+
+    with use_mesh(eight_device_mesh):
+        mesh1 = FlashUniform(uniform_file_32)
+        mesh1.load()
+        _, stress1, means1 = mesh1.reynolds_stress()
+
+    for key in stress0:
+        np.testing.assert_allclose(stress1[key], stress0[key], rtol=1e-9, err_msg=key)
+    for key in means0:
+        np.testing.assert_allclose(means1[key], means0[key], rtol=1e-10, err_msg=key)
+
+
+def test_sharded_favre_match(uniform_file_32, eight_device_mesh):
+    mesh0 = FlashUniform(uniform_file_32)
+    mesh0.load()
+    out0 = mesh0.favre_profiles()
+
+    with use_mesh(eight_device_mesh):
+        mesh1 = FlashUniform(uniform_file_32)
+        mesh1.load()
+        out1 = mesh1.favre_profiles()
+
+    np.testing.assert_allclose(out1["mean_dens"], out0["mean_dens"], rtol=1e-10)
+    for a in "xyz":
+        np.testing.assert_allclose(
+            out1["favre_rms"][f"vel{a}"], out0["favre_rms"][f"vel{a}"], rtol=1e-9
+        )
