@@ -203,6 +203,22 @@ def _full_moments(data: Dict[str, jax.Array], geom: "ProfileGeometry") -> jax.Ar
     fields = [jnp.take(data["dens"], blk, axis=0)]
     for a in axes:
         fields.append(jnp.take(data[f"vel{a}"], blk, axis=0))
+
+    # Multi-device: zero-pad the leaf-block axis to the mesh size and
+    # shard blocks over "space" so the moment reductions run fully
+    # parallel. Padded rows are never referenced by the level groups.
+    from fava_tpu.parallel import runtime as prt
+
+    n_space = prt.space_axis_size()
+    if n_space > 1:
+        pad = (-fields[0].shape[0]) % n_space
+        if pad:
+            widths = [(0, pad)] + [(0, 0)] * (fields[0].ndim - 1)
+            fields = [jnp.pad(f, widths) for f in fields]
+        sharding = prt.block_sharding(ndim=fields[0].ndim)
+        if sharding is not None:
+            fields = [jax.device_put(f, sharding) for f in fields]
+
     return _row_moments(tuple(fields), raxis=geom.raxis, nvel=geom.ndim, with_second_moments=True)
 
 

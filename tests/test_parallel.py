@@ -50,6 +50,22 @@ def test_sharded_profiles_match(uniform_file_32, eight_device_mesh):
         np.testing.assert_allclose(means1[key], means0[key], rtol=1e-10, err_msg=key)
 
 
+def test_sharded_amr_reynolds_match(amr_file, eight_device_mesh):
+    from fava_tpu.mesh import FLASH as FlashAMR
+
+    mesh0 = FlashAMR(amr_file)
+    mesh0.load()
+    _, stress0, means0 = mesh0.reynolds_stress()
+
+    with use_mesh(eight_device_mesh):
+        mesh1 = FlashAMR(amr_file)
+        mesh1.load()
+        _, stress1, means1 = mesh1.reynolds_stress()
+
+    for key in stress0:
+        np.testing.assert_allclose(stress1[key], stress0[key], rtol=1e-9, err_msg=key)
+
+
 def test_sharded_favre_match(uniform_file_32, eight_device_mesh):
     mesh0 = FlashUniform(uniform_file_32)
     mesh0.load()
