@@ -132,10 +132,36 @@ def jitted_analysis_step(mesh=None):
     return jax.jit(lambda d, vx, vy, vz: uniform_analysis_step(d, vx, vy, vz, mesh=mesh))
 
 
+@lru_cache(maxsize=4)
+def _example_fields_fn(n: int, dtype_name: str, seed: int):
+    dtype = jnp.dtype(dtype_name)
+
+    @jax.jit
+    def build():
+        # Deterministic multi-frequency trig mixing instead of jax.random:
+        # the PRNG kernels take minutes to compile on the tunneled TPU
+        # backend and are not served by the persistent compile cache.
+        x = (jnp.arange(n, dtype=dtype) / n)[:, None, None]
+        y = (jnp.arange(n, dtype=dtype) / n)[None, :, None]
+        z = (jnp.arange(n, dtype=dtype) / n)[None, None, :]
+        two_pi = 2.0 * jnp.pi
+        s = float(seed)
+
+        def mix(a, b, c, p):
+            return (
+                jnp.sin(two_pi * (a * x + b * y + c * z) + p + s)
+                + 0.5 * jnp.cos(two_pi * (b * x + c * y + a * z) + 2 * p + s)
+                + 0.25 * jnp.sin(two_pi * (c * x + a * y + b * z) + 3 * p - s)
+            )
+
+        dens = 1.3 + 0.3 * jnp.cos(two_pi * (x + 2 * y - z) + s) * jnp.sin(two_pi * (3 * x - y) - s)
+        vels = [mix(3, 7, 2, 0.3), mix(5, 1, 6, 1.1), mix(2, 4, 9, 2.7)]
+        return (dens.astype(dtype), *(v.astype(dtype) for v in vels))
+
+    return build
+
+
 def make_example_fields(n: int = 64, dtype=jnp.float32, seed: int = 0):
     """Deterministic synthetic turbulence-like fields on device."""
-    keys = jax.random.split(jax.random.PRNGKey(seed), 4)
-    shape = (n, n, n)
-    dens = 1.0 + 0.3 * jax.random.uniform(keys[0], shape, dtype=dtype)
-    vels = [jax.random.normal(keys[i + 1], shape, dtype=dtype) for i in range(3)]
-    return dens, *vels
+    out = _example_fields_fn(int(n), str(jnp.dtype(dtype)), int(seed))()
+    return out
