@@ -83,14 +83,39 @@ def uniform_analysis_step(
     }
 
     # --- Profiles along x (uniform grid: rows ARE the fine bins) ------
+    layer = jnp.asarray(ny * nz, dtype=adt)
+    pairs = [(i, j) for i in range(3) for j in range(i, 3)]
+
     if mesh is None:
+        # Two fused passes: raw first moments, then *centered* second
+        # moments about the per-row means — avoids the float32
+        # cancellation of the one-pass algebraic expansion (~3e-4 rel
+        # observed at 128^3; centered path is ~1e-6).
         from fava_tpu.ops import pallas_kernels
 
         moments = pallas_kernels.row_moments_volume(dens, *vels).astype(adt)
         d_row = moments[0]
         v_rows = [moments[1 + i] for i in range(3)]
         dv_rows = [moments[4 + i] for i in range(3)]
-        dvv_rows = [moments[7 + p] for p in range(6)]
+
+        mean_d = d_row / layer
+        means = [vr / layer for vr in v_rows]
+
+        centered = pallas_kernels.centered_row_moments(
+            dens, *vels, jnp.stack(means)
+        ).astype(adt)
+        cov = centered[:6]
+        c1 = centered[6:9]
+
+        stress = [cov[p] / layer for p in range(6)]
+
+        favre_mean = [dvr / d_row for dvr in dv_rows]
+        diag = [pairs.index((i, i)) for i in range(3)]
+        favre_rms = []
+        for i in range(3):
+            di = favre_mean[i] - means[i]
+            var = (cov[diag[i]] - 2.0 * di * c1[i] + di * di * d_row) / d_row
+            favre_rms.append(jnp.sqrt(jnp.maximum(var, 0.0)))
     else:
 
         def rows(x):
@@ -101,21 +126,25 @@ def uniform_analysis_step(
         dv_rows = [rows(dens * v) for v in vels]
         dvv_rows = [rows(dens * vels[i] * vels[j]) for i in range(3) for j in range(i, 3)]
 
-    layer = jnp.asarray(ny * nz, dtype=adt)
-    mean_d = d_row / layer
-    means = [vr / layer for vr in v_rows]
+        mean_d = d_row / layer
+        means = [vr / layer for vr in v_rows]
 
-    pairs = [(i, j) for i in range(3) for j in range(i, 3)]
-    stress = []
-    for p, (i, j) in enumerate(pairs):
-        s = dvv_rows[p] - means[j] * dv_rows[i] - means[i] * dv_rows[j] + means[i] * means[j] * d_row
-        stress.append(s / layer)
+        stress = []
+        for p, (i, j) in enumerate(pairs):
+            s = (
+                dvv_rows[p]
+                - means[j] * dv_rows[i]
+                - means[i] * dv_rows[j]
+                + means[i] * means[j] * d_row
+            )
+            stress.append(s / layer)
 
-    favre_mean = [dvr / d_row for dvr in dv_rows]
-    diag = [pairs.index((i, i)) for i in range(3)]
-    favre_rms = [
-        jnp.sqrt(jnp.maximum(dvv_rows[diag[i]] / d_row - favre_mean[i] ** 2, 0.0)) for i in range(3)
-    ]
+        favre_mean = [dvr / d_row for dvr in dv_rows]
+        diag = [pairs.index((i, i)) for i in range(3)]
+        favre_rms = [
+            jnp.sqrt(jnp.maximum(dvv_rows[diag[i]] / d_row - favre_mean[i] ** 2, 0.0))
+            for i in range(3)
+        ]
 
     return {
         **{f"spectra_{k}": v for k, v in spectra.items()},

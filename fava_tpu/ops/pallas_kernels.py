@@ -50,6 +50,13 @@ def _pallas_ok(shape: Tuple[int, int, int]) -> bool:
 # Fused 13-moment row reduction
 
 
+def _sum2(x):
+    # Two-stage reduction: error grows ~ (ny+nz)*eps instead of
+    # (ny*nz)*eps under Mosaic's sequential accumulation. keepdims keeps
+    # the intermediate 2D (Mosaic cannot lower 1D reductions).
+    return jnp.sum(jnp.sum(x, axis=-1, keepdims=True))
+
+
 def _moments_kernel(d_ref, x_ref, y_ref, z_ref, out_ref):
     d = d_ref[0]
     vx = x_ref[0]
@@ -62,19 +69,19 @@ def _moments_kernel(d_ref, x_ref, y_ref, z_ref, out_ref):
 
     sums = jnp.stack(
         [
-            jnp.sum(d),
-            jnp.sum(vx),
-            jnp.sum(vy),
-            jnp.sum(vz),
-            jnp.sum(dvx),
-            jnp.sum(dvy),
-            jnp.sum(dvz),
-            jnp.sum(dvx * vx),
-            jnp.sum(dvx * vy),
-            jnp.sum(dvx * vz),
-            jnp.sum(dvy * vy),
-            jnp.sum(dvy * vz),
-            jnp.sum(dvz * vz),
+            _sum2(d),
+            _sum2(vx),
+            _sum2(vy),
+            _sum2(vz),
+            _sum2(dvx),
+            _sum2(dvy),
+            _sum2(dvz),
+            _sum2(dvx * vx),
+            _sum2(dvx * vy),
+            _sum2(dvx * vz),
+            _sum2(dvy * vy),
+            _sum2(dvy * vz),
+            _sum2(dvz * vz),
         ]
     )
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
@@ -139,6 +146,112 @@ def _row_moments_jnp(d, vx, vy, vz):
             rows(dvy * vy),
             rows(dvy * vz),
             rows(dvz * vz),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Centered second moments (pass 2 of the uniform-grid Reynolds stress)
+#
+# The one-pass algebraic expansion sum(d*vi*vj) - m*sum(d*vi) + ...
+# cancels catastrophically in float32 when fluctuations are small
+# relative to means (~3e-4 relative observed). Given the per-row means
+# m_i from pass 1, this kernel computes sum(d*(vi-m_i)*(vj-m_j)) and
+# sum(d*(vi-m_i)) directly — no cancellation, still one fused read.
+
+NCEN = 9  # 6 centered covariances + 3 centered first moments
+
+
+def _centered_kernel(means_ref, d_ref, x_ref, y_ref, z_ref, out_ref):
+    i = pl.program_id(0)
+    d = d_ref[0]
+    cx = x_ref[0] - means_ref[0, i]
+    cy = y_ref[0] - means_ref[1, i]
+    cz = z_ref[0] - means_ref[2, i]
+
+    dcx = d * cx
+    dcy = d * cy
+    dcz = d * cz
+
+    sums = jnp.stack(
+        [
+            _sum2(dcx * cx),
+            _sum2(dcx * cy),
+            _sum2(dcx * cz),
+            _sum2(dcy * cy),
+            _sum2(dcy * cz),
+            _sum2(dcz * cz),
+            _sum2(dcx),
+            _sum2(dcy),
+            _sum2(dcz),
+        ]
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    padded = jnp.zeros((1, LANE), dtype=out_ref.dtype)
+    for m in range(NCEN):
+        padded = jnp.where(lane == m, sums[m], padded)
+    out_ref[pl.ds(i, 1), :] = padded
+
+
+@lru_cache(maxsize=8)
+def _build_centered_fn(shape: Tuple[int, int, int], dtype_name: str, interpret: bool = False):
+    nx, ny, nz = shape
+    dtype = jnp.dtype(dtype_name)
+    # With scalar prefetch, index maps receive the prefetch refs too.
+    slab = pl.BlockSpec((1, ny, nz), lambda i, m: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    def run(means, d, vx, vy, vz):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nx,),
+            in_specs=[slab, slab, slab, slab],
+            out_specs=pl.BlockSpec((nx, LANE), lambda i, m: (0, 0), memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            _centered_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nx, LANE), dtype),
+            interpret=interpret,
+        )(means, d, vx, vy, vz)
+        return out[:, :NCEN].T  # (9, nx)
+
+    return jax.jit(run)
+
+
+def centered_row_moments(
+    dens: jax.Array,
+    vx: jax.Array,
+    vy: jax.Array,
+    vz: jax.Array,
+    means: jax.Array,  # (3, nx) per-row velocity means
+) -> jax.Array:
+    """(9, nx): [sum d*ci*cj (6 pairs xx,xy,xz,yy,yz,zz), sum d*ci (3)]."""
+    shape = tuple(int(s) for s in dens.shape)
+    if not _pallas_ok(shape):
+        return _centered_jnp(dens, vx, vy, vz, means)
+    return _build_centered_fn(shape, str(dens.dtype), FORCE_INTERPRET)(
+        means.astype(dens.dtype), dens, vx, vy, vz
+    )
+
+
+@jax.jit
+def _centered_jnp(d, vx, vy, vz, means):
+    rows = lambda a: jnp.sum(a, axis=(1, 2))
+    cx = vx - means[0][:, None, None]
+    cy = vy - means[1][:, None, None]
+    cz = vz - means[2][:, None, None]
+    dcx, dcy, dcz = d * cx, d * cy, d * cz
+    return jnp.stack(
+        [
+            rows(dcx * cx),
+            rows(dcx * cy),
+            rows(dcx * cz),
+            rows(dcy * cy),
+            rows(dcy * cz),
+            rows(dcz * cz),
+            rows(dcx),
+            rows(dcy),
+            rows(dcz),
         ]
     )
 

@@ -222,6 +222,43 @@ def _full_moments(data: Dict[str, jax.Array], geom: "ProfileGeometry") -> jax.Ar
     return _row_moments(tuple(fields), raxis=geom.raxis, nvel=geom.ndim, with_second_moments=True)
 
 
+def _is_uniform_fast_case(data: Dict[str, jax.Array], geom: "ProfileGeometry") -> bool:
+    """Single uniform block profiled along x on one device: rows == bins."""
+    single_device = True
+    try:
+        single_device = len(data["dens"].sharding.device_set) == 1
+    except AttributeError:
+        pass
+    return (
+        geom.ndim == 3
+        and geom.raxis == 0
+        and geom.blocklist.size == 1
+        and geom.nfine == geom.nrb
+        and single_device
+    )
+
+
+def _uniform_centered_stats(data: Dict[str, jax.Array], geom: "ProfileGeometry"):
+    """Raw first moments + centered second moments for the uniform case.
+
+    Centering about the per-row means avoids float32 cancellation in
+    the one-pass expansion (see ops.pallas_kernels.centered_row_moments).
+    Returns (d_row, v_rows, dv_rows, cov(6,n), c1(3,n)), all unscaled.
+    """
+    from fava_tpu.ops.pallas_kernels import centered_row_moments, row_moments_volume
+
+    blk = int(geom.blocklist[0])
+    vols = [data["dens"][blk]] + [data[f"vel{a}"][blk] for a in AXES_NAMES[:3]]
+    moments = row_moments_volume(*vols)
+    d_row = moments[0]
+    v_rows = moments[1:4]
+    dv_rows = moments[4:7]
+    ncells_per_row = vols[0].shape[1] * vols[0].shape[2]
+    means_rows = v_rows / ncells_per_row
+    centered = centered_row_moments(*vols, means_rows)
+    return d_row, v_rows, dv_rows, centered[:6], centered[6:9], means_rows
+
+
 def reynolds_stress(
     data: Dict[str, jax.Array],
     geom: ProfileGeometry,
@@ -236,6 +273,19 @@ def reynolds_stress(
     ndim = geom.ndim
     nvel = ndim
     axes = AXES_NAMES[:ndim]
+
+    layer_volume_u = geom.layer_area * geom.min_deltas[geom.raxis]
+    if _is_uniform_fast_case(data, geom):
+        d_row, v_rows, dv_rows, cov, c1, means_rows = _uniform_centered_stats(data, geom)
+        vol = float(geom.vol_fracs[0])
+        scale = vol / layer_volume_u
+        means: Dict[str, np.ndarray] = {"dens": np.asarray(d_row, dtype=np.float64) * scale}
+        for i, a in enumerate(axes):
+            means[f"vel{a}"] = np.asarray(v_rows[i], dtype=np.float64) * scale
+        stress: Dict[str, np.ndarray] = {}
+        for p, (i, j) in enumerate(_pair_indices(3)):
+            stress[f"R{axes[i]}{axes[j]}"] = np.asarray(cov[p], dtype=np.float64) * scale
+        return geom.span.copy(), stress, means
 
     moments = _full_moments(data, geom)
     groups, scales = geom.device_groups(moments)
@@ -275,6 +325,33 @@ def favre_profiles(
     ndim = geom.ndim
     nvel = ndim
     axes = AXES_NAMES[:ndim]
+    layer_volume_u = geom.layer_area * geom.min_deltas[geom.raxis]
+
+    if _is_uniform_fast_case(data, geom):
+        d_row, v_rows, dv_rows, cov, c1, means_rows = _uniform_centered_stats(data, geom)
+        vol = float(geom.vol_fracs[0])
+        scale = vol / layer_volume_u
+        d64 = np.asarray(d_row, dtype=np.float64)
+        safe_d = np.where(d64 > 0, d64, 1.0)
+        pairs3 = _pair_indices(3)
+        out: Dict[str, np.ndarray | Dict[str, np.ndarray]] = {
+            "span": geom.span.copy(),
+            "mean_dens": d64 * scale,
+            "favre_mean": {},
+            "favre_rms": {},
+        }
+        for i, a in enumerate(axes):
+            fmean = np.asarray(dv_rows[i], dtype=np.float64) / safe_d
+            di = fmean - np.asarray(means_rows[i], dtype=np.float64)
+            p = pairs3.index((i, i))
+            var = (
+                np.asarray(cov[p], dtype=np.float64)
+                - 2.0 * di * np.asarray(c1[i], dtype=np.float64)
+                + di * di * d64
+            ) / safe_d
+            out["favre_mean"][f"vel{a}"] = fmean
+            out["favre_rms"][f"vel{a}"] = np.sqrt(np.maximum(var, 0.0))
+        return out
 
     moments = _full_moments(data, geom)
     groups, scales = geom.device_groups(moments)

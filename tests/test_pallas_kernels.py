@@ -42,6 +42,34 @@ def test_shell_bin_interpret_matches_jnp(force_interpret):
     np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref), rtol=2e-5, atol=1e-6)
 
 
+def test_centered_moments_interpret_matches_jnp(force_interpret):
+    d, vs = _fields(16, seed=3)
+    means = jnp.stack([jnp.mean(v, axis=(1, 2)) for v in vs])
+    got = np.asarray(pk.centered_row_moments(d, *vs, means))
+    ref = np.asarray(pk._centered_jnp(d, *vs, means))
+    assert got.shape == (9, 16)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
+
+
+def test_centered_moments_consistent_with_expansion():
+    """Centered covariances must equal the algebraic expansion (float64)."""
+    import jax
+
+    d, vs = _fields(8, seed=4, dtype=jnp.float64)
+    means = jnp.stack([jnp.mean(v, axis=(1, 2)) for v in vs])
+    cen = np.asarray(pk._centered_jnp(d, *vs, means))
+    mom = np.asarray(pk._row_moments_jnp(d, *vs))
+    n_per_row = 64
+    pairs = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    m = np.asarray(means)
+    dmean_rows = mom[0]
+    for p, (i, j) in enumerate(pairs):
+        expansion = (
+            mom[7 + p] - m[j] * mom[4 + i] - m[i] * mom[4 + j] + m[i] * m[j] * mom[0]
+        )
+        np.testing.assert_allclose(cen[p], expansion, rtol=1e-9, atol=1e-12)
+
+
 def test_fallback_used_for_unaligned_shapes():
     # 12^3 violates the lane constraint: must silently use the jnp path.
     key = jax.random.PRNGKey(0)
