@@ -45,35 +45,33 @@ def uniform_analysis_step(
     vels = (velx, vely, velz)
 
     # --- Spectra -------------------------------------------------------
-    sqrt_d = jnp.sqrt(dens)
-    ffts = [pfft.pfft3(sqrt_d * v, mesh=mesh) / ntot for v in vels]
-
-    ks = []
-    for axis, n in enumerate(shape):
-        k = pfft._wavenumbers(n, ffts[0].real.dtype)
-        kshape = [1, 1, 1]
-        kshape[axis] = n
-        ks.append(k.reshape(kshape))
-    k_abs = jnp.sqrt(sum(k * k for k in ks))
-
-    total = 0.5 * sum(jnp.abs(f) ** 2 for f in ffts)
-    longi = sum(k * f for k, f in zip(ks, ffts))
-    longi = jnp.abs(longi / jnp.maximum(k_abs, 1e-99)) ** 2
-    trans = total - longi
-
     if mesh is None:
+        sqrt_d = jnp.sqrt(dens)
+        ffts = [jnp.fft.fftn(sqrt_d * v) / ntot for v in vels]
+
+        ks = []
+        for axis, n in enumerate(shape):
+            k = pfft._wavenumbers(n, ffts[0].real.dtype)
+            kshape = [1, 1, 1]
+            kshape[axis] = n
+            ks.append(k.reshape(kshape))
+        k_abs = jnp.sqrt(sum(k * k for k in ks))
+
+        total = 0.5 * sum(jnp.abs(f) ** 2 for f in ffts)
+        longi = sum(k * f for k, f in zip(ks, ffts))
+        longi = jnp.abs(longi / jnp.maximum(k_abs, 1e-99)) ** 2
+        trans = total - longi
+
         # Fused Pallas shell binning (jnp scatter fallback off-TPU).
         from fava_tpu.ops import pallas_kernels
 
         counts, sums3 = pallas_kernels.shell_bin_sums(total, longi, trans, nbins)
     else:
-        stacked = jnp.stack([total.ravel(), longi.ravel(), trans.ravel()])
-        idx = jnp.clip(jnp.floor(k_abs + 0.5).astype(jnp.int32), 0, nbins - 1).ravel()
-        mask = (k_abs <= (nbins - 0.5)).ravel()
-        counts = jnp.zeros(nbins, dtype=adt).at[idx].add(mask.astype(adt))
-        sums3 = jnp.zeros((3, nbins), dtype=adt).at[:, idx].add(
-            jnp.where(mask, stacked.astype(adt), 0)
-        )
+        # One shard_map: local FFTs + all_to_all transpose + local
+        # binning + a single psum over the space axis.
+        from fava_tpu.ops.spectra import sharded_power_spectra
+
+        counts, sums3 = sharded_power_spectra(dens, vels, mesh, nbins)
 
     spectra = {
         "counts": counts,

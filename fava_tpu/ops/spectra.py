@@ -94,6 +94,64 @@ def _segment_means(vals, perm, starts, ends, counts, adt):
     return sums / jnp.maximum(counts, 1.0)
 
 
+def sharded_power_spectra(dens, vels, mesh, nbins: int, axis_name: str = None):
+    """(counts, sums[3]) of shell-binned spectral powers over a device mesh.
+
+    One shard_map: per-device local 2D FFT -> all_to_all shard transpose
+    -> local 1D FFT -> local k-slab powers and scatter binning -> one
+    psum of the (4, nbins) accumulators. Everything rides ICI once; no
+    global reshapes or partitioner-inserted gathers.
+    """
+    from fava_tpu.parallel import runtime as prt
+
+    axis_name = axis_name or prt.SPACE_AXIS
+    shape = tuple(int(s) for s in dens.shape)
+    nx, ny, nz = shape
+    ntot = nx * ny * nz
+    nd = mesh.shape[axis_name]
+    adt = accum_dtype()
+
+    def local(d_loc, *v_loc):
+        sd = jnp.sqrt(d_loc)
+        ffts = []
+        for v in v_loc:
+            w = jnp.fft.fftn(sd * v, axes=(1, 2))
+            w = jax.lax.all_to_all(w, axis_name, split_axis=1, concat_axis=0, tiled=True)
+            ffts.append(jnp.fft.fft(w, axis=0) / ntot)
+
+        idx = jax.lax.axis_index(axis_name)
+        lo = idx * (ny // nd)
+        rdt = ffts[0].real.dtype
+        kx = pfft._wavenumbers(nx, rdt)[:, None, None]
+        ky_full = pfft._wavenumbers(ny, rdt)
+        ky = jax.lax.dynamic_slice(ky_full, (lo,), (ny // nd,))[None, :, None]
+        kz = pfft._wavenumbers(nz, rdt)[None, None, :]
+        k_abs = jnp.sqrt(kx * kx + ky * ky + kz * kz)
+
+        total = 0.5 * sum(jnp.abs(f) ** 2 for f in ffts)
+        longi = kx * ffts[0] + ky * ffts[1] + kz * ffts[2]
+        longi = jnp.abs(longi / jnp.maximum(k_abs, 1e-99)) ** 2
+        trans = total - longi
+
+        bidx = jnp.clip(jnp.floor(k_abs + 0.5).astype(jnp.int32), 0, nbins - 1).ravel()
+        mask = (k_abs <= (nbins - 0.5)).ravel()
+        counts = jnp.zeros(nbins, dtype=adt).at[bidx].add(mask.astype(adt))
+        stacked = jnp.stack([total.ravel(), longi.ravel(), trans.ravel()]).astype(adt)
+        sums = jnp.zeros((3, nbins), dtype=adt).at[:, bidx].add(jnp.where(mask, stacked, 0))
+        return jax.lax.psum(counts, axis_name), jax.lax.psum(sums, axis_name)
+
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(axis_name, None, None)
+    # Replicate over any other mesh axes by naming only the space axis.
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec,) * (1 + len(vels)),
+        out_specs=(P(), P()),
+    )(dens, *vels)
+
+
 @lru_cache(maxsize=32)
 def _build_spectra_fn(shape: Tuple[int, ...], mesh_key, nbins: int):
     """Jitted spectra core for a given volume shape (cached per shape/mesh)."""
@@ -101,8 +159,23 @@ def _build_spectra_fn(shape: Tuple[int, ...], mesh_key, nbins: int):
     ndim = len(shape)
     ntot = int(np.prod(shape))
 
+    from fava_tpu.parallel import runtime as prt
+
+    use_shard_map = (
+        mesh is not None
+        and ndim == 3
+        and prt.SPACE_AXIS in getattr(mesh, "axis_names", ())
+        and mesh.shape[prt.SPACE_AXIS] > 1
+        and shape[0] % mesh.shape[prt.SPACE_AXIS] == 0
+        and shape[1] % mesh.shape[prt.SPACE_AXIS] == 0
+    )
+
     def core(dens, vels):
         adt = accum_dtype()
+
+        if use_shard_map:
+            counts, sums = sharded_power_spectra(dens, tuple(vels), mesh, nbins)
+            return jnp.where(counts > 0, sums / jnp.maximum(counts, 1), jnp.nan)
         sqrt_d = jnp.sqrt(dens)
         ffts = []
         for v in vels:
