@@ -10,7 +10,7 @@ middle file of a particle-file series (Lagrangian tracking mode).
 from __future__ import annotations
 
 from math import floor
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 

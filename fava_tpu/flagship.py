@@ -15,14 +15,11 @@ snapshot batch axis may additionally shard over a "snap" axis.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from fava_tpu.parallel import fft as pfft
-from fava_tpu.parallel import runtime
 from fava_tpu.utils import accum_dtype
 
 

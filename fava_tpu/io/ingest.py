@@ -13,7 +13,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Sequence
 
 import h5py
 import jax

@@ -24,7 +24,7 @@ import numpy as np
 
 from fava_tpu.geometry import AXIS, EDGE, GEOMETRY
 from fava_tpu.io import flash_file
-from fava_tpu.io.flash_file import FIELD_MAPPING, MESH_MDIM, NGUARD
+from fava_tpu.io.flash_file import FIELD_MAPPING, NGUARD
 from fava_tpu.mesh.base import Structured
 from fava_tpu.models.model import Model
 from fava_tpu.ops import flame as flame_ops

@@ -9,7 +9,6 @@ class's ``is_this_your_mesh`` sniffing hook.
 
 from __future__ import annotations
 
-import copy
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 

@@ -25,13 +25,12 @@ float64 against the NumPy oracle).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fava_tpu.geometry import AXIS
 from fava_tpu.utils import accum_dtype
 
 AXES_NAMES = "xyz"

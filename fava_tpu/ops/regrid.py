@@ -184,9 +184,20 @@ def regrid_fields(
     field (replaces the reference's per-field dict-copy loop,
     _flash.py:1262-1321). With ``sharding`` set, the index volume (and
     hence every output field) is slab-sharded over the device mesh.
+    On single-chip TPU with power-of-two blocks, the tile-DMA Pallas
+    kernel (ops/pallas_regrid.py) replaces the gather.
     """
     first = data[fields[0]]
     block_shape = tuple(int(s) for s in first.shape[1:])
+
+    if sharding is None and first.ndim == 4:
+        from fava_tpu.ops import pallas_regrid
+
+        max_scale = (
+            int(plan.block_scales[plan.source_ids].max()) if len(plan.source_ids) else 1
+        )
+        if pallas_regrid.regrid_tiles_supported(block_shape, max_scale):
+            return pallas_regrid.regrid_fields_pallas(plan, data, fields)
 
     flat_fn, gather_fn = _build_gather_fns(
         plan.out_shape,

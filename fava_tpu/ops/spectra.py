@@ -23,8 +23,8 @@ NaN for empty shells.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
-from typing import Dict, Optional, Sequence, Tuple
+from functools import lru_cache
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ All are AMR-aware: cells are weighted by their refinement-level volume.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

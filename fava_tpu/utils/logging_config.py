@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import logging
 import sys
-from typing import Optional
 
 
 def configure(level: int = logging.INFO, stream=None) -> None:
