@@ -43,26 +43,27 @@ def uniform_analysis_step(
 
     # --- Spectra -------------------------------------------------------
     if mesh is None:
+        # Real input: rfft halves the FFT and binning work; Hermitian
+        # weights in the shell binning make results exactly equal to
+        # the full-grid computation.
         sqrt_d = jnp.sqrt(dens)
-        ffts = [jnp.fft.fftn(sqrt_d * v) / ntot for v in vels]
+        ffts = [jnp.fft.rfftn(sqrt_d * v) / ntot for v in vels]
 
-        ks = []
-        for axis, n in enumerate(shape):
-            k = pfft._wavenumbers(n, ffts[0].real.dtype)
-            kshape = [1, 1, 1]
-            kshape[axis] = n
-            ks.append(k.reshape(kshape))
-        k_abs = jnp.sqrt(sum(k * k for k in ks))
+        rdt = ffts[0].real.dtype
+        kx = pfft._wavenumbers(nx, rdt)[:, None, None]
+        ky = pfft._wavenumbers(ny, rdt)[None, :, None]
+        kz = jnp.arange(nz // 2 + 1, dtype=rdt)[None, None, :]
+        k_abs = jnp.sqrt(kx * kx + ky * ky + kz * kz)
 
         total = 0.5 * sum(jnp.abs(f) ** 2 for f in ffts)
-        longi = sum(k * f for k, f in zip(ks, ffts))
+        longi = kx * ffts[0] + ky * ffts[1] + kz * ffts[2]
         longi = jnp.abs(longi / jnp.maximum(k_abs, 1e-99)) ** 2
         trans = total - longi
 
         # Fused Pallas shell binning (jnp scatter fallback off-TPU).
         from fava_tpu.ops import pallas_kernels
 
-        counts, sums3 = pallas_kernels.shell_bin_sums(total, longi, trans, nbins)
+        counts, sums3 = pallas_kernels.shell_bin_sums_rfft(total, longi, trans, nbins, nz)
     else:
         # One shard_map: local FFTs + all_to_all transpose + local
         # binning + a single psum over the space axis.

@@ -259,7 +259,9 @@ def _centered_jnp(d, vx, vy, vz, means):
 # Spherical-shell binning
 
 
-def _shell_kernel(t_ref, l_ref, r_ref, out_ref, *, nx, ny, nz, nbins):
+def _shell_kernel(t_ref, l_ref, r_ref, out_ref, *, nx, ny, nz, nbins, full_nz):
+    """full_nz == nz: full k-grid. full_nz > nz: rfft half-grid along z —
+    each interior kz plane stands for its conjugate too (weight 2)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -271,9 +273,14 @@ def _shell_kernel(t_ref, l_ref, r_ref, out_ref, *, nx, ny, nz, nbins):
 
     kx = wavenum(i, nx)
     jy = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 0)
-    kz = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 1)
+    jz = jax.lax.broadcasted_iota(jnp.int32, (ny, nz), 1)
     ky = wavenum(jy, ny)
-    kzf = wavenum(kz, nz)
+    if full_nz == nz:
+        kzf = wavenum(jz, nz)
+        weight = None
+    else:
+        kzf = jz.astype(jnp.float32)  # non-negative half spectrum
+        weight = jnp.where((jz == 0) | (jz == full_nz // 2), 1.0, 2.0)
 
     k_abs = jnp.sqrt(kx * kx + ky * ky + kzf * kzf)
     shell = jnp.floor(k_abs + 0.5).astype(jnp.int32)
@@ -288,7 +295,9 @@ def _shell_kernel(t_ref, l_ref, r_ref, out_ref, *, nx, ny, nz, nbins):
 
     def body(b, acc):
         m = (shell == b).astype(t.dtype)
-        partial = jnp.stack([jnp.sum(m), jnp.sum(t * m), jnp.sum(l * m), jnp.sum(r * m)])
+        if weight is not None:
+            m = m * weight
+        partial = jnp.stack([_sum2(m), _sum2(t * m), _sum2(l * m), _sum2(r * m)])
         onehot = (lane == b).astype(acc.dtype)
         return acc + partial[:, None] * onehot
 
@@ -300,12 +309,19 @@ def _shell_kernel(t_ref, l_ref, r_ref, out_ref, *, nx, ny, nz, nbins):
 
 
 @lru_cache(maxsize=8)
-def _build_shell_fn(shape: Tuple[int, int, int], nbins: int, dtype_name: str, interpret: bool = False):
+def _build_shell_fn(
+    shape: Tuple[int, int, int],
+    nbins: int,
+    dtype_name: str,
+    interpret: bool = False,
+    full_nz: int = 0,
+):
     nx, ny, nz = shape
+    full_nz = full_nz or nz
     dtype = jnp.dtype(dtype_name)
     slab = pl.BlockSpec((1, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
-    kernel = partial(_shell_kernel, nx=nx, ny=ny, nz=nz, nbins=nbins)
+    kernel = partial(_shell_kernel, nx=nx, ny=ny, nz=nz, nbins=nbins, full_nz=full_nz)
 
     def run(total, longi, trans):
         out = pl.pallas_call(
@@ -333,6 +349,52 @@ def shell_bin_sums(total: jax.Array, longi: jax.Array, trans: jax.Array, nbins: 
     return _build_shell_fn(shape, int(nbins), str(total.dtype), FORCE_INTERPRET)(
         total, longi, trans
     )
+
+
+def shell_bin_sums_rfft(
+    total: jax.Array, longi: jax.Array, trans: jax.Array, nbins: int, full_nz: int
+):
+    """Shell binning of half-spectrum (rfft) power volumes.
+
+    Exact for real fields: Hermitian symmetry makes every power even in
+    k, so interior kz planes carry weight 2 and the kz=0 / kz=n/2
+    planes weight 1 — identical results to full-grid binning at half
+    the FFT and binning cost.
+    """
+    shape = tuple(int(s) for s in total.shape)
+    # Block == full trailing dims is always allowed, so the odd nz/2+1
+    # lane extent is fine; only the sublane multiple matters.
+    if (on_tpu() or FORCE_INTERPRET) and shape[1] % 8 == 0:
+        return _build_shell_fn(shape, int(nbins), str(total.dtype), FORCE_INTERPRET, full_nz)(
+            total, longi, trans
+        )
+    return _shell_bin_jnp_rfft(total, longi, trans, nbins, full_nz)
+
+
+@partial(jax.jit, static_argnames=("nbins", "full_nz"))
+def _shell_bin_jnp_rfft(total, longi, trans, nbins, full_nz):
+    shape = total.shape
+    nx, ny, nzr = shape
+    k2 = jnp.zeros(shape, dtype=total.dtype)
+    for axis, n in ((0, nx), (1, ny)):
+        k = jnp.arange(n)
+        k = jnp.where(k <= (n - 1) // 2, k, k - n).astype(total.dtype)
+        kshape = [1, 1, 1]
+        kshape[axis] = n
+        k2 = k2 + k.reshape(kshape) ** 2
+    kz = jnp.arange(nzr).astype(total.dtype)
+    k2 = k2 + kz.reshape(1, 1, nzr) ** 2
+    k_abs = jnp.sqrt(k2)
+    weight = jnp.where((jnp.arange(nzr) == 0) | (jnp.arange(nzr) == full_nz // 2), 1.0, 2.0)
+    weight = jnp.broadcast_to(weight.reshape(1, 1, nzr), shape).astype(total.dtype)
+
+    idx = jnp.clip(jnp.floor(k_abs + 0.5).astype(jnp.int32), 0, nbins - 1).ravel()
+    mask = (k_abs <= (nbins - 0.5)).ravel()
+    w = weight.ravel()
+    counts = jnp.zeros(nbins, dtype=total.dtype).at[idx].add(jnp.where(mask, w, 0))
+    stacked = jnp.stack([total.ravel(), longi.ravel(), trans.ravel()]) * w
+    sums = jnp.zeros((3, nbins), dtype=total.dtype).at[:, idx].add(jnp.where(mask, stacked, 0))
+    return counts, sums
 
 
 @partial(jax.jit, static_argnames=("nbins",))
