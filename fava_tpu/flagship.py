@@ -57,7 +57,7 @@ def uniform_analysis_step(
 
         total = 0.5 * sum(jnp.abs(f) ** 2 for f in ffts)
         longi = kx * ffts[0] + ky * ffts[1] + kz * ffts[2]
-        longi = jnp.abs(longi / jnp.maximum(k_abs, 1e-99)) ** 2
+        longi = jnp.abs(longi / jnp.maximum(k_abs, jnp.asarray(1e-30, k_abs.dtype))) ** 2
         trans = total - longi
 
         # Fused Pallas shell binning (jnp scatter fallback off-TPU).

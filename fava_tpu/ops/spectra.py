@@ -130,7 +130,7 @@ def sharded_power_spectra(dens, vels, mesh, nbins: int, axis_name: str = None):
 
         total = 0.5 * sum(jnp.abs(f) ** 2 for f in ffts)
         longi = kx * ffts[0] + ky * ffts[1] + kz * ffts[2]
-        longi = jnp.abs(longi / jnp.maximum(k_abs, 1e-99)) ** 2
+        longi = jnp.abs(longi / jnp.maximum(k_abs, jnp.asarray(1e-30, k_abs.dtype))) ** 2
         trans = total - longi
 
         bidx = jnp.clip(jnp.floor(k_abs + 0.5).astype(jnp.int32), 0, nbins - 1).ravel()
@@ -193,7 +193,7 @@ def _build_spectra_fn(shape: Tuple[int, ...], mesh_key, nbins: int):
         total = 0.5 * sum(jnp.abs(f) ** 2 for f in ffts)
 
         longitudinal = sum(k * f for k, f in zip(ks, ffts))
-        longitudinal = jnp.abs(longitudinal / jnp.maximum(k_abs, 1e-99)) ** 2
+        longitudinal = jnp.abs(longitudinal / jnp.maximum(k_abs, jnp.asarray(1e-30, k_abs.dtype))) ** 2
         transverse = total - longitudinal
 
         # binned_statistic "mean" with edges arange(nbins+1)-0.5.

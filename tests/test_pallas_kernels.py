@@ -79,6 +79,17 @@ def test_fallback_used_for_unaligned_shapes():
     assert out.shape == (13, 12)
 
 
+def test_flagship_float32_produces_no_nans():
+    """Regression: the k=0 guard epsilon must not underflow in float32
+    (1e-99 -> 0.0 -> 0/0 NaN poisoning every shell via the mask multiply)."""
+    from fava_tpu.flagship import make_example_fields, uniform_analysis_step
+
+    fields = make_example_fields(n=16, dtype=jnp.float32)
+    out = jax.jit(lambda *f: uniform_analysis_step(*f, mesh=None))(*fields)
+    for key in ("spectra_total", "spectra_longitudinal", "spectra_transverse"):
+        assert not np.isnan(np.asarray(out[key])).any(), key
+
+
 def test_flagship_step_consistent_with_mesh_path():
     """mesh=None (kernel path on TPU / jnp fallback on CPU) must agree
     with the sharded-math path run on a single device."""
