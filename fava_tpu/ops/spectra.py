@@ -176,6 +176,30 @@ def _build_spectra_fn(shape: Tuple[int, ...], mesh_key, nbins: int):
         if use_shard_map:
             counts, sums = sharded_power_spectra(dens, tuple(vels), mesh, nbins)
             return jnp.where(counts > 0, sums / jnp.maximum(counts, 1), jnp.nan)
+
+        if mesh is None and ndim == 3:
+            # Real input: rfft half-spectrum + Hermitian-weighted shell
+            # binning — exactly equal to the full-grid result at half
+            # the FFT and binning cost.
+            from fava_tpu.ops.pallas_kernels import shell_bin_sums_rfft
+
+            nx, ny, nz = shape
+            sqrt_d = jnp.sqrt(dens)
+            ffts = [jnp.fft.rfftn(sqrt_d * v) / ntot for v in vels]
+            rdt = ffts[0].real.dtype
+            kx = pfft._wavenumbers(nx, rdt)[:, None, None]
+            ky = pfft._wavenumbers(ny, rdt)[None, :, None]
+            kz = jnp.arange(nz // 2 + 1, dtype=rdt)[None, None, :]
+            k_abs = jnp.sqrt(kx * kx + ky * ky + kz * kz)
+            total = 0.5 * sum(jnp.abs(f) ** 2 for f in ffts)
+            longi = kx * ffts[0] + ky * ffts[1] + kz * ffts[2]
+            longi = jnp.abs(longi / jnp.maximum(k_abs, jnp.asarray(1e-30, k_abs.dtype))) ** 2
+            trans = total - longi
+            counts, sums = shell_bin_sums_rfft(
+                total.astype(adt), longi.astype(adt), trans.astype(adt), nbins, nz
+            )
+            return jnp.where(counts > 0, sums / jnp.maximum(counts, 1), jnp.nan)
+
         sqrt_d = jnp.sqrt(dens)
         ffts = []
         for v in vels:
