@@ -78,7 +78,10 @@ class FlashParticles(Unstructured):
         self._intscalars = meta["integer scalars"]
         self._realscalars = meta["real scalars"]
         self.localnp = meta["localnp"]
-        self.nParticles = int(self._intscalars["globalnumparticles"])
+        # chk files without the scalar still carry per-rank counts.
+        self.nParticles = int(
+            self._intscalars.get("globalnumparticles", int(np.sum(self.localnp)))
+        )
         self._fields = meta["particle names"]
         self.ndim = int(self._intscalars["dimensionality"])
         self.dt = float(self._realscalars.get("dt", 0.0))

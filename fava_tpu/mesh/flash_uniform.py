@@ -74,13 +74,15 @@ class FlashUniform(FLASH):
 
         host = flash_file.read_field(handle, name, dtype=compute_dtype())
         # Uniform files hold one block; store the bare 3D volume,
-        # slab-sharded over the device mesh when one is active.
+        # slab-sharded over the device mesh when one is active (and the
+        # slab axis divides evenly — replicate otherwise).
         if host.ndim == 4 and host.shape[0] == 1:
             host = host[0]
         sharding = runtime.volume_sharding(ndim=host.ndim)
-        self._data[name] = (
-            jax.device_put(host, sharding) if sharding is not None else jax.device_put(host)
-        )
+        if sharding is not None and host.shape[0] % runtime.space_axis_size() == 0:
+            self._data[name] = jax.device_put(host, sharding)
+        else:
+            self._data[name] = jax.device_put(host)
 
     def _volume(self, name: str) -> jax.Array:
         d = self.data(name)

@@ -46,6 +46,10 @@ def pfft3(x: jax.Array, mesh: Optional[Mesh] = None, axis_name: str = runtime.SP
     mesh = mesh if mesh is not None else runtime.get_mesh()
     if mesh is None or axis_name not in mesh.axis_names or mesh.shape[axis_name] == 1:
         return jnp.fft.fftn(x)
+    nd = mesh.shape[axis_name]
+    if x.shape[0] % nd or x.shape[1] % nd:
+        # Shard transpose needs even slabs along both x and y.
+        return jnp.fft.fftn(x)
 
     return jax.shard_map(
         partial(_fft_yz_then_transpose_then_x, axis_name=axis_name),
