@@ -554,6 +554,16 @@ class FLASH(Structured):
             subdomain_coords=subdomain_coords,
         )
 
+        # With an active device mesh, slab-shard the output volume over
+        # "space" (multi-chip HBM capacity is the point of the mesh);
+        # single chip keeps the tile-DMA Pallas path.
+        if sharding is None:
+            from fava_tpu.parallel import runtime as prt
+
+            n_space = prt.space_axis_size()
+            if n_space > 1 and plan.out_shape[0] % n_space == 0:
+                sharding = prt.volume_sharding(axis=0, ndim=3)
+
         _fields = list(fields) if fields is not None else list(self.fields)
         data = {key: self._field_stack(key) for key in _fields}
         regridded = regrid_ops.regrid_fields(plan, data, _fields, sharding=sharding)
