@@ -47,53 +47,6 @@ def _wavenumber_grid(shape: Tuple[int, ...], dtype):
     return ks
 
 
-@lru_cache(maxsize=8)
-def shell_bin_plan(shape: Tuple[int, ...]):
-    """Host-precomputed spherical-shell binning plan for a k-volume.
-
-    The shell geometry is static per shape, so instead of runtime
-    scatter-adds (slow on TPU: serialized updates), we precompute a
-    permutation sorting cells by shell. On device, shell sums become
-    gather + cumsum + segment-boundary differences — pure streaming
-    bandwidth, no scatters. Returns (perm int32, starts, ends, counts).
-    Cells beyond the last bin edge sort into a trailing overflow
-    segment that is never read.
-    """
-    import numpy as np
-
-    nd = len(shape)
-    nbins = max(shape) // 2 - 1
-
-    k2 = np.zeros(shape, dtype=np.float64)
-    for axis, n in enumerate(shape):
-        k = np.arange(n)
-        k = np.where(k <= (n - 1) // 2, k, k - n).astype(np.float64)
-        kshape = [1] * nd
-        kshape[axis] = n
-        k2 = k2 + (k.reshape(kshape)) ** 2
-    k_abs = np.sqrt(k2).ravel()
-
-    idx = np.clip(np.floor(k_abs + 0.5).astype(np.int64), 0, nbins - 1)
-    idx[k_abs > (nbins - 0.5)] = nbins  # overflow segment
-
-    perm = np.argsort(idx, kind="stable").astype(np.int32)
-    sorted_idx = idx[perm]
-    starts = np.searchsorted(sorted_idx, np.arange(nbins)).astype(np.int64)
-    ends = np.searchsorted(sorted_idx, np.arange(nbins), side="right").astype(np.int64)
-    counts = (ends - starts).astype(np.float64)
-    return perm, starts, ends, counts
-
-
-def _segment_means(vals, perm, starts, ends, counts, adt):
-    """Per-shell means of a stack (C, N) using the sorted-segment plan."""
-    sorted_vals = jnp.take(vals, perm, axis=-1).astype(adt)
-    csum = jnp.cumsum(sorted_vals, axis=-1)
-    zero = jnp.zeros(sorted_vals.shape[:-1] + (1,), dtype=adt)
-    csum = jnp.concatenate([zero, csum], axis=-1)
-    sums = csum[..., ends] - csum[..., starts]
-    return sums / jnp.maximum(counts, 1.0)
-
-
 def sharded_power_spectra(dens, vels, mesh, nbins: int, axis_name: str = None):
     """(counts, sums[3]) of shell-binned spectral powers over a device mesh.
 
