@@ -47,6 +47,8 @@ def uniform_analysis_step(
         # weights in the shell binning make results exactly equal to
         # the full-grid computation.
         sqrt_d = jnp.sqrt(dens)
+        # Separate transforms: in this fused program XLA overlaps them
+        # with the profile kernels; batching measured slightly slower.
         ffts = [jnp.fft.rfftn(sqrt_d * v) / ntot for v in vels]
 
         rdt = ffts[0].real.dtype

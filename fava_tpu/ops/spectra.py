@@ -138,7 +138,8 @@ def _build_spectra_fn(shape: Tuple[int, ...], mesh_key, nbins: int):
 
             nx, ny, nz = shape
             sqrt_d = jnp.sqrt(dens)
-            ffts = [jnp.fft.rfftn(sqrt_d * v) / ntot for v in vels]
+            fft3 = jnp.fft.rfftn(jnp.stack([sqrt_d * v for v in vels]), axes=(1, 2, 3)) / ntot
+            ffts = [fft3[i] for i in range(len(vels))]
             rdt = ffts[0].real.dtype
             kx = pfft._wavenumbers(nx, rdt)[:, None, None]
             ky = pfft._wavenumbers(ny, rdt)[None, :, None]
