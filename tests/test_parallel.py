@@ -66,6 +66,25 @@ def test_sharded_amr_reynolds_match(amr_file, eight_device_mesh):
         np.testing.assert_allclose(stress1[key], stress0[key], rtol=1e-9, err_msg=key)
 
 
+def test_sharded_fractal_and_structfn_match(uniform_file_32, eight_device_mesh):
+    mesh0 = FlashUniform(uniform_file_32)
+    mesh0.load()
+    fd0 = mesh0.fractal_dimension(field="flam", contours=0.5)
+    sf0 = mesh0.structure_functions(num_seps=4, num_points=64, sep_bounds=(0.1, 0.4), seed=2)
+
+    with use_mesh(eight_device_mesh):
+        mesh1 = FlashUniform(uniform_file_32)
+        mesh1.load()
+        fd1 = mesh1.fractal_dimension(field="flam", contours=0.5)
+        sf1 = mesh1.structure_functions(num_seps=4, num_points=64, sep_bounds=(0.1, 0.4), seed=2)
+
+    np.testing.assert_allclose(
+        fd1["flam"]["0.5"]["average fractal dimension"],
+        fd0["flam"]["0.5"]["average fractal dimension"],
+    )
+    np.testing.assert_allclose(sf1["longitudinal"]["2"], sf0["longitudinal"]["2"], rtol=1e-12)
+
+
 def test_sharded_favre_match(uniform_file_32, eight_device_mesh):
     mesh0 = FlashUniform(uniform_file_32)
     mesh0.load()
