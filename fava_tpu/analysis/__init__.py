@@ -18,7 +18,7 @@ from fava_tpu.analysis.structure_functions import structure_functions
 from fava_tpu.analysis.pdf1d import pdf1d
 from fava_tpu.analysis.pdf2d import pdf2d
 from fava_tpu.analysis.mass_sum import mass_sum
-from fava_tpu.analysis.time_series import favre_series, reynolds_series
+from fava_tpu.analysis.time_series import favre_series, particle_series, reynolds_series
 
 __all__ = [
     "reynolds_stress",
@@ -37,5 +37,6 @@ __all__ = [
     "pdf2d",
     "mass_sum",
     "favre_series",
+    "particle_series",
     "reynolds_series",
 ]

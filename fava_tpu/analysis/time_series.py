@@ -92,6 +92,31 @@ def favre_series(
 
 
 @Model.register_analysis(use_timer=True)
+def particle_series(
+    self,
+    fields: Optional[Sequence[str]] = None,
+    file_indices: Optional[Sequence[int]] = None,
+) -> Dict[str, np.ndarray]:
+    """Per-snapshot particle statistics (mean/RMS/min/max) over a
+    particle-file series (BASELINE config #5 particle stats)."""
+    indices = (
+        sorted(self.prt_files["by index"].keys()) if file_indices is None else list(file_indices)
+    )
+    times = []
+    stacked: Dict[str, list] = {}
+    for i in indices:
+        self.load(file_index=i, file_type="prt", fields=list(fields) if fields else None)
+        times.append(self.particles.time)
+        stats = self.particles.statistics(fields)
+        for fname, s in stats.items():
+            for key, val in s.items():
+                stacked.setdefault(f"{fname}_{key}", []).append(val)
+    out = {k: np.asarray(v) for k, v in stacked.items()}
+    out["times"] = np.asarray(times)
+    return out
+
+
+@Model.register_analysis(use_timer=True)
 def reynolds_series(
     self,
     file_type: str = "plt",

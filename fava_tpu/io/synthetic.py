@@ -121,11 +121,12 @@ def _scalars_and_params(
     nblocks: int,
     domain: np.ndarray,
     time: float,
+    ndim: int = 3,
 ) -> Tuple[dict, dict]:
     scalars = {
         "real": {"time": float(time), "dt": 1.0e-3},
         "integer": {
-            "dimensionality": 3,
+            "dimensionality": int(ndim),
             "nxb": ncells[0],
             "nyb": ncells[1],
             "nzb": ncells[2],
@@ -230,11 +231,13 @@ def make_uniform_file(
     field_data: Optional[Dict[str, np.ndarray]] = None,
     time: float = 0.0,
     seed: Optional[int] = None,
+    ndim: int = 3,
 ) -> Path:
     """Write a synthetic single-block FLASH uniform-grid file.
 
     ``field_data`` overrides the analytic fields; with ``seed`` set, a
     reproducible random perturbation is added (useful for spectra).
+    2D datasets use ncells=(nx, ny, 1) with ndim=2.
     """
     path = Path(path)
     domain = (
@@ -260,7 +263,7 @@ def make_uniform_file(
         field_data = {k: np.asarray(v, dtype=np.float64) for k, v in field_data.items()}
 
     scalars, runtime = _scalars_and_params(
-        ncells=ncells, nblks=(1, 1, 1), nblocks=1, domain=domain, time=time
+        ncells=ncells, nblks=(1, 1, 1), nblocks=1, domain=domain, time=time, ndim=ndim
     )
 
     bounding_box = bounds[None, ...]

@@ -123,10 +123,16 @@ class FlashParticles(Unstructured):
         return jnp.asarray(self.data[field])
 
     def statistics(self, fields: Optional[Sequence[str]] = None) -> Dict[str, Dict[str, float]]:
-        """Per-field mean / RMS / min / max over all particles."""
+        """Per-field mean / RMS / min / max over all particles.
+
+        Unknown fields are skipped with a warning (mirrors the reference
+        loader's behavior, FlashParticles.py:98-100)."""
         fields = list(fields) if fields is not None else [f for f in self.data if f != "tag"]
         out: Dict[str, Dict[str, float]] = {}
         for f in fields:
+            if f not in self.data:
+                print(f"[WARNING] {f} particle field variable does not exist in dataset")
+                continue
             col = self.device_column(f)
             mean = jnp.mean(col)
             out[f] = {

@@ -97,7 +97,7 @@ class FlashUniform(FLASH):
     def kinetic_energy_spectra(self) -> Dict[str, np.ndarray]:
         """KE spectra (reference: FlashUniform.py:229-304), sharded FFT."""
         vels = [self._volume(f"vel{a}") for a in "xyz"[: self.ndim]]
-        return spectra_ops.kinetic_energy_spectra(self._volume("dens"), vels)
+        return spectra_ops.kinetic_energy_spectra(self._volume("dens"), vels, ndim=self.ndim)
 
     @timer
     def fractal_dimension(self, field: str, contours=0.5) -> Dict[str, Any]:

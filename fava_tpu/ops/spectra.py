@@ -205,16 +205,25 @@ def kinetic_energy_spectra(
     dens: jax.Array,
     vels: Sequence[jax.Array],
     mesh=None,
+    ndim: int = None,
 ) -> Dict[str, np.ndarray]:
     """Total/longitudinal/transverse KE spectra of sqrt(rho)*v.
 
     Returns {"k", "total", "longitudinal", "transverse"} with the
     reference's integral factor k^(d-1) * 2*pi*(d-1) applied
-    (reference: fava/mesh/FLASH/FlashUniform.py:295-302).
+    (reference: fava/mesh/FLASH/FlashUniform.py:295-302). For 1D/2D
+    datasets (singleton trailing axes), pass ``ndim`` so the dimension
+    is honored in the wavenumbers and the integral factor.
     """
     mesh = mesh if mesh is not None else runtime.get_mesh()
+    ndim = int(ndim) if ndim is not None else len(vels)
+    if dens.ndim > ndim:
+        # Squeeze singleton trailing axes of low-dimensional datasets.
+        squeeze = tuple(range(ndim, dens.ndim))
+        assert all(dens.shape[a] == 1 for a in squeeze), "non-singleton trailing axes"
+        dens = dens.reshape(dens.shape[:ndim])
+        vels = [v.reshape(v.shape[:ndim]) for v in vels]
     shape = tuple(int(s) for s in dens.shape)
-    ndim = len(shape)
     nbins = max(shape) // 2 - 1  # len(bins)-1 with bins = arange(max//2)-0.5
 
     fn = _build_spectra_fn(shape, mesh, nbins)

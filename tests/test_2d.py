@@ -1,0 +1,66 @@
+"""2D dataset support: spectra, profiles, fractal on (nx, ny, 1) data."""
+
+import numpy as np
+import pytest
+
+import fava_tpu
+from fava_tpu.io import synthetic
+from fava_tpu.mesh import FlashUniform
+from tests.oracles.spectra import ke_spectra_oracle
+
+
+@pytest.fixture()
+def mesh2d(tmp_path):
+    rng = np.random.default_rng(4)
+    n = 16
+    fields = {
+        "dens": np.abs(1.0 + 0.2 * rng.standard_normal((n, n, 1))),
+        "velx": rng.standard_normal((n, n, 1)),
+        "vely": rng.standard_normal((n, n, 1)),
+        "flam": rng.random((n, n, 1)),
+    }
+    path = synthetic.make_uniform_file(
+        tmp_path / "rt_hdf5_uniform_0001", ncells=(n, n, 1), field_data=fields, ndim=2
+    )
+    mesh = FlashUniform(path)
+    mesh.load()
+    return mesh
+
+
+def test_2d_metadata(mesh2d):
+    assert mesh2d.ndim == 2
+    assert tuple(mesh2d.nCellsVec) == (16, 16, 1)
+
+
+def test_2d_spectra_match_oracle(mesh2d):
+    spec = mesh2d.kinetic_energy_spectra()
+    dens = np.asarray(mesh2d.data("dens"), dtype=np.float64)[:, :, 0]
+    vels = [np.asarray(mesh2d.data(f"vel{a}"), dtype=np.float64)[:, :, 0] for a in "xy"]
+    ref = ke_spectra_oracle(dens, vels)
+    np.testing.assert_allclose(spec["k"], ref["k"])
+    np.testing.assert_allclose(spec["total"], ref["total"], rtol=1e-9, atol=1e-18)
+    # 2D integral factor is k * 2*pi (d-1 = 1), not k^2 * 4*pi.
+    with np.errstate(invalid="ignore"):
+        ratio = spec["total"][1:] / np.where(ref["total"][1:] != 0, ref["total"][1:], np.nan)
+    assert np.nanmax(np.abs(ratio - 1)) < 1e-9
+
+
+def test_2d_reynolds_stress_keys(mesh2d):
+    radius, stress, means = mesh2d.reynolds_stress()
+    assert set(stress.keys()) == {"Rxx", "Rxy", "Ryy"}
+    assert set(means.keys()) == {"dens", "velx", "vely"}
+    assert np.isfinite(stress["Rxx"]).all()
+
+
+def test_2d_slice_average_constant(mesh2d):
+    import jax.numpy as jnp
+
+    mesh2d._data["one_"] = jnp.ones_like(mesh2d.data("dens"))
+    mesh2d.fields = list(mesh2d.fields) + ["one_"]
+    span, avg = mesh2d.slice_average("one_", axis=0)
+    np.testing.assert_allclose(avg, 1.0, rtol=1e-12)
+
+
+def test_2d_fractal_dimension(mesh2d):
+    out = mesh2d.fractal_dimension(field="flam", contours=0.5)
+    assert np.isfinite(out["flam"]["0.5"]["average fractal dimension"])

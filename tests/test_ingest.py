@@ -61,6 +61,19 @@ def test_favre_series_matches_per_file(series_dir):
     )
 
 
+def test_particle_series(series_dir, tmp_path):
+    for i, t in enumerate([0.0, 0.1, 0.2], start=1):
+        synthetic.make_particle_file(
+            series_dir / f"rt_hdf5_part_{i:04d}", nparticles=32, time=t, seed=200 + i
+        )
+    m = fava_tpu.FLASH(series_dir)
+    out = m.particle_series(fields=["velx", "dens"])
+    np.testing.assert_allclose(out["times"], [0.0, 0.1, 0.2])
+    assert out["velx_mean"].shape == (3,)
+    assert (out["velx_rms"] > 0).all()
+    assert (out["dens_max"] >= out["dens_min"]).all()
+
+
 def test_reynolds_series_matches_per_file(series_dir):
     m = fava_tpu.FLASH(series_dir)
     out = m.reynolds_series(file_type="plt")
