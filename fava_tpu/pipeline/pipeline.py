@@ -218,6 +218,19 @@ class Pipeline:
             "structure functions": self.model.structure_functions,
             "kinetic energy spectra": self.model.kinetic_energy_spectra,
         }
+        # Optional extra analyses, enabled by their presence in settings
+        # (beyond the reference's fixed three).
+        optional = {
+            "favre profiles": lambda **kw: _favre_as_dict(self.model.favre_profiles(**kw)),
+            "reynolds stresses uniform": lambda **kw: _reynolds_as_dict(
+                self.model.reynolds_stress(**kw)
+            ),
+            "pdf1d": lambda **kw: self.model.pdf1d(**kw),
+            "pdf2d": lambda **kw: self.model.pdf2d(**kw),
+        }
+        for key, opt_fn in optional.items():
+            if key in self.settings:
+                analyses[key] = opt_fn
 
         akeys = list(analyses.keys())
         begin_key = self.checkpoint_data.setdefault(pkey, {}).get("analysis")
@@ -231,6 +244,20 @@ class Pipeline:
                 self.model.save_to_hdf5(data={akey: retval}, filename=fn)
 
         self.checkpoint_data[pkey]["analysis"] = None
+
+
+def _favre_as_dict(out: dict) -> dict:
+    return {
+        "span": out["span"],
+        "mean_dens": out["mean_dens"],
+        "favre_mean": out["favre_mean"],
+        "favre_rms": out["favre_rms"],
+    }
+
+
+def _reynolds_as_dict(result) -> dict:
+    radius, stress, means = result
+    return {"radius": radius, "tensor": stress, "means": means}
 
 
 @timer

@@ -88,6 +88,24 @@ def test_pipeline_resume_skips_done_work(pipeline_dir):
         assert p.stat().st_mtime_ns == mtimes[p.name]
 
 
+def test_pipeline_optional_analyses(pipeline_dir):
+    workdir, data, out = pipeline_dir
+    settings_path = workdir / "pipeline_settings.json"
+    settings = json.loads(settings_path.read_text())
+    settings["favre profiles"] = {"skip": False}
+    settings["pdf1d"] = {"skip": False, "settings": {"field": "dens", "nbins": 16}}
+    settings_path.write_text(json.dumps(settings))
+
+    assert main(workdir) == 0
+    anl = sorted(out.glob("*hdf5_analysis_*"))
+    found_favre = found_pdf = False
+    for p in anl:
+        with h5py.File(p, "r") as f:
+            found_favre |= "favre profiles" in f
+            found_pdf |= "pdf1d" in f
+    assert found_favre and found_pdf
+
+
 def test_pipeline_skip_flags(pipeline_dir):
     workdir, data, out = pipeline_dir
     settings_path = workdir / "pipeline_settings.json"
