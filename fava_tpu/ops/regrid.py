@@ -123,6 +123,13 @@ class RegridPlan:
         # each (ncells-sized) tile of the fine grid.
         self.ncells_vec = ncells_vec
         tbl_shape = tuple(int(fine_blks[a]) if a < ndim else 1 for a in range(MESH_MDIM))
+        tbl_cells = int(np.prod(tbl_shape))
+        if tbl_cells > 512**3:
+            raise MemoryError(
+                f"Regrid lookup table would need {tbl_cells} entries "
+                f"({tbl_shape} fine-block tiles). Crop with subdomain_coords "
+                f"or truncate with refine_level for very deep AMR trees."
+            )
         table = -np.ones(tbl_shape, dtype=np.int32)
         for b in self.source_ids:
             s = int(self.block_scales[b])

@@ -88,6 +88,37 @@ def test_generic_model_load_sniffing(model_dir):
     assert m.mesh.mesh_type in ("FLASH", "FlashParticles")
 
 
+def test_load_unknown_file_raises(tmp_path):
+    from fava_tpu.utils import InvalidMeshError
+
+    (tmp_path / "random.txt").write_text("not flash data")
+    m = Model(tmp_path)
+    with pytest.raises(InvalidMeshError):
+        m.load(0)
+
+
+def test_register_analysis_overwrite():
+    @Model.register_analysis()
+    def _tmp_analysis(self):
+        return 1
+
+    assert Model._tmp_analysis(None) == 1
+
+    # Without overwrite, re-registration keeps the original.
+    @Model.register_analysis()
+    def _tmp_analysis(self):  # noqa: F811
+        return 2
+
+    assert Model._tmp_analysis(None) == 1
+
+    @Model.register_analysis(overwrite=True)
+    def _tmp_analysis(self):  # noqa: F811
+        return 3
+
+    assert Model._tmp_analysis(None) == 3
+    delattr(Model, "_tmp_analysis")
+
+
 def test_save_to_hdf5_roundtrip(model_dir, tmp_path):
     m = fava_tpu.FLASH(model_dir)
     out = tmp_path / "out_hdf5_analysis_0001"
