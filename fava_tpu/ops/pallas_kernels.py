@@ -303,6 +303,8 @@ def _shell_kernel(t_ref, l_ref, r_ref, out_ref, *, nx, ny, nz, nbins, full_nz):
 
     # Shells below floor(|kx|+0.5) are unreachable in this slab (|k| >= |kx|),
     # so start the bin loop there — halves the loop work on average.
+    # (A tighter per-ky-chunk bound crashes the Mosaic compiler on
+    # sublane slices of odd-lane arrays; not worth fighting for ~50ms.)
     b_lo = jnp.maximum(jnp.floor(jnp.abs(kx) - 0.5).astype(jnp.int32), 0)
     acc = jax.lax.fori_loop(b_lo, nbins, body, jnp.zeros((4, LANE), dtype=out_ref.dtype))
     out_ref[...] += acc
