@@ -62,6 +62,30 @@ def test_amr_tree_consistency(tmp_path):
     np.testing.assert_allclose(leaf_vol, 1.0)
 
 
+def test_amr_mesh_save_reload_roundtrip(tmp_path):
+    from fava_tpu.mesh import FLASH as FlashAMR
+
+    src = tmp_path / "rt_hdf5_plt_cnt_0001"
+    synthetic.make_amr_file(src, ncells=(4, 4, 4), nblks=(2, 1, 1), refine={0: 2})
+    mesh = FlashAMR(src)
+    mesh.load()
+    mesh.load_data(["dens", "velx"])
+
+    out = tmp_path / "copy_hdf5_plt_cnt_0001"
+    mesh.save(filename=out, names=["dens", "velx"])
+
+    mesh2 = FlashAMR(out)
+    mesh2.load()
+    assert mesh2.nblocks == mesh.nblocks
+    assert mesh2.refine_level_max == mesh.refine_level_max
+    np.testing.assert_allclose(mesh2.block_bounds, mesh.block_bounds, rtol=1e-6)
+    # plt files round-trip through float32 on disk.
+    np.testing.assert_allclose(
+        np.asarray(mesh2.data("dens")), np.asarray(mesh.data("dens")), rtol=1e-6
+    )
+    assert set(mesh2.fields) == {"dens", "velx"}
+
+
 def test_particle_file_roundtrip(tmp_path):
     path = tmp_path / "rt_hdf5_part_0002"
     synthetic.make_particle_file(path, nparticles=32)
