@@ -259,7 +259,7 @@ def _centered_jnp(d, vx, vy, vz, means):
 # Spherical-shell binning
 
 
-def _shell_kernel(t_ref, l_ref, r_ref, out_ref, *, nx, ny, nz, nbins, full_nz):
+def _shell_kernel(t_ref, l_ref, out_ref, *, nx, ny, nz, nbins, full_nz):
     """full_nz == nz: full k-grid. full_nz > nz: rfft half-grid along z —
     each interior kz plane stands for its conjugate too (weight 2)."""
     i = pl.program_id(0)
@@ -289,15 +289,16 @@ def _shell_kernel(t_ref, l_ref, r_ref, out_ref, *, nx, ny, nz, nbins, full_nz):
 
     t = t_ref[0]
     l = l_ref[0]
-    r = r_ref[0]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
 
+    # Only count/total/longitudinal are accumulated: transverse sums
+    # follow exactly as total - longitudinal outside the kernel.
     def body(b, acc):
         m = (shell == b).astype(t.dtype)
         if weight is not None:
             m = m * weight
-        partial = jnp.stack([_sum2(m), _sum2(t * m), _sum2(l * m), _sum2(r * m)])
+        partial = jnp.stack([_sum2(m), _sum2(t * m), _sum2(l * m)])
         onehot = (lane == b).astype(acc.dtype)
         return acc + partial[:, None] * onehot
 
@@ -306,7 +307,7 @@ def _shell_kernel(t_ref, l_ref, r_ref, out_ref, *, nx, ny, nz, nbins, full_nz):
     # (A tighter per-ky-chunk bound crashes the Mosaic compiler on
     # sublane slices of odd-lane arrays; not worth fighting for ~50ms.)
     b_lo = jnp.maximum(jnp.floor(jnp.abs(kx) - 0.5).astype(jnp.int32), 0)
-    acc = jax.lax.fori_loop(b_lo, nbins, body, jnp.zeros((4, LANE), dtype=out_ref.dtype))
+    acc = jax.lax.fori_loop(b_lo, nbins, body, jnp.zeros((3, LANE), dtype=out_ref.dtype))
     out_ref[...] += acc
 
 
@@ -329,12 +330,16 @@ def _build_shell_fn(
         out = pl.pallas_call(
             kernel,
             grid=(nx,),
-            in_specs=[slab, slab, slab],
-            out_specs=pl.BlockSpec((4, LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((4, LANE), dtype),
+            in_specs=[slab, slab],
+            out_specs=pl.BlockSpec((3, LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, LANE), dtype),
             interpret=interpret,
-        )(total, longi, trans)
-        return out[0, :nbins], out[1:4, :nbins]  # counts, (3, nbins) sums
+        )(total, longi)
+        counts = out[0, :nbins]
+        t_sum = out[1, :nbins]
+        l_sum = out[2, :nbins]
+        # trans = total - longi holds bin-wise in exact arithmetic.
+        return counts, jnp.stack([t_sum, l_sum, t_sum - l_sum])
 
     return jax.jit(run)
 
