@@ -64,11 +64,17 @@ def sharded_power_spectra(dens, vels, mesh, nbins: int, axis_name: str = None):
     nd = mesh.shape[axis_name]
     adt = accum_dtype()
 
+    nzr = nz // 2 + 1
+
     def local(d_loc, *v_loc):
         sd = jnp.sqrt(d_loc)
         ffts = []
         for v in v_loc:
-            w = jnp.fft.fftn(sd * v, axes=(1, 2))
+            # Real input: rfft along z halves local FFT work and the
+            # all_to_all payload; Hermitian weights below make shell
+            # sums exactly equal to the full-grid computation.
+            w = jnp.fft.rfft(sd * v, axis=2)
+            w = jnp.fft.fft(w, axis=1)
             w = jax.lax.all_to_all(w, axis_name, split_axis=1, concat_axis=0, tiled=True)
             ffts.append(jnp.fft.fft(w, axis=0) / ntot)
 
@@ -78,8 +84,11 @@ def sharded_power_spectra(dens, vels, mesh, nbins: int, axis_name: str = None):
         kx = pfft._wavenumbers(nx, rdt)[:, None, None]
         ky_full = pfft._wavenumbers(ny, rdt)
         ky = jax.lax.dynamic_slice(ky_full, (lo,), (ny // nd,))[None, :, None]
-        kz = pfft._wavenumbers(nz, rdt)[None, None, :]
+        jz = jnp.arange(nzr)
+        kz = jz.astype(rdt)[None, None, :]
         k_abs = jnp.sqrt(kx * kx + ky * ky + kz * kz)
+        weight = jnp.where((jz == 0) | (jz == nz // 2), 1.0, 2.0).astype(adt)
+        weight = jnp.broadcast_to(weight[None, None, :], k_abs.shape)
 
         total = 0.5 * sum(jnp.abs(f) ** 2 for f in ffts)
         longi = kx * ffts[0] + ky * ffts[1] + kz * ffts[2]
@@ -88,9 +97,10 @@ def sharded_power_spectra(dens, vels, mesh, nbins: int, axis_name: str = None):
 
         bidx = jnp.clip(jnp.floor(k_abs + 0.5).astype(jnp.int32), 0, nbins - 1).ravel()
         mask = (k_abs <= (nbins - 0.5)).ravel()
-        counts = jnp.zeros(nbins, dtype=adt).at[bidx].add(mask.astype(adt))
+        w_flat = jnp.where(mask, weight.ravel(), 0)
+        counts = jnp.zeros(nbins, dtype=adt).at[bidx].add(w_flat)
         stacked = jnp.stack([total.ravel(), longi.ravel(), trans.ravel()]).astype(adt)
-        sums = jnp.zeros((3, nbins), dtype=adt).at[:, bidx].add(jnp.where(mask, stacked, 0))
+        sums = jnp.zeros((3, nbins), dtype=adt).at[:, bidx].add(stacked * w_flat)
         return jax.lax.psum(counts, axis_name), jax.lax.psum(sums, axis_name)
 
     from jax.sharding import PartitionSpec as P
