@@ -19,7 +19,6 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
-from fava_tpu.parallel import fft as pfft
 from fava_tpu.utils import accum_dtype
 
 
@@ -50,17 +49,9 @@ def uniform_analysis_step(
         # Separate transforms: in this fused program XLA overlaps them
         # with the profile kernels; batching measured slightly slower.
         ffts = [jnp.fft.rfftn(sqrt_d * v) / ntot for v in vels]
+        from fava_tpu.ops.spectra import rfft_power_volumes
 
-        rdt = ffts[0].real.dtype
-        kx = pfft._wavenumbers(nx, rdt)[:, None, None]
-        ky = pfft._wavenumbers(ny, rdt)[None, :, None]
-        kz = jnp.arange(nz // 2 + 1, dtype=rdt)[None, None, :]
-        k_abs = jnp.sqrt(kx * kx + ky * ky + kz * kz)
-
-        total = 0.5 * sum(jnp.abs(f) ** 2 for f in ffts)
-        longi = kx * ffts[0] + ky * ffts[1] + kz * ffts[2]
-        longi = jnp.abs(longi / jnp.maximum(k_abs, jnp.asarray(1e-30, k_abs.dtype))) ** 2
-        trans = total - longi
+        total, longi, trans, _ = rfft_power_volumes(ffts, (nx, ny, nz))
 
         # Fused Pallas shell binning (jnp scatter fallback off-TPU).
         from fava_tpu.ops import pallas_kernels

@@ -280,7 +280,13 @@ def _shell_kernel(t_ref, l_ref, out_ref, *, nx, ny, nz, nbins, full_nz):
         weight = None
     else:
         kzf = jz.astype(jnp.float32)  # non-negative half spectrum
-        weight = jnp.where((jz == 0) | (jz == full_nz // 2), 1.0, 2.0)
+        # kz planes are self-conjugate (weight 1) only at kz=0 and, for
+        # even full_nz, at the Nyquist plane; odd full_nz has no Nyquist
+        # plane so every interior kz carries its conjugate (weight 2).
+        if full_nz % 2 == 0:
+            weight = jnp.where((jz == 0) | (jz == full_nz // 2), 1.0, 2.0)
+        else:
+            weight = jnp.where(jz == 0, 1.0, 2.0)
 
     k_abs = jnp.sqrt(kx * kx + ky * ky + kzf * kzf)
     shell = jnp.floor(k_abs + 0.5).astype(jnp.int32)
@@ -392,7 +398,10 @@ def _shell_bin_jnp_rfft(total, longi, trans, nbins, full_nz):
     kz = jnp.arange(nzr).astype(total.dtype)
     k2 = k2 + kz.reshape(1, 1, nzr) ** 2
     k_abs = jnp.sqrt(k2)
-    weight = jnp.where((jnp.arange(nzr) == 0) | (jnp.arange(nzr) == full_nz // 2), 1.0, 2.0)
+    self_conj = jnp.arange(nzr) == 0
+    if full_nz % 2 == 0:  # Nyquist plane exists only for even extents
+        self_conj = self_conj | (jnp.arange(nzr) == full_nz // 2)
+    weight = jnp.where(self_conj, 1.0, 2.0)
     weight = jnp.broadcast_to(weight.reshape(1, 1, nzr), shape).astype(total.dtype)
 
     idx = jnp.clip(jnp.floor(k_abs + 0.5).astype(jnp.int32), 0, nbins - 1).ravel()

@@ -47,6 +47,74 @@ def _wavenumber_grid(shape: Tuple[int, ...], dtype):
     return ks
 
 
+def _split_nyquist(k, n: int, idx):
+    """Signed wavenumbers -> (conjugate-even part, Nyquist magnitude).
+
+    Even extents place the self-conjugate Nyquist mode at idx == n//2
+    (signed value -n/2); odd extents have none. Used to keep the
+    longitudinal projection exact on rfft half-spectra (see
+    rfft_power_volumes).
+    """
+    if n % 2 == 0:
+        is_nyq = idx == n // 2
+        zero = jnp.zeros((), dtype=k.dtype)
+        return (
+            jnp.where(is_nyq, zero, k),
+            jnp.where(is_nyq, jnp.asarray(n / 2.0, dtype=k.dtype), zero),
+        )
+    return k, jnp.zeros_like(k)
+
+
+def rfft_power_volumes(ffts, full_shape: Tuple[int, int, int], jy=None, ky=None):
+    """(total, longi, trans, k_abs) power volumes of z-rfft half-spectra.
+
+    ``ffts`` are the three velocity transforms with a half z axis
+    (length nz//2+1). Shell-binning these with Hermitian weights must
+    reproduce the full-grid computation exactly; for the longitudinal
+    projection that requires care at Nyquist planes: the full-grid
+    convention assigns k = -n/2 at BOTH a Nyquist-component point j and
+    its conjugate -j, so the projection is not conjugate-even there.
+    Splitting k into a conjugate-even "regular" part and a
+    self-conjugate "Nyquist" part, the full-grid pair sum over {j, -j}
+    equals 2(|reg.w|^2 + |nyq.w|^2) — so weight-2 (kz>0) planes use
+    |reg.w|^2 + |nyq.w|^2 and the kz=0 plane (whose points are full-grid
+    points verbatim) uses the plain signed formula |reg.w - nyq.w|^2.
+    Validated against full-grid binning in tests/test_spectra.py.
+
+    ``jy``/``ky`` override the y wavenumbers for sharded k-slabs
+    (1D arrays of global y indices / signed wavenumbers).
+    """
+    nx, ny, nz = full_shape
+    nzr = ffts[0].shape[-1]
+    rdt = ffts[0].real.dtype
+    kx = pfft._wavenumbers(nx, rdt)[:, None, None]
+    jx = jnp.arange(nx)[:, None, None]
+    if ky is None:
+        ky = pfft._wavenumbers(ny, rdt)
+        jy = jnp.arange(ny)
+    ky = ky[None, :, None]
+    jy = jy[None, :, None]
+    jz = jnp.arange(nzr)[None, None, :]
+    kz = jz.astype(rdt)
+
+    k_abs = jnp.sqrt(kx * kx + ky * ky + kz * kz)
+    total = 0.5 * sum(jnp.abs(f) ** 2 for f in ffts)
+
+    kx_r, kx_n = _split_nyquist(kx, nx, jx)
+    ky_r, ky_n = _split_nyquist(ky, ny, jy)
+    kz_r, kz_n = _split_nyquist(kz, nz, jz)
+    reg = kx_r * ffts[0] + ky_r * ffts[1] + kz_r * ffts[2]
+    nyq = kx_n * ffts[0] + ky_n * ffts[1] + kz_n * ffts[2]
+
+    guard = jnp.maximum(k_abs, jnp.asarray(1e-30, rdt))
+    longi = jnp.where(
+        jz == 0,
+        jnp.abs((reg - nyq) / guard) ** 2,
+        jnp.abs(reg / guard) ** 2 + jnp.abs(nyq / guard) ** 2,
+    )
+    return total, longi, total - longi, k_abs
+
+
 def sharded_power_spectra(dens, vels, mesh, nbins: int, axis_name: str = None):
     """(counts, sums[3]) of shell-binned spectral powers over a device mesh.
 
@@ -81,19 +149,17 @@ def sharded_power_spectra(dens, vels, mesh, nbins: int, axis_name: str = None):
         idx = jax.lax.axis_index(axis_name)
         lo = idx * (ny // nd)
         rdt = ffts[0].real.dtype
-        kx = pfft._wavenumbers(nx, rdt)[:, None, None]
         ky_full = pfft._wavenumbers(ny, rdt)
-        ky = jax.lax.dynamic_slice(ky_full, (lo,), (ny // nd,))[None, :, None]
-        jz = jnp.arange(nzr)
-        kz = jz.astype(rdt)[None, None, :]
-        k_abs = jnp.sqrt(kx * kx + ky * ky + kz * kz)
-        weight = jnp.where((jz == 0) | (jz == nz // 2), 1.0, 2.0).astype(adt)
-        weight = jnp.broadcast_to(weight[None, None, :], k_abs.shape)
+        ky = jax.lax.dynamic_slice(ky_full, (lo,), (ny // nd,))
+        jy = lo + jnp.arange(ny // nd)
+        total, longi, trans, k_abs = rfft_power_volumes(ffts, (nx, ny, nz), jy=jy, ky=ky)
 
-        total = 0.5 * sum(jnp.abs(f) ** 2 for f in ffts)
-        longi = kx * ffts[0] + ky * ffts[1] + kz * ffts[2]
-        longi = jnp.abs(longi / jnp.maximum(k_abs, jnp.asarray(1e-30, k_abs.dtype))) ** 2
-        trans = total - longi
+        jz = jnp.arange(nzr)
+        self_conj = jz == 0
+        if nz % 2 == 0:  # Nyquist plane exists only for even extents
+            self_conj = self_conj | (jz == nz // 2)
+        weight = jnp.where(self_conj, 1.0, 2.0).astype(adt)
+        weight = jnp.broadcast_to(weight[None, None, :], k_abs.shape)
 
         bidx = jnp.clip(jnp.floor(k_abs + 0.5).astype(jnp.int32), 0, nbins - 1).ravel()
         mask = (k_abs <= (nbins - 0.5)).ravel()
@@ -150,15 +216,7 @@ def _build_spectra_fn(shape: Tuple[int, ...], mesh_key, nbins: int):
             sqrt_d = jnp.sqrt(dens)
             fft3 = jnp.fft.rfftn(jnp.stack([sqrt_d * v for v in vels]), axes=(1, 2, 3)) / ntot
             ffts = [fft3[i] for i in range(len(vels))]
-            rdt = ffts[0].real.dtype
-            kx = pfft._wavenumbers(nx, rdt)[:, None, None]
-            ky = pfft._wavenumbers(ny, rdt)[None, :, None]
-            kz = jnp.arange(nz // 2 + 1, dtype=rdt)[None, None, :]
-            k_abs = jnp.sqrt(kx * kx + ky * ky + kz * kz)
-            total = 0.5 * sum(jnp.abs(f) ** 2 for f in ffts)
-            longi = kx * ffts[0] + ky * ffts[1] + kz * ffts[2]
-            longi = jnp.abs(longi / jnp.maximum(k_abs, jnp.asarray(1e-30, k_abs.dtype))) ** 2
-            trans = total - longi
+            total, longi, trans, _ = rfft_power_volumes(ffts, (nx, ny, nz))
             counts, sums = shell_bin_sums_rfft(
                 total.astype(adt), longi.astype(adt), trans.astype(adt), nbins, nz
             )

@@ -75,6 +75,49 @@ def test_spectra_sharded_matches_unsharded(uniform_mesh, eight_device_mesh):
         )
 
 
+@pytest.mark.parametrize("nz", [8, 9, 12])
+def test_rfft_shell_binning_matches_full_grid(nz):
+    """Hermitian-weighted half-spectrum binning == full-grid binning,
+    including odd trailing extents (no Nyquist plane: weight 2 there)."""
+    from fava_tpu.ops.pallas_kernels import _shell_bin_jnp, _shell_bin_jnp_rfft
+
+    rng = np.random.default_rng(2)
+    shape = (8, 8, nz)
+    ntot = np.prod(shape)
+    dens = rng.random(shape) + 0.5
+    vels = [rng.standard_normal(shape) for _ in range(3)]
+    sd = np.sqrt(dens)
+
+    def wn(n):
+        k = np.arange(n)
+        return np.where(k <= (n - 1) // 2, k, k - n).astype(np.float64)
+
+    kx = wn(shape[0])[:, None, None]
+    ky = wn(shape[1])[None, :, None]
+
+    def powers(ffts, kz):
+        k_abs = np.sqrt(kx**2 + ky**2 + kz**2)
+        total = 0.5 * sum(np.abs(f) ** 2 for f in ffts)
+        longi = (
+            np.abs((kx * ffts[0] + ky * ffts[1] + kz * ffts[2]) / np.maximum(k_abs, 1e-99)) ** 2
+        )
+        return total, longi, total - longi
+
+    nbins = max(shape) // 2 - 1
+    full = [np.fft.fftn(sd * v) / ntot for v in vels]
+    t, l, tr = powers(full, wn(nz)[None, None, :])
+    c_full, s_full = _shell_bin_jnp(jnp.asarray(t), jnp.asarray(l), jnp.asarray(tr), nbins)
+
+    from fava_tpu.ops.spectra import rfft_power_volumes
+
+    half = [jnp.asarray(np.fft.rfftn(sd * v) / ntot) for v in vels]
+    t, l, tr, _ = rfft_power_volumes(half, shape)
+    c_half, s_half = _shell_bin_jnp_rfft(t, l, tr, nbins, nz)
+
+    np.testing.assert_allclose(np.asarray(c_half), np.asarray(c_full))
+    np.testing.assert_allclose(np.asarray(s_half), np.asarray(s_full), rtol=1e-12, atol=1e-20)
+
+
 def test_reference_transpose_quirk_documented():
     """The reference's stray .T changes results; our kernel matches the
     correct projection, not the quirk (deviation documented in ops.spectra)."""
