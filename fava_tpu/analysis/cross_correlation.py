@@ -53,26 +53,37 @@ def cross_correlation(
     samp_data = np.zeros((nfiles, npts), dtype=float)
     temp_data = np.zeros((nfiles, 1), dtype=float)
 
-    def grab(i: int, with_tags: bool):
-        flds = [*fields, tagvar] if with_tags else [*fields, tagvar]
-        self.load(file_index=i, fields=flds, *args, **kwargs)
-        tags = self.particles.data[tagvar]
-        return tags
+    def grab(i: int):
+        # The tag column is always loaded: the particle loader sorts
+        # rows by tag only when tags are present, and that sort is what
+        # makes the mid-file row indices address the same particles in
+        # every other file (particles migrate between ranks in FLASH
+        # output, so raw table order is not stable across snapshots).
+        self.load(file_index=i, fields=[*fields, tagvar], *args, **kwargs)
+        return self.particles.data.get(tagvar)
 
-    tags = grab(imid, with_tags=True)
-    temp_tags = np.where(tags == poi_idx)[0]
-    temp_data[imid] = self.particles.data[tvar][temp_tags]
-    samp_tags = np.squeeze(
-        np.array([np.where(tags == smp)[0] for smp in sample_points], dtype=int)
-    )
-    samp_data[imid, :] = self.particles.data[svar][samp_tags]
+    def tag_row(tags: np.ndarray, value) -> int:
+        """Particle-table row of a tag value; hard error on 0 or >1 matches."""
+        rows = np.flatnonzero(np.asarray(tags) == value)
+        if rows.size != 1:
+            raise ValueError(
+                f"particle tag {value!r}: expected exactly one match in "
+                f"{tagvar!r}, found {rows.size}"
+            )
+        return int(rows[0])
+
+    tags = grab(imid)
+    poi_row = tag_row(tags, poi_idx)
+    temp_data[imid] = self.particles.data[tvar][poi_row]
+    samp_rows = np.array([tag_row(tags, smp) for smp in sample_points.ravel()], dtype=int)
+    samp_data[imid, :] = self.particles.data[svar][samp_rows]
 
     for i in range(nfiles):
         if i == imid:
             continue
-        grab(i, with_tags=False)
-        temp_data[i] = self.particles.data[tvar][temp_tags]
-        samp_data[i, :] = self.particles.data[svar][samp_tags]
+        grab(i)
+        temp_data[i] = self.particles.data[tvar][poi_row]
+        samp_data[i, :] = self.particles.data[svar][samp_rows]
 
     smean = samp_data[:-1, ...].mean(axis=0)
     tmean = temp_data[1:].mean()

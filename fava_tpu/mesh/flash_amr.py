@@ -579,6 +579,8 @@ class FLASH(Structured):
         self.node_type = np.ones(1, dtype=np.int64)
         self.bflags = -np.ones((1, 1), dtype=np.int32)
         self.which_child = -np.ones(1, dtype=np.int32)
+        if self.processors is not None:
+            self.processors = np.zeros(1, dtype=np.int32)
         self.nblockx = 1
         self.nblocky = 1
         self.nblockz = 1

@@ -110,7 +110,7 @@ class FlashUniform(FLASH):
         self,
         num_seps: int = 100,
         num_points: int = 10000,
-        sep_bounds: Sequence[float] = (0.0, 1.0),
+        sep_bounds: Optional[Sequence[float]] = None,
         log_scale: bool = True,
         anisotropic: bool = False,
         seed: int = 0,
@@ -119,6 +119,8 @@ class FlashUniform(FLASH):
         """Velocity structure functions (reference: FlashUniform.py:306-447).
 
         Accepts the reference settings-file spelling ``anistropic`` too.
+        ``sep_bounds`` defaults to the resolvable separation range (see
+        ops.structure.structure_functions).
         """
         if "anistropic" in kwargs:
             anisotropic = kwargs.pop("anistropic")
@@ -128,7 +130,7 @@ class FlashUniform(FLASH):
             domain_bounds=self.domain_bounds,
             num_seps=num_seps,
             num_points=num_points,
-            sep_bounds=tuple(sep_bounds),
+            sep_bounds=tuple(sep_bounds) if sep_bounds is not None else None,
             log_scale=log_scale,
             anisotropic=anisotropic,
             seed=seed,

@@ -93,60 +93,45 @@ class FLASH(Model):
         **kwargs,
     ) -> None:
         ftype = file_type if isinstance(file_type, FileType) else FileType[str(file_type).upper()]
-        fkey = "by index" if file_number is None else "by number"
-        nkey = file_index if file_number is None else file_number
+        lookup = "by index" if file_number is None else "by number"
+        key = file_index if file_number is None else file_number
 
         self.mesh = None
         self.particles = None
 
-        def mesh_file(base: FileType) -> Path:
-            cat = self._catalog(base)
-            assert nkey in cat[fkey], f"{ftype.name} file {fkey} {nkey} not found"
-            return cat[fkey][nkey]
+        def resolve(base: FileType) -> Path:
+            catalog = self._catalog(base)
+            assert key in catalog[lookup], f"{ftype.name} file {lookup} {key} not found"
+            return catalog[lookup][key]
 
-        load_kwargs = dict(kwargs)
-        if fields is not None:
-            load_kwargs["fields"] = fields
+        def attach_mesh(base: FileType, mesh_cls) -> Path:
+            path = resolve(base)
+            self.mesh = mesh_cls(filename=path)
+            self.mesh.load()
+            if fields:
+                self.mesh.load_data(names=fields)
+            return path
+
+        def attach_particles(path: Path) -> None:
+            particle_kwargs = dict(kwargs)
+            if fields is not None:
+                particle_kwargs["fields"] = fields
+            self.particles = FlashParticles(filename=path)
+            self.particles._load_particles(*args, **particle_kwargs)
 
         match ftype:
             case FileType.CHK | FileType.PLT:
-                file_ = mesh_file(ftype)
-                self.mesh = FlashAMR(filename=file_)
-                self.mesh.load()
-                if fields:
-                    self.mesh.load_data(names=fields)
-
-            case FileType.PRT:
-                file_ = mesh_file(FileType.PRT)
-                self.particles = FlashParticles(filename=file_)
-                self.particles._load_particles(*args, **load_kwargs)
-
-            case FileType.CHK_PRT:
-                file_ = mesh_file(FileType.CHK)
-                self.mesh = FlashAMR(filename=file_)
-                self.mesh.load()
-                if fields:
-                    self.mesh.load_data(names=fields)
-                self.particles = FlashParticles(filename=file_)
-                self.particles._load_particles(*args, **load_kwargs)
-
-            case FileType.PLT_PRT:
-                file_ = mesh_file(FileType.PLT)
-                self.mesh = FlashAMR(filename=file_)
-                self.mesh.load()
-                if fields:
-                    self.mesh.load_data(names=fields)
-                pfile_ = mesh_file(FileType.PRT)
-                self.particles = FlashParticles(filename=pfile_)
-                self.particles._load_particles(*args, **load_kwargs)
-
+                attach_mesh(ftype, FlashAMR)
             case FileType.UNI:
-                file_ = mesh_file(FileType.UNI)
-                self.mesh = FlashUniform(filename=file_)
-                self.mesh.load()
-                if fields:
-                    self.mesh.load_data(names=fields)
-
+                attach_mesh(FileType.UNI, FlashUniform)
+            case FileType.PRT:
+                attach_particles(resolve(FileType.PRT))
+            case FileType.CHK_PRT:
+                # Checkpoint files carry the particle table themselves.
+                attach_particles(attach_mesh(FileType.CHK, FlashAMR))
+            case FileType.PLT_PRT:
+                attach_mesh(FileType.PLT, FlashAMR)
+                attach_particles(resolve(FileType.PRT))
             case _:
                 raise ValueError(f"Cannot load file type {ftype}")
 

@@ -20,7 +20,7 @@ Semantics preserved exactly:
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Dict, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -97,24 +97,36 @@ def structure_functions(
     domain_bounds: np.ndarray,
     num_seps: int = 100,
     num_points: int = 10000,
-    sep_bounds: Sequence[float] = (0.0, 1.0),
+    sep_bounds: Optional[Sequence[float]] = None,
     log_scale: bool = True,
     anisotropic: bool = False,
     seed: int = 0,
 ) -> Dict[str, Dict[str, np.ndarray] | np.ndarray]:
-    """Longitudinal/transverse velocity structure functions, orders 1-10."""
+    """Longitudinal/transverse velocity structure functions, orders 1-10.
+
+    ``sep_bounds`` defaults to (smallest cell size, half the narrowest
+    domain width) — the resolvable separation range. (The reference's
+    default, (0, 1), crashes its own geomspace; SURVEY.md flags it as a
+    latent bug not to replicate: reference FlashUniform.py:310-320.)
+    """
     ndim = len(vels)
     vol_shape = tuple(int(s) for s in vels[0].shape)
-
-    if log_scale:
-        separations = np.geomspace(sep_bounds[0], sep_bounds[1], num_seps)
-    else:
-        separations = np.linspace(sep_bounds[0], sep_bounds[1], num_seps)
 
     domain_bounds = np.asarray(domain_bounds, dtype=np.float64)
     lo = domain_bounds[:ndim, 0]
     width = domain_bounds[:ndim, 1] - domain_bounds[:ndim, 0]
     cell_size = width / np.asarray(vol_shape[:ndim], dtype=np.float64)
+
+    if sep_bounds is None:
+        sep_bounds = (float(cell_size.min()), float(width.min()) / 2.0)
+    if log_scale and sep_bounds[0] <= 0.0:
+        raise ValueError(
+            f"sep_bounds lower bound must be positive with log_scale=True, got {sep_bounds[0]}"
+        )
+    if log_scale:
+        separations = np.geomspace(sep_bounds[0], sep_bounds[1], num_seps)
+    else:
+        separations = np.linspace(sep_bounds[0], sep_bounds[1], num_seps)
 
     fn = _build_vsf_fn(int(num_seps), int(num_points), ndim, bool(anisotropic), vol_shape)
     dt = vels[0].dtype

@@ -144,6 +144,8 @@ def pdf2d(
         xrange = (float(jnp.min(xvalues)), float(jnp.max(xvalues)))
     if yrange is None:
         yrange = (float(jnp.min(yvalues)), float(jnp.max(yvalues)))
+    if isinstance(nbins, int):
+        nbins = (nbins, nbins)
     xlo, xhi = map(float, xrange)
     ylo, yhi = map(float, yrange)
     if xhi <= xlo:

@@ -90,36 +90,39 @@ class Pipeline:
         self.model.load(file_index=index, file_type=file_type)
         fn = self.output_dir / self.model.convert_filename_type(file_type, "anl").name
 
-        print("REYNOLDS STRESS:", fn, flush=True)
+        print(f"[stage 1] reynolds stress -> {fn}", flush=True)
 
-        pkey = "reynolds stresses"
-        skey = "scalars"
+        # HDF5 group names are the on-disk contract shared with the
+        # reference's analysis files; do not rename.
+        stress_group = "reynolds stresses"
+        scalars_group = "scalars"
         try:
             with h5py.File(fn, "r") as f:
-                x = f[pkey]["radius"][()]
-                s = {rkey: f[pkey]["tensor"][rkey][()] for rkey in f[pkey]["tensor"].keys()}
+                radius = f[stress_group]["radius"][()]
+                tensor = {k: f[stress_group]["tensor"][k][()] for k in f[stress_group]["tensor"]}
         except Exception:
-            x, s, m = self.model.reynolds_stress()
+            radius, tensor, vel_means = self.model.reynolds_stress()
             self.model.save_to_hdf5(
-                data={pkey: {"tensor": s, "radius": x, "means": m}}, filename=fn
+                data={stress_group: {"tensor": tensor, "radius": radius, "means": vel_means}},
+                filename=fn,
             )
 
         if not self._flam_or_rpv1():
             return
 
-        span, alp = self.model.slice_average(self.flam, axis=0)
-        ccx = 0.5 * (x[1:] + x[:-1])
-        mask = np.argwhere((0.0 < alp) & (alp < 1.0)).flatten()
+        span, flame_profile = self.model.slice_average(self.flam, axis=0)
+        bin_centers = 0.5 * (radius[1:] + radius[:-1])
+        mask = np.argwhere((0.0 < flame_profile) & (flame_profile < 1.0)).flatten()
         if mask.size < 4:
             mask = None
 
         try:
-            centroid = self.model.mesh.flame_window(ccx, s, mask)
+            centroid = self.model.mesh.flame_window(bin_centers, tensor, mask)
         except Exception as exc:
             # LM non-convergence on degenerate profiles: fall back to the
             # transverse-stress peak so the pipeline stays resumable.
             LOGGER.warning("flame_window fit failed (%s); using stress peak", exc)
-            centroid = float(ccx[np.argmax(s["Ryy"] + s["Rzz"])])
+            centroid = float(bin_centers[np.argmax(tensor["Ryy"] + tensor["Rzz"])])
 
         window = self.settings.get("flame window", {})
         half_width = float(window.get("half width", 16e5))
@@ -133,10 +136,10 @@ class Pipeline:
         window_bounds = right - left
         window_dimensions = (window_bounds / self.model.mesh.get_minimum_deltas(axis=1)).astype(int)
 
-        print("Flame Window:", right, window_dimensions, flush=True)
+        print(f"[stage 1] flame window right={right} dims={window_dimensions}", flush=True)
         self.model.save_to_hdf5(
             data={
-                skey: {
+                scalars_group: {
                     "time": self.model.mesh.time,
                     "window left": left,
                     "window right": right,
@@ -197,7 +200,7 @@ class Pipeline:
         fields = [f for f in fields if f in self.model.mesh.fields]
 
         fn = self.output_dir / self.model.convert_filename_type("plt", "uni").name
-        print("EXTRACT:", fn, flush=True)
+        print(f"[stage 3] extract window -> {fn}", flush=True)
         if fn.is_file():
             return
         self.model.mesh.from_amr(subdomain_coords=subdomain_coords, fields=fields, filename=fn)
@@ -205,13 +208,13 @@ class Pipeline:
     # ------------------------------------------------------------------
     # Stage 4: uniform-grid analyses with per-analysis resume cursor
     def analyze_uniform_data(self, index: int) -> None:
-        pkey = "analyze uniform data"
+        stage_key = "analyze uniform data"  # checkpoint-format key
         self.model.load(file_index=index, file_type="uni")
         if not self._flam_or_rpv1():
             return
 
         fn = self.output_dir / self.model.convert_filename_type("uni", "anl").name
-        print("ANALYSIS:", fn, flush=True)
+        print(f"[stage 4] uniform analyses -> {fn}", flush=True)
 
         analyses = {
             "fractal dimension": self.model.fractal_dimension,
@@ -232,18 +235,18 @@ class Pipeline:
             if key in self.settings:
                 analyses[key] = opt_fn
 
-        akeys = list(analyses.keys())
-        begin_key = self.checkpoint_data.setdefault(pkey, {}).get("analysis")
-        begin = akeys.index(begin_key) if begin_key in akeys else 0
+        names = list(analyses.keys())
+        resume_name = self.checkpoint_data.setdefault(stage_key, {}).get("analysis")
+        first = names.index(resume_name) if resume_name in names else 0
 
-        for akey in akeys[begin:]:
-            self.checkpoint_data[pkey]["analysis"] = akey
-            if not self.settings.get(akey, {}).get("skip", False):
-                _settings = self.settings.get(akey, {}).get("settings", {})
-                retval = analyses[akey](**_settings)
-                self.model.save_to_hdf5(data={akey: retval}, filename=fn)
+        for name in names[first:]:
+            self.checkpoint_data[stage_key]["analysis"] = name
+            if not self.settings.get(name, {}).get("skip", False):
+                analysis_settings = self.settings.get(name, {}).get("settings", {})
+                result = analyses[name](**analysis_settings)
+                self.model.save_to_hdf5(data={name: result}, filename=fn)
 
-        self.checkpoint_data[pkey]["analysis"] = None
+        self.checkpoint_data[stage_key]["analysis"] = None
 
 
 def _favre_as_dict(out: dict) -> dict:
@@ -271,36 +274,41 @@ def main(workdir: Optional[Path] = None) -> int:
     pipe.restart()
     pipe.output_dir.mkdir(parents=True, exist_ok=True)
 
-    print("\n-------------\n", pipe.checkpoint_data, "\n-------------\n", flush=True)
+    print(f"pipeline starting; checkpoint state: {pipe.checkpoint_data}", flush=True)
+
+    def remaining(catalog, stage: str):
+        # Resume from the checkpointed index by KEY VALUE (not list
+        # position), so resume stays correct even if the catalog keys
+        # are ever non-contiguous. Checkpoint format (last index + 1)
+        # matches the reference's fava.checkpoint for drop-in resume.
+        first = pipe.checkpoint_data.get(stage, {}).get("index", 0)
+        return [k for k in sorted(catalog["by index"].keys()) if k >= first]
 
     with FAVAInterruptHandler(external_handler=pipe.checkpoint):
-        pkey = "reynolds stress"
-        if not pipe.settings.get(pkey, {}).get("skip", False):
-            begin = pipe.checkpoint_data.get(pkey, {}).get("index", 0)
-            for i in sorted(pipe.model.plt_files["by index"].keys())[begin:]:
+        stage = "reynolds stress"
+        if not pipe.settings.get(stage, {}).get("skip", False):
+            for i in remaining(pipe.model.plt_files, stage):
                 pipe.reynolds_stress(index=i)
-                pipe.checkpoint_data[pkey] = {"index": i + 1}
+                pipe.checkpoint_data[stage] = {"index": i + 1}
                 pipe.checkpoint()
 
         pipe.smooth_window_trajectory()
 
-        pkey = "extract windows"
-        if not pipe.settings.get(pkey, {}).get("skip", False):
-            begin = pipe.checkpoint_data.get(pkey, {}).get("index", 0)
-            for i in sorted(pipe.model.plt_files["by index"].keys())[begin:]:
+        stage = "extract windows"
+        if not pipe.settings.get(stage, {}).get("skip", False):
+            for i in remaining(pipe.model.plt_files, stage):
                 pipe.extract_windows(index=i)
-                pipe.checkpoint_data[pkey] = {"index": i + 1}
+                pipe.checkpoint_data[stage] = {"index": i + 1}
                 pipe.checkpoint()
 
         pipe.refresh_model()
 
-        pkey = "analyze uniform data"
-        pipe.checkpoint_data.setdefault(pkey, {})
-        begin = pipe.checkpoint_data[pkey].get("index", 0)
-        for i in sorted(pipe.model.uni_files["by index"].keys())[begin:]:
+        stage = "analyze uniform data"
+        pipe.checkpoint_data.setdefault(stage, {})
+        for i in remaining(pipe.model.uni_files, stage):
             pipe.analyze_uniform_data(i)
-            pipe.checkpoint_data[pkey]["index"] = i + 1
+            pipe.checkpoint_data[stage]["index"] = i + 1
             pipe.checkpoint()
 
-        print("DONE!", flush=True)
+        print("pipeline complete", flush=True)
     return 0

@@ -73,3 +73,19 @@ def test_cross_correlation_formulas(series_dir):
 def test_cross_correlation_requires_tracking_mode(series_dir):
     m = fava_tpu.FLASH(series_dir)
     assert m.cross_correlation("velx", "vely", np.array([1.0]), 2) is None
+
+
+def test_cross_correlation_missing_tag_errors(series_dir):
+    m = fava_tpu.FLASH(series_dir)
+    m.load(file_type="prt")
+    tags = np.sort(m.particles.data["tag"])
+    absent = int(tags.max()) + 1000
+    with pytest.raises(ValueError, match="expected exactly one match"):
+        m.cross_correlation(
+            "velx",
+            "vely",
+            sample_points=tags[:2],
+            poi_idx=absent,
+            lagrangian_tracking=True,
+            tag_field="tag",
+        )

@@ -106,6 +106,38 @@ def test_pipeline_optional_analyses(pipeline_dir):
     assert found_favre and found_pdf
 
 
+def test_shipped_settings_template_runs(pipeline_dir):
+    """The shipped pipeline_settings.json is a working template: only
+    folders/basename and physical scales need editing for a new dataset."""
+    from pathlib import Path
+
+    import fava_tpu.pipeline as pipeline_pkg
+
+    workdir, data, out = pipeline_dir
+    shipped = Path(pipeline_pkg.__file__).parent / "pipeline_settings.json"
+    settings = json.loads(shipped.read_text())
+
+    # Dataset-specific edits a user would make (paths + physical scales).
+    settings["data folder"] = str(data)
+    settings["output folder"] = str(out)
+    settings["basename"] = "rt_hdf5_plt_cnt"
+    settings["model"] = "synthetic"
+    settings["flame window"] = {"half width": 0.25, "transverse": [0.25, 0.75]}
+    settings["structure functions"]["settings"].update(
+        {"num_seps": 4, "num_points": 32, "sep_bounds": [0.05, 0.3]}
+    )
+    (workdir / "pipeline_settings.json").write_text(json.dumps(settings))
+
+    assert main(workdir) == 0
+    anl = sorted(out.glob("*hdf5_analysis_*"))
+    assert anl
+    found_favre = False
+    for p in anl:
+        with h5py.File(p, "r") as f:
+            found_favre |= "favre profiles" in f
+    assert found_favre  # shipped template enables the favre extension
+
+
 def test_pipeline_skip_flags(pipeline_dir):
     workdir, data, out = pipeline_dir
     settings_path = workdir / "pipeline_settings.json"

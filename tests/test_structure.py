@@ -25,6 +25,26 @@ def test_output_shapes_and_keys():
         assert np.isfinite(out["longitudinal"][f"{o}"]).all()
 
 
+def test_default_sep_bounds_resolvable_range():
+    """Defaults must be callable (the reference's (0,1) default crashes
+    its own geomspace) and span [min cell size, half narrowest width]."""
+    rng = np.random.default_rng(3)
+    vels = [jnp.asarray(rng.standard_normal((8, 8, 8))) for _ in range(3)]
+    out = structure_functions(vels, domain_bounds=_domain(), num_seps=5, num_points=20)
+    seps = out["separations"]
+    np.testing.assert_allclose(seps[0], 1.0 / 8.0)
+    np.testing.assert_allclose(seps[-1], 0.5)
+    assert np.isfinite(out["longitudinal"]["2"]).all()
+
+
+def test_log_scale_rejects_nonpositive_lower_bound():
+    vels = [jnp.ones((4, 4, 4)) for _ in range(3)]
+    with pytest.raises(ValueError, match="must be positive"):
+        structure_functions(
+            vels, domain_bounds=_domain(), num_seps=4, num_points=8, sep_bounds=(0.0, 1.0)
+        )
+
+
 def test_deterministic_given_seed():
     rng = np.random.default_rng(1)
     vels = [jnp.asarray(rng.standard_normal((8, 8, 8))) for _ in range(3)]
