@@ -106,6 +106,12 @@ def uniform_analysis_step(
             var = (cov[diag[i]] - 2.0 * di * c1[i] + di * di * d_row) / d_row
             favre_rms.append(jnp.sqrt(jnp.maximum(var, 0.0)))
     else:
+        # Same centered two-pass as the single-chip branch: the volume
+        # is slab-sharded along x, so every row (= profile bin) lives
+        # whole on one device and both passes stay collective-free
+        # under GSPMD. The one-pass algebraic expansion cancels
+        # catastrophically in float32 (~3e-4 relative observed), which
+        # is the dtype real pods run in.
 
         def rows(x):
             return jnp.sum(x.astype(adt), axis=(1, 2))
@@ -113,27 +119,23 @@ def uniform_analysis_step(
         d_row = rows(dens)
         v_rows = [rows(v) for v in vels]
         dv_rows = [rows(dens * v) for v in vels]
-        dvv_rows = [rows(dens * vels[i] * vels[j]) for i in range(3) for j in range(i, 3)]
 
         mean_d = d_row / layer
         means = [vr / layer for vr in v_rows]
 
-        stress = []
-        for p, (i, j) in enumerate(pairs):
-            s = (
-                dvv_rows[p]
-                - means[j] * dv_rows[i]
-                - means[i] * dv_rows[j]
-                + means[i] * means[j] * d_row
-            )
-            stress.append(s / layer)
+        cvels = [v - m[:, None, None].astype(v.dtype) for v, m in zip(vels, means)]
+        c1 = [rows(dens * cv) for cv in cvels]
+        cov = [rows(dens * cvels[i] * cvels[j]) for (i, j) in pairs]
+
+        stress = [c / layer for c in cov]
 
         favre_mean = [dvr / d_row for dvr in dv_rows]
         diag = [pairs.index((i, i)) for i in range(3)]
-        favre_rms = [
-            jnp.sqrt(jnp.maximum(dvv_rows[diag[i]] / d_row - favre_mean[i] ** 2, 0.0))
-            for i in range(3)
-        ]
+        favre_rms = []
+        for i in range(3):
+            di = favre_mean[i] - means[i]
+            var = (cov[diag[i]] - 2.0 * di * c1[i] + di * di * d_row) / d_row
+            favre_rms.append(jnp.sqrt(jnp.maximum(var, 0.0)))
 
     return {
         **{f"spectra_{k}": v for k, v in spectra.items()},

@@ -256,6 +256,209 @@ def _centered_jnp(d, vx, vy, vz, means):
 
 
 # ---------------------------------------------------------------------------
+# Batched block-stack moments (AMR profile paths)
+#
+# AMR leaf stacks are (nB, ncx, ncy, ncz) with small per-block extents
+# (16^3 is typical), so the single-volume kernels' lane constraint
+# (nz % 128) never holds. Flattening each (block, row) to one row of
+# ncy*ncz lanes (256 for 16^3 blocks) restores lane alignment, and the
+# kernels stream R rows per grid step through VMEM computing all
+# moments in one fused read — replacing the ~13 separate XLA reduction
+# passes over multi-block plt series (reference workload:
+# fava/mesh/FLASH/_flash.py:1564-1604).
+
+NRAW = 7  # d, v_i, d*v_i
+
+
+def _pick_row_block(nrows: int, ncols: int, nfields: int = 4, budget: int = 4 << 20) -> int:
+    """Rows per grid step: largest power-of-two divisor fitting VMEM."""
+    max_rows = max(1, budget // (max(1, ncols) * 4 * nfields))
+    r = 1
+    while r * 2 <= min(nrows, max_rows, 512) and nrows % (r * 2) == 0:
+        r *= 2
+    return r
+
+
+def _lane_iota(rows: int):
+    return jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
+
+
+def _pack_lanes(sums, out_dtype, rows: int):
+    """Stack per-row scalars (each (R,1)) into lanes 0..len(sums)-1."""
+    lane = _lane_iota(rows)
+    out = jnp.zeros((rows, LANE), dtype=out_dtype)
+    for m, s in enumerate(sums):
+        out = jnp.where(lane == m, s, out)
+    return out
+
+
+def _raw_rows_kernel(d_ref, x_ref, y_ref, z_ref, out_ref):
+    d = d_ref[...]
+    vx = x_ref[...]
+    vy = y_ref[...]
+    vz = z_ref[...]
+
+    def rsum(a):
+        return jnp.sum(a, axis=-1, keepdims=True)
+
+    sums = [
+        rsum(d),
+        rsum(vx),
+        rsum(vy),
+        rsum(vz),
+        rsum(d * vx),
+        rsum(d * vy),
+        rsum(d * vz),
+    ]
+    out_ref[...] = _pack_lanes(sums, out_ref.dtype, d.shape[0])
+
+
+def _centered_rows_kernel(m_ref, d_ref, x_ref, y_ref, z_ref, out_ref):
+    d = d_ref[...]
+    rows = d.shape[0]
+    m = m_ref[...]  # (R, LANE), lanes 0..2 hold the row velocity means
+    lane = _lane_iota(rows)
+
+    def pick(k):
+        # Masked-sum extraction of lane k: sub-128 lane slices don't
+        # lower on TPU, a reduction does.
+        return jnp.sum(jnp.where(lane == k, m, 0), axis=-1, keepdims=True)
+
+    cx = x_ref[...] - pick(0)
+    cy = y_ref[...] - pick(1)
+    cz = z_ref[...] - pick(2)
+    dcx = d * cx
+    dcy = d * cy
+    dcz = d * cz
+
+    def rsum(a):
+        return jnp.sum(a, axis=-1, keepdims=True)
+
+    sums = [
+        rsum(dcx * cx),
+        rsum(dcx * cy),
+        rsum(dcx * cz),
+        rsum(dcy * cy),
+        rsum(dcy * cz),
+        rsum(dcz * cz),
+        rsum(dcx),
+        rsum(dcy),
+        rsum(dcz),
+    ]
+    out_ref[...] = _pack_lanes(sums, out_ref.dtype, rows)
+
+
+@lru_cache(maxsize=16)
+def _build_block_moments_fn(nrows: int, ncols: int, dtype_name: str, interpret: bool):
+    dtype = jnp.dtype(dtype_name)
+    r = _pick_row_block(nrows, ncols)
+    slab = pl.BlockSpec((r, ncols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((r, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def run(d, vx, vy, vz):
+        out = pl.pallas_call(
+            _raw_rows_kernel,
+            grid=(nrows // r,),
+            in_specs=[slab] * 4,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((nrows, LANE), dtype),
+            interpret=interpret,
+        )(d, vx, vy, vz)
+        return out[:, :NRAW].T  # (7, nrows)
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=16)
+def _build_block_centered_fn(nrows: int, ncols: int, dtype_name: str, interpret: bool):
+    dtype = jnp.dtype(dtype_name)
+    r = _pick_row_block(nrows, ncols, nfields=5)
+    slab = pl.BlockSpec((r, ncols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    mean_spec = pl.BlockSpec((r, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((r, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def run(means_pad, d, vx, vy, vz):
+        out = pl.pallas_call(
+            _centered_rows_kernel,
+            grid=(nrows // r,),
+            in_specs=[mean_spec] + [slab] * 4,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((nrows, LANE), dtype),
+            interpret=interpret,
+        )(means_pad, d, vx, vy, vz)
+        return out[:, :NCEN].T  # (9, nrows)
+
+    return jax.jit(run)
+
+
+def _rows_ok(ncols: int) -> bool:
+    return (on_tpu() or FORCE_INTERPRET) and ncols % LANE == 0
+
+
+def block_row_moments(dens: jax.Array, vx: jax.Array, vy: jax.Array, vz: jax.Array):
+    """(7, nB, nx) fused raw moments [d, v_i, d*v_i] of a block stack.
+
+    Falls back to jnp off-TPU or when ncy*ncz is not lane-aligned.
+    """
+    nb, nx, ny, nz = (int(s) for s in dens.shape)
+    ncols = ny * nz
+    if not _rows_ok(ncols):
+        return _block_row_moments_jnp(dens, vx, vy, vz)
+    flat = [a.reshape(nb * nx, ncols) for a in (dens, vx, vy, vz)]
+    out = _build_block_moments_fn(nb * nx, ncols, str(dens.dtype), FORCE_INTERPRET)(*flat)
+    return out.reshape(NRAW, nb, nx)
+
+
+@jax.jit
+def _block_row_moments_jnp(d, vx, vy, vz):
+    rows = lambda a: jnp.sum(a, axis=(2, 3))
+    return jnp.stack([rows(d), rows(vx), rows(vy), rows(vz), rows(d * vx), rows(d * vy), rows(d * vz)])
+
+
+def block_centered_row_moments(
+    dens: jax.Array,
+    vx: jax.Array,
+    vy: jax.Array,
+    vz: jax.Array,
+    means: jax.Array,  # (3, nB, nx) per-(block, row) velocity means
+):
+    """(9, nB, nx): [sum d*ci*cj (6 pairs), sum d*ci (3)] per block row."""
+    nb, nx, ny, nz = (int(s) for s in dens.shape)
+    ncols = ny * nz
+    if not _rows_ok(ncols):
+        return _block_centered_jnp(dens, vx, vy, vz, means)
+    flat = [a.reshape(nb * nx, ncols) for a in (dens, vx, vy, vz)]
+    m = means.astype(dens.dtype).reshape(3, nb * nx).T  # (rows, 3)
+    means_pad = jnp.zeros((nb * nx, LANE), dtype=dens.dtype).at[:, :3].set(m)
+    out = _build_block_centered_fn(nb * nx, ncols, str(dens.dtype), FORCE_INTERPRET)(
+        means_pad, *flat
+    )
+    return out.reshape(NCEN, nb, nx)
+
+
+@jax.jit
+def _block_centered_jnp(d, vx, vy, vz, means):
+    rows = lambda a: jnp.sum(a, axis=(2, 3))
+    cx = vx - means[0][..., None, None].astype(vx.dtype)
+    cy = vy - means[1][..., None, None].astype(vy.dtype)
+    cz = vz - means[2][..., None, None].astype(vz.dtype)
+    dcx, dcy, dcz = d * cx, d * cy, d * cz
+    return jnp.stack(
+        [
+            rows(dcx * cx),
+            rows(dcx * cy),
+            rows(dcx * cz),
+            rows(dcy * cy),
+            rows(dcy * cz),
+            rows(dcz * cz),
+            rows(dcx),
+            rows(dcy),
+            rows(dcz),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
 # Spherical-shell binning
 
 

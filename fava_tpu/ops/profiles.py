@@ -43,29 +43,50 @@ def _next_bucket(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
-@partial(jax.jit, static_argnames=("raxis", "nvel", "with_second_moments"))
-def _row_moments(fields: Tuple[jax.Array, ...], raxis: int, nvel: int, with_second_moments: bool):
-    """Per-(block, row) sums along the profile axis.
+@partial(jax.jit, static_argnames=("raxis", "nvel"))
+def _row_moments(fields: Tuple[jax.Array, ...], raxis: int, nvel: int):
+    """Per-(block, row) raw sums along the profile axis.
 
     ``fields`` = (dens, v0..v_{nvel-1}); each (nB, nx, ny, nz).
-    Returns stacked moments (M, nB, nrb):
-      [dens, v_i... , dens*v_i..., dens*v_i*v_j (i<=j)...]
+    Returns stacked moments (1 + 2*nvel, nB, nrb):
+      [dens, v_i..., dens*v_i...]
     """
     dens = fields[0]
     vels = fields[1 : 1 + nvel]
-    cell_axes = [1, 2, 3]
-    red = tuple(a for a in cell_axes if a != raxis + 1)
+    red = tuple(a for a in (1, 2, 3) if a != raxis + 1)
 
     def rsum(x):
         return jnp.sum(x, axis=red)
 
     moments = [rsum(dens)]
     moments += [rsum(v) for v in vels]
-    if with_second_moments:
-        moments += [rsum(dens * v) for v in vels]
-        for i in range(nvel):
-            for j in range(i, nvel):
-                moments.append(rsum(dens * vels[i] * vels[j]))
+    moments += [rsum(dens * v) for v in vels]
+    return jnp.stack(moments)
+
+
+@partial(jax.jit, static_argnames=("raxis", "nvel"))
+def _centered_row_moments_stack(fields: Tuple[jax.Array, ...], mu: jax.Array, raxis: int, nvel: int):
+    """Per-(block, row) centered moments about per-row means ``mu``.
+
+    Returns (npairs + nvel, nB, nrb): [sum d*ci*cj (i<=j)..., sum d*ci...].
+    Centering keeps float32 profiles accurate where the one-pass
+    algebraic expansion cancels (see ops.pallas_kernels, lines 153-159).
+    """
+    dens = fields[0]
+    vels = fields[1 : 1 + nvel]
+    red = tuple(a for a in (1, 2, 3) if a != raxis + 1)
+
+    def rsum(x):
+        return jnp.sum(x, axis=red)
+
+    def expand(m):
+        shape = [m.shape[0], 1, 1, 1]
+        shape[raxis + 1] = m.shape[1]
+        return m.reshape(shape)
+
+    cv = [v - expand(mu[i]).astype(v.dtype) for i, v in enumerate(vels)]
+    moments = [rsum(dens * cv[i] * cv[j]) for (i, j) in _pair_indices(nvel)]
+    moments += [rsum(dens * c) for c in cv]
     return jnp.stack(moments)
 
 
@@ -179,25 +200,9 @@ def _pair_indices(nvel: int) -> List[Tuple[int, int]]:
     return [(i, j) for i in range(nvel) for j in range(i, nvel)]
 
 
-def _full_moments(data: Dict[str, jax.Array], geom: "ProfileGeometry") -> jax.Array:
-    """(13, nBleaf, nrb) stacked moments for dens + 3 velocities.
-
-    Single-block uniform volumes along x take the fused Pallas kernel;
-    the general AMR path uses the jitted jnp reductions.
-    """
+def _leaf_fields(data: Dict[str, jax.Array], geom: "ProfileGeometry") -> Tuple[jax.Array, ...]:
+    """(dens, vels...) leaf stacks, block-sharded over an active mesh."""
     axes = AXES_NAMES[: geom.ndim]
-    single_device = True
-    try:
-        single_device = len(data["dens"].sharding.device_set) == 1
-    except AttributeError:
-        pass
-    if geom.ndim == 3 and geom.raxis == 0 and geom.blocklist.size == 1 and single_device:
-        from fava_tpu.ops.pallas_kernels import row_moments_volume
-
-        blk = int(geom.blocklist[0])
-        vols = [data["dens"][blk]] + [data[f"vel{a}"][blk] for a in axes]
-        return row_moments_volume(*vols)[:, None, :]
-
     blk = jnp.asarray(geom.blocklist)
     fields = [jnp.take(data["dens"], blk, axis=0)]
     for a in axes:
@@ -217,8 +222,100 @@ def _full_moments(data: Dict[str, jax.Array], geom: "ProfileGeometry") -> jax.Ar
         sharding = prt.block_sharding(ndim=fields[0].ndim)
         if sharding is not None:
             fields = [jax.device_put(f, sharding) for f in fields]
+    return tuple(fields)
 
-    return _row_moments(tuple(fields), raxis=geom.raxis, nvel=geom.ndim, with_second_moments=True)
+
+def _stack_stats(data: Dict[str, jax.Array], geom: "ProfileGeometry"):
+    """Raw + per-row-mean-centered moments of the leaf stack.
+
+    Two fused passes over the field data (the TPU replacement for the
+    reference's per-cell accumulation loops, _flash.py:1564-1604):
+      raw (1+2n, nB, nrb): [d, v_i, d*v_i]
+      mu  (n, nB, nrb):    per-(block, row) velocity means
+      cen (npairs+n, nB, nrb): [d*ci*cj, d*ci] centered about mu
+    Block stacks along x on a single device take the fused Pallas
+    row-kernels; everything else uses the jitted jnp reductions.
+    """
+    fields = _leaf_fields(data, geom)
+    nvel = geom.ndim
+    single_device = True
+    try:
+        single_device = len(fields[0].sharding.device_set) == 1
+    except AttributeError:
+        pass
+
+    ncells_row = int(np.prod(fields[0].shape[1:])) // int(fields[0].shape[1 + geom.raxis])
+
+    if geom.ndim == 3 and geom.raxis == 0 and single_device:
+        from fava_tpu.ops import pallas_kernels as pk
+
+        raw = pk.block_row_moments(*fields)
+        mu = (raw[1 : 1 + nvel].astype(accum_dtype()) / ncells_row).astype(fields[0].dtype)
+        cen = pk.block_centered_row_moments(*fields, mu)
+        return raw, mu, cen
+
+    raw = _row_moments(fields, raxis=geom.raxis, nvel=nvel)
+    mu = (raw[1 : 1 + nvel].astype(accum_dtype()) / ncells_row).astype(fields[0].dtype)
+    cen = _centered_row_moments_stack(fields, mu, raxis=geom.raxis, nvel=nvel)
+    return raw, mu, cen
+
+
+@partial(jax.jit, static_argnames=("scales", "nfine", "nvel"))
+def _scatter_centered_pairs(groups, scales: Tuple[int, ...], nfine: int, ref_fine, nvel: int):
+    """Pass-2 scatter: centered covariances against a fine-bin reference.
+
+    groups: tuple of (cen, s_d, mu, vf, ilo) per refinement level, with
+    cen (npairs+nvel, nBg, nrb) centered about the per-row means mu and
+    s_d (nBg, nrb) the density row sums. ``ref_fine`` (nvel, nfine) is
+    the fine-bin profile to center against (layer means for Reynolds
+    stress, Favre means for Favre RMS). Uses the exact identity
+
+      sum d*(vi-ri)*(vj-rj) = C_ij + (mu_i-ri)*C_j + (mu_j-rj)*C_i
+                              + (mu_i-ri)*(mu_j-rj)*S_d
+
+    whose differences are all at fluctuation scale — no catastrophic
+    float32 cancellation, unlike expanding into raw quadratic moments.
+    """
+    pairs = _pair_indices(nvel)
+    npairs = len(pairs)
+    adt = accum_dtype()
+    prof = jnp.zeros((npairs, nfine), dtype=adt)
+    ref = ref_fine.astype(adt)
+    for (cen, s_d, mu, vf, ilo), s in zip(groups, scales):
+        nrb = s_d.shape[-1]
+        idx = ilo[:, None] + jnp.arange(nrb * s)[None, :]  # (nBg, L)
+
+        def rep(a):
+            return jnp.repeat(a.astype(adt), s, axis=-1)
+
+        sd_r = rep(s_d)
+        delta = rep(mu) - ref[:, idx]  # (nvel, nBg, L)
+        cov_r = rep(cen[:npairs])
+        c1_r = rep(cen[npairs:])
+        contrib = jnp.stack(
+            [
+                cov_r[p] + delta[i] * c1_r[j] + delta[j] * c1_r[i] + delta[i] * delta[j] * sd_r
+                for p, (i, j) in enumerate(pairs)
+            ]
+        )
+        prof = prof.at[:, idx].add(contrib * vf[None, :, None])
+    return prof
+
+
+def _grouped_stats(data: Dict[str, jax.Array], geom: "ProfileGeometry"):
+    """Level-grouped (raw, cen+Sd+mu) device groups + pass-1 profile."""
+    nvel = geom.ndim
+    nraw = 1 + 2 * nvel
+    raw, mu, cen = _stack_stats(data, geom)
+    stacked = jnp.concatenate([raw.astype(accum_dtype()), cen.astype(accum_dtype()), mu.astype(accum_dtype())])
+    groups, scales = geom.device_groups(stacked)
+    raw_groups = tuple((g[0][:nraw], g[1], g[2]) for g in groups)
+    cen_groups = tuple(
+        (g[0][nraw : nraw + len(_pair_indices(nvel)) + nvel], g[0][0], g[0][nraw + len(_pair_indices(nvel)) + nvel :], g[1], g[2])
+        for g in groups
+    )
+    prof_raw = np.asarray(_scatter_groups(raw_groups, scales, geom.nfine), dtype=np.float64)
+    return prof_raw, cen_groups, scales
 
 
 def _is_uniform_fast_case(data: Dict[str, jax.Array], geom: "ProfileGeometry") -> bool:
@@ -286,26 +383,22 @@ def reynolds_stress(
             stress[f"R{axes[i]}{axes[j]}"] = np.asarray(cov[p], dtype=np.float64) * scale
         return geom.span.copy(), stress, means
 
-    moments = _full_moments(data, geom)
-    groups, scales = geom.device_groups(moments)
-    prof = _scatter_groups(groups, scales, geom.nfine)
-    prof = np.asarray(prof, dtype=np.float64)
+    prof_raw, cen_groups, scales = _grouped_stats(data, geom)
 
     layer_volume = geom.layer_area * geom.min_deltas[geom.raxis]
 
-    means: Dict[str, np.ndarray] = {"dens": prof[0] / layer_volume}
+    means: Dict[str, np.ndarray] = {"dens": prof_raw[0] / layer_volume}
     for i, a in enumerate(axes):
-        means[f"vel{a}"] = prof[1 + i] / layer_volume
+        means[f"vel{a}"] = prof_raw[1 + i] / layer_volume
 
-    d0 = prof[0]
-    dv = prof[1 + nvel : 1 + 2 * nvel]
-    quad_base = 1 + 2 * nvel
+    ref_fine = jnp.asarray(np.stack([means[f"vel{a}"] for a in axes]), dtype=accum_dtype())
+    cov = np.asarray(
+        _scatter_centered_pairs(cen_groups, scales, geom.nfine, ref_fine, nvel),
+        dtype=np.float64,
+    )
     stress: Dict[str, np.ndarray] = {}
     for p, (i, j) in enumerate(_pair_indices(nvel)):
-        mvi = means[f"vel{axes[i]}"]
-        mvj = means[f"vel{axes[j]}"]
-        s = prof[quad_base + p] - mvj * dv[i] - mvi * dv[j] + mvi * mvj * d0
-        stress[f"R{axes[i]}{axes[j]}"] = s / layer_volume
+        stress[f"R{axes[i]}{axes[j]}"] = cov[p] / layer_volume
 
     return geom.span.copy(), stress, means
 
@@ -352,17 +445,23 @@ def favre_profiles(
             out["favre_rms"][f"vel{a}"] = np.sqrt(np.maximum(var, 0.0))
         return out
 
-    moments = _full_moments(data, geom)
-    groups, scales = geom.device_groups(moments)
-    prof = np.asarray(_scatter_groups(groups, scales, geom.nfine), dtype=np.float64)
+    prof_raw, cen_groups, scales = _grouped_stats(data, geom)
 
     layer_volume = geom.layer_area * geom.min_deltas[geom.raxis]
-    d0 = prof[0]
-    dv = prof[1 + nvel : 1 + 2 * nvel]
-    quad_base = 1 + 2 * nvel
+    d0 = prof_raw[0]
+    dv = prof_raw[1 + nvel : 1 + 2 * nvel]
     pairs = _pair_indices(nvel)
 
     safe_d = np.where(d0 > 0, d0, 1.0)
+    fmeans = np.stack([dv[i] / safe_d for i in range(nvel)])
+    # Centered scatter against the Favre means: diagonal entries are
+    # the mass-weighted variance numerators sum(d*(v_i - v~_i)^2).
+    cov = np.asarray(
+        _scatter_centered_pairs(
+            cen_groups, scales, geom.nfine, jnp.asarray(fmeans, dtype=accum_dtype()), nvel
+        ),
+        dtype=np.float64,
+    )
     out: Dict[str, np.ndarray | Dict[str, np.ndarray]] = {
         "span": geom.span.copy(),
         "mean_dens": d0 / layer_volume,
@@ -370,10 +469,9 @@ def favre_profiles(
         "favre_rms": {},
     }
     for i, a in enumerate(axes):
-        fmean = dv[i] / safe_d
         p = pairs.index((i, i))
-        var = prof[quad_base + p] / safe_d - fmean**2
-        out["favre_mean"][f"vel{a}"] = fmean
+        var = cov[p] / safe_d
+        out["favre_mean"][f"vel{a}"] = fmeans[i]
         out["favre_rms"][f"vel{a}"] = np.sqrt(np.maximum(var, 0.0))
     return out
 
@@ -390,7 +488,7 @@ def slice_integral(
     """
     blk = jnp.asarray(geom.blocklist)
     fields = (jnp.take(field_data, blk, axis=0),)
-    moments = _row_moments(fields, raxis=geom.raxis, nvel=0, with_second_moments=False)
+    moments = _row_moments(fields, raxis=geom.raxis, nvel=0)
     groups, scales = geom.device_groups(moments)
     prof = np.asarray(_scatter_groups(groups, scales, geom.nfine), dtype=np.float64)
     return geom.span.copy(), prof[0]

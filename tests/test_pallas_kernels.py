@@ -70,6 +70,93 @@ def test_centered_moments_consistent_with_expansion():
         np.testing.assert_allclose(cen[p], expansion, rtol=1e-9, atol=1e-12)
 
 
+def _block_stack(nb=6, nx=8, ny=16, nz=16, seed=5, dtype=jnp.float32, mean_v=0.0):
+    key = jax.random.PRNGKey(seed)
+    d = 1.0 + 0.3 * jax.random.uniform(key, (nb, nx, ny, nz), dtype=dtype)
+    vs = [
+        mean_v + jax.random.normal(k, (nb, nx, ny, nz), dtype=dtype)
+        for k in jax.random.split(key, 3)
+    ]
+    return d, vs
+
+
+def test_block_row_moments_interpret_matches_jnp(force_interpret):
+    d, vs = _block_stack()
+    got = np.asarray(pk.block_row_moments(d, *vs))
+    ref = np.asarray(pk._block_row_moments_jnp(d, *vs))
+    assert got.shape == (7, 6, 8)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
+
+
+def test_block_centered_moments_interpret_matches_jnp(force_interpret):
+    d, vs = _block_stack(seed=6)
+    means = jnp.stack([jnp.mean(v, axis=(2, 3)) for v in vs])
+    got = np.asarray(pk.block_centered_row_moments(d, *vs, means))
+    ref = np.asarray(pk._block_centered_jnp(d, *vs, means))
+    assert got.shape == (9, 6, 8)
+    # The c1 sums are ~0 by construction; f32 ordering noise is absolute.
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("use_kernels", [False, True])
+def test_amr_reynolds_stress_float32_accuracy(use_kernels):
+    """The general (multi-block) profile path must hold float32 accuracy
+    in the large-mean/small-fluctuation regime via the centered pass."""
+    from fava_tpu.ops import profiles as profile_ops
+
+    rng = np.random.default_rng(11)
+    nb, nx, ny, nz = 2, 8, 16, 16
+    mean_v = [10.0, -8.0, 6.0]
+    dens = (1.0 + 0.1 * rng.random((nb, nx, ny, nz))).astype(np.float32).astype(np.float64)
+    vels = [
+        (mv + 1e-2 * rng.standard_normal((nb, nx, ny, nz))).astype(np.float32).astype(np.float64)
+        for mv in mean_v
+    ]
+
+    geom = profile_ops.ProfileGeometry(
+        block_bounds=np.array(
+            [[[0.0, 1.0], [0.0, 1.0], [0.0, 1.0]], [[1.0, 2.0], [0.0, 1.0], [0.0, 1.0]]]
+        ),
+        refine_level=np.array([1, 1]),
+        blocklist=np.array([0, 1]),
+        domain_bounds=np.array([[0.0, 2.0], [0.0, 1.0], [0.0, 1.0]]),
+        ncells_vec=np.array([nx, ny, nz]),
+        nblks_vec=np.array([2, 1, 1]),
+        ndim=3,
+        raxis=0,
+    )
+
+    # f64 oracle: per fine bin (= block row here), centered covariances.
+    rows = np.concatenate([dens[0], dens[1]], axis=0)  # (16, ny, nz) along x
+    vrows = [np.concatenate([v[0], v[1]], axis=0) for v in vels]
+    layer = ny * nz
+    means = [v.sum(axis=(1, 2)) / layer for v in vrows]
+    pairs = [(i, j) for i in range(3) for j in range(i, 3)]
+    expected = {}
+    for i, j in pairs:
+        cvi = vrows[i] - means[i][:, None, None]
+        cvj = vrows[j] - means[j][:, None, None]
+        expected[f"R{'xyz'[i]}{'xyz'[j]}"] = (rows * cvi * cvj).sum(axis=(1, 2)) / layer
+
+    prev_x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", False)
+    if use_kernels:
+        pk.FORCE_INTERPRET = True
+    try:
+        data = {"dens": jnp.asarray(dens, dtype=jnp.float32)}
+        for a, v in zip("xyz", vels):
+            data[f"vel{a}"] = jnp.asarray(v, dtype=jnp.float32)
+        _, stress, _ = profile_ops.reynolds_stress(data, geom)
+    finally:
+        pk.FORCE_INTERPRET = False
+        jax.config.update("jax_enable_x64", prev_x64)
+
+    scale = max(np.abs(v).max() for v in expected.values())
+    for key_, exp in expected.items():
+        err = np.abs(stress[key_] - exp).max() / scale
+        assert err < 5e-5, (key_, err)
+
+
 def test_fallback_used_for_unaligned_shapes():
     # 12^3 violates the lane constraint: must silently use the jnp path.
     key = jax.random.PRNGKey(0)
@@ -88,6 +175,84 @@ def test_flagship_float32_produces_no_nans():
     out = jax.jit(lambda *f: uniform_analysis_step(*f, mesh=None))(*fields)
     for key in ("spectra_total", "spectra_longitudinal", "spectra_transverse"):
         assert not np.isnan(np.asarray(out[key])).any(), key
+
+
+def test_flagship_sharded_branch_float32_accuracy(eight_device_mesh):
+    """The sharded branch must use the centered two-pass: in float32,
+    small fluctuations on large mean velocities make the one-pass
+    algebraic expansion cancel catastrophically (>1e-2 relative here),
+    while centering keeps profiles at ~1e-5 of the f64 oracle."""
+    from fava_tpu.flagship import uniform_analysis_step
+    from fava_tpu.parallel import volume_sharding
+
+    rng = np.random.default_rng(7)
+    n = 16
+    layer = n * n
+    mean_v = [10.0, -8.0, 6.0]
+    # Quantize inputs to f32 up front so the oracle and the device see
+    # identical values and only algorithmic error is measured.
+    dens = (1.0 + 0.1 * rng.random((n, n, n))).astype(np.float32).astype(np.float64)
+    vels = [
+        (mv + 1e-2 * rng.standard_normal((n, n, n))).astype(np.float32).astype(np.float64)
+        for mv in mean_v
+    ]
+
+    pairs = [(i, j) for i in range(3) for j in range(i, 3)]
+    means = [v.sum(axis=(1, 2)) / layer for v in vels]
+    cv = [v - m[:, None, None] for v, m in zip(vels, means)]
+    expected = np.stack(
+        [(dens * cv[i] * cv[j]).sum(axis=(1, 2)) / layer for i, j in pairs]
+    )
+
+    # Show the one-pass expansion really does lose float32 accuracy here.
+    d32 = dens.astype(np.float32)
+    v32 = [v.astype(np.float32) for v in vels]
+    m32 = [v.sum(axis=(1, 2), dtype=np.float32) / layer for v in v32]
+    dv32 = [(d32 * v).sum(axis=(1, 2), dtype=np.float32) for v in v32]
+    d_row32 = d32.sum(axis=(1, 2), dtype=np.float32)
+    onepass = np.stack(
+        [
+            (
+                (d32 * v32[i] * v32[j]).sum(axis=(1, 2), dtype=np.float32)
+                - m32[j] * dv32[i]
+                - m32[i] * dv32[j]
+                + m32[i] * m32[j] * d_row32
+            )
+            / layer
+            for (i, j) in pairs
+        ]
+    )
+    # Errors are normalized by the profile scale (cross terms of
+    # independent fluctuations are ~0, making pointwise relative error
+    # meaningless there).
+    scale = np.abs(expected).max()
+    err_onepass = np.abs(onepass - expected).max() / scale
+    assert err_onepass > 1e-3  # the regime is genuinely cancellation-prone
+
+    prev_x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", False)
+    try:
+        sharding = volume_sharding(eight_device_mesh, 0, 3)
+        dd = jax.device_put(jnp.asarray(dens, dtype=jnp.float32), sharding)
+        vv = [jax.device_put(jnp.asarray(v, dtype=jnp.float32), sharding) for v in vels]
+        out = jax.jit(lambda *f: uniform_analysis_step(*f, mesh=eight_device_mesh))(dd, *vv)
+        got = np.asarray(out["reynolds_stress"], dtype=np.float64)
+        favre_rms = np.asarray(out["favre_rms"], dtype=np.float64)
+    finally:
+        jax.config.update("jax_enable_x64", prev_x64)
+
+    err = np.abs(got - expected).max() / scale
+    assert err < 5e-5, (err, err_onepass)
+    # Favre RMS is sqrt(variance): same cancellation regime, same bar.
+    fmean = [(dens * v).sum(axis=(1, 2)) / dens.sum(axis=(1, 2)) for v in vels]
+    exp_rms = np.stack(
+        [
+            np.sqrt((dens * (v - f[:, None, None]) ** 2).sum(axis=(1, 2)) / dens.sum(axis=(1, 2)))
+            for v, f in zip(vels, fmean)
+        ]
+    )
+    rel_rms = np.abs(favre_rms - exp_rms) / np.maximum(np.abs(exp_rms), 1e-30)
+    assert rel_rms.max() < 5e-4, rel_rms.max()
 
 
 def test_flagship_step_consistent_with_mesh_path():
