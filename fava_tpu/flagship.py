@@ -48,7 +48,11 @@ def uniform_analysis_step(
         sqrt_d = jnp.sqrt(dens)
         # Separate transforms: in this fused program XLA overlaps them
         # with the profile kernels; batching measured slightly slower.
-        ffts = [jnp.fft.rfftn(sqrt_d * v) / ntot for v in vels]
+        # On TPU the transform itself is the dense-DFT MXU path
+        # (ops/dft.py) — ~3x the XLA FFT lowering at 512^3.
+        from fava_tpu.ops.dft import rfftn_fast
+
+        ffts = [rfftn_fast(sqrt_d * v) / ntot for v in vels]
         from fava_tpu.ops.spectra import rfft_power_volumes
 
         total, longi, trans, _ = rfft_power_volumes(ffts, (nx, ny, nz))

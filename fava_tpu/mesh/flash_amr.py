@@ -428,6 +428,21 @@ class FLASH(Structured):
             d = d[None]
         return d
 
+    def _host_field_stack(self, name: str) -> np.ndarray:
+        """Host block stack WITHOUT forcing a replicated device copy —
+        the sharded regrid places per-device block subsets itself."""
+        field = name if name in self.fields else FIELD_MAPPING.get(name)
+        if field is None or field not in self.fields:
+            raise KeyError(name)
+        if field in self._data:
+            host = np.asarray(self._data[field])
+        else:
+            with h5py.File(self._filename, "r") as f:
+                host = flash_file.read_field(f, field, dtype=compute_dtype())
+        if host.ndim == 3:
+            host = host[None]
+        return host
+
     @timer
     def reynolds_stress(self, raxis: int = 0):
         """Reynolds stress profiles (reference: _flash.py:1506-1611)."""
@@ -554,19 +569,32 @@ class FLASH(Structured):
             subdomain_coords=subdomain_coords,
         )
 
-        # With an active device mesh, slab-shard the output volume over
-        # "space" (multi-chip HBM capacity is the point of the mesh);
-        # single chip keeps the tile-DMA Pallas path.
-        if sharding is None:
-            from fava_tpu.parallel import runtime as prt
-
-            n_space = prt.space_axis_size()
-            if n_space > 1 and plan.out_shape[0] % n_space == 0:
-                sharding = prt.volume_sharding(axis=0, ndim=3)
-
         _fields = list(fields) if fields is not None else list(self.fields)
-        data = {key: self._field_stack(key) for key in _fields}
-        regridded = regrid_ops.regrid_fields(plan, data, _fields, sharding=sharding)
+
+        # With an active device mesh, slab-shard the output over "space"
+        # AND distribute the source block stack: each device receives
+        # only the blocks its output slab reads (from host, never
+        # materializing the full stack per device), so multi-chip HBM
+        # pools for 1024^3-class trees. Single chip keeps the tile-DMA
+        # Pallas path.
+        from fava_tpu.parallel import runtime as prt
+
+        active_mesh = prt.get_mesh()
+        n_space = prt.space_axis_size()
+        if (
+            sharding is None
+            and active_mesh is not None
+            and n_space > 1
+            and self.ndim == 3
+            and plan.out_shape[0] % n_space == 0
+        ):
+            host_stacks = {key: self._host_field_stack(key) for key in _fields}
+            regridded = regrid_ops.regrid_fields_sharded(
+                plan, host_stacks, _fields, active_mesh, axis_name=prt.SPACE_AXIS
+            )
+        else:
+            data = {key: self._field_stack(key) for key in _fields}
+            regridded = regrid_ops.regrid_fields(plan, data, _fields, sharding=sharding)
 
         total_cells = plan.total_cells
         refdom = plan.domain_box

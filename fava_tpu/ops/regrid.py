@@ -179,6 +179,122 @@ def _build_gather_fns(out_shape, ncells, origin, block_shape):
     return flat_indices, gather
 
 
+class ShardedRegridPlan:
+    """Host-side block distribution for a mesh-sharded regrid.
+
+    The output volume is slab-sharded along x over the ``space`` axis;
+    each device receives ONLY the source blocks its slab reads (plus
+    boundary overlap), so multi-chip HBM capacity pools for the input
+    block stack instead of replicating it (round-1 gap: every device
+    gathered from the full stack). Addresses reference
+    _flash.py:1262-1321 at pod scale.
+    """
+
+    def __init__(self, plan: RegridPlan, n_space: int) -> None:
+        nx = plan.out_shape[0]
+        assert nx % n_space == 0, "output x extent must divide the space axis"
+        self.plan = plan
+        self.n_space = n_space
+        self.nxs = nx // n_space
+        ncx = int(plan.ncells_vec[0])
+        ox = int(plan.out_origin[0])
+
+        table = plan.leaf_table
+        nb_total = len(plan.block_scales)
+        dev_ids = []
+        for d in range(n_space):
+            r0 = (d * self.nxs + ox) // ncx
+            r1 = ((d + 1) * self.nxs - 1 + ox) // ncx
+            sub = table[r0 : r1 + 1]
+            ids = np.unique(sub[sub >= 0])
+            dev_ids.append(ids.astype(np.int64))
+        self.bmax = max(1, max(ids.size for ids in dev_ids))
+        self.block_ids = np.zeros((n_space, self.bmax), dtype=np.int64)
+        # Global block id -> position in the device-local stack.
+        self.remap = np.zeros((n_space, max(1, nb_total)), dtype=np.int32)
+        for d, ids in enumerate(dev_ids):
+            self.block_ids[d, : ids.size] = ids
+            self.remap[d, ids] = np.arange(ids.size, dtype=np.int32)
+
+    def place_stack(self, host_stack: np.ndarray, mesh, axis_name: str) -> jax.Array:
+        """Per-device block subsets, placed straight from host memory."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P(axis_name))
+        shape = (self.n_space * self.bmax,) + tuple(host_stack.shape[1:])
+        ids = self.block_ids
+
+        def cb(index):
+            lo = index[0].start or 0
+            d = lo // self.bmax
+            return host_stack[ids[d]]
+
+        return jax.make_array_from_callback(shape, sharding, cb)
+
+
+def regrid_fields_sharded(
+    plan: RegridPlan,
+    host_stacks: Dict[str, np.ndarray],
+    fields: Sequence[str],
+    mesh,
+    axis_name: str = "space",
+) -> Dict[str, jax.Array]:
+    """Mesh-sharded regrid: local gather from per-device block subsets.
+
+    Each device holds its output x-slab and only the source blocks that
+    slab reads. One shard_map, no collectives: block distribution and
+    index remapping are precomputed on host.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_space = mesh.shape[axis_name]
+    splan = ShardedRegridPlan(plan, n_space)
+    nx, ny, nz = plan.out_shape
+    nxs = splan.nxs
+    ncx, ncy, ncz = (int(c) for c in plan.ncells_vec)
+    ox, oy, oz = (int(o) for o in plan.out_origin)
+    first = host_stacks[fields[0]]
+    bx, by, bz = (int(s) for s in first.shape[1:])
+    bmax = splan.bmax
+
+    leaf_table = jnp.asarray(plan.leaf_table)
+    offsets = jnp.asarray(plan.block_offsets)
+    scales = jnp.asarray(plan.block_scales)
+    remap = jnp.asarray(splan.remap)
+
+    def local(stack_loc, remap_loc):
+        d = jax.lax.axis_index(axis_name)
+        gx = (d * nxs + jnp.arange(nxs) + ox)[:, None, None]
+        gy = (jnp.arange(ny) + oy)[None, :, None]
+        gz = (jnp.arange(nz) + oz)[None, None, :]
+        blkid = leaf_table[gx // ncx, gy // ncy, gz // ncz]
+        safe = jnp.maximum(blkid, 0)
+        s = scales[safe]
+        cx = jnp.clip((gx - offsets[safe, 0]) // s, 0, bx - 1)
+        cy = jnp.clip((gy - offsets[safe, 1]) // s, 0, by - 1)
+        cz = jnp.clip((gz - offsets[safe, 2]) // s, 0, bz - 1)
+        local_id = remap_loc[0, safe]
+        flat = ((local_id * bx + cx) * by + cy) * bz + cz
+        out = jnp.take(stack_loc.reshape(-1), flat.reshape(-1)).reshape((nxs, ny, nz))
+        return jnp.where(blkid >= 0, out, 0)
+
+    gather = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name)),
+            out_specs=P(axis_name, None, None),
+        )
+    )
+
+    remap_dev = jax.device_put(remap, NamedSharding(mesh, P(axis_name)))
+    out = {}
+    for name in fields:
+        stack = splan.place_stack(np.asarray(host_stacks[name]), mesh, axis_name)
+        out[name] = gather(stack, remap_dev)
+    return out
+
+
 def regrid_fields(
     plan: RegridPlan,
     data: Dict[str, jax.Array],

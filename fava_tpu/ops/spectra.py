@@ -212,10 +212,17 @@ def _build_spectra_fn(shape: Tuple[int, ...], mesh_key, nbins: int):
             # the FFT and binning cost.
             from fava_tpu.ops.pallas_kernels import shell_bin_sums_rfft
 
+            from fava_tpu.ops.dft import rfftn_fast, use_mxu_fft
+
             nx, ny, nz = shape
             sqrt_d = jnp.sqrt(dens)
-            fft3 = jnp.fft.rfftn(jnp.stack([sqrt_d * v for v in vels]), axes=(1, 2, 3)) / ntot
-            ffts = [fft3[i] for i in range(len(vels))]
+            if use_mxu_fft(shape):
+                ffts = [rfftn_fast(sqrt_d * v) / ntot for v in vels]
+            else:
+                fft3 = (
+                    jnp.fft.rfftn(jnp.stack([sqrt_d * v for v in vels]), axes=(1, 2, 3)) / ntot
+                )
+                ffts = [fft3[i] for i in range(len(vels))]
             total, longi, trans, _ = rfft_power_volumes(ffts, (nx, ny, nz))
             counts, sums = shell_bin_sums_rfft(
                 total.astype(adt), longi.astype(adt), trans.astype(adt), nbins, nz

@@ -1,0 +1,32 @@
+"""Dense MXU DFT vs numpy FFT (float64 exact on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fava_tpu.ops import dft
+
+
+@pytest.mark.parametrize("shape", [(8, 8, 8), (16, 12, 8), (8, 8, 9), (4, 16, 6)])
+def test_rfftn_mxu_matches_numpy(shape):
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(shape)
+    got = np.asarray(dft.rfftn_mxu(jnp.asarray(x)))
+    ref = np.fft.rfftn(x)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-10)
+
+
+def test_rfftn_fast_dispatches_off_tpu():
+    # On the CPU test backend the jnp.fft path must be taken (exact).
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((8, 8, 8)))
+    np.testing.assert_allclose(
+        np.asarray(dft.rfftn_fast(x)), np.fft.rfftn(np.asarray(x)), rtol=1e-12, atol=1e-12
+    )
+
+
+def test_use_mxu_fft_gates():
+    assert not dft.use_mxu_fft((8, 8))  # 2D: no
+    assert not dft.use_mxu_fft((2048, 8, 8))  # beyond dense regime
+    # 3D within range: depends on platform only (CPU here -> False).
+    assert not dft.use_mxu_fft((64, 64, 64))

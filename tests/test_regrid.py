@@ -99,3 +99,38 @@ def test_regrid_sharded_matches(amr_mesh, eight_device_mesh):
     sharding = volume_sharding(eight_device_mesh, axis=0, ndim=3)
     amr_mesh.from_amr(fields=["dens"], save_file=False, sharding=sharding)
     np.testing.assert_allclose(np.asarray(amr_mesh._data["dens"]), expected["dens"], rtol=1e-12)
+
+
+def test_regrid_mesh_active_distributes_input_blocks(amr_mesh, eight_device_mesh):
+    """With an active mesh, from_amr must pool HBM: the source stack is
+    distributed as per-device block subsets (each strictly smaller than
+    the full stack), the output is x-slab-sharded, and values match the
+    per-cell oracle."""
+    from fava_tpu.ops.regrid import RegridPlan, ShardedRegridPlan
+    from fava_tpu.parallel import use_mesh
+
+    expected, _ = _oracle(amr_mesh)
+
+    plan = RegridPlan(
+        block_bounds=np.asarray(amr_mesh.block_bounds),
+        node_type=np.asarray(amr_mesh.node_type),
+        refine_level=np.asarray(amr_mesh.refine_level),
+        ncells_vec=amr_mesh.nCellsVec,
+        nblks_vec=amr_mesh.nBlksVec,
+        ndim=3,
+    )
+    splan = ShardedRegridPlan(plan, 8)
+    # HBM pooling: every device holds fewer blocks than the full stack.
+    assert splan.bmax < len(plan.block_scales)
+    # Every output slab's sources are covered by its device list.
+    for d in range(8):
+        needed = set(splan.block_ids[d].tolist())
+        assert needed <= set(range(len(plan.block_scales)))
+
+    with use_mesh(eight_device_mesh):
+        amr_mesh.from_amr(fields=["dens", "velx"], save_file=False)
+    for key in ("dens", "velx"):
+        got = amr_mesh._data[key]
+        # Output is sharded over the space axis (not fully replicated).
+        assert len(got.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(got), expected[key], rtol=1e-12)
