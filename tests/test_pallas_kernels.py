@@ -42,6 +42,45 @@ def test_shell_bin_interpret_matches_jnp(force_interpret):
     np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref), rtol=2e-5, atol=1e-6)
 
 
+def test_shell_bin_more_than_128_bins(force_interpret):
+    """Regression: shells beyond lane 128 were silently truncated
+    (output block hard-coded to LANE wide), corrupting every spectrum
+    with max extent >= 258 — including the 512^3 flagship."""
+    nbins = 149  # max extent 300 -> bins up to 148 carry real content
+    rng = np.random.default_rng(12)
+    full = jnp.asarray(np.abs(rng.standard_normal((8, 8, 300))), dtype=jnp.float32)
+    c_got, s_got = pk.shell_bin_sums(full, 0.5 * full, 0.5 * full, nbins)
+    c_ref, s_ref = pk._shell_bin_jnp(full, 0.5 * full, 0.5 * full, nbins)
+    assert np.asarray(c_got).shape == (nbins,)
+    assert np.asarray(c_ref)[130:].sum() > 0  # shells beyond lane 128 populated
+    np.testing.assert_allclose(np.asarray(c_got), np.asarray(c_ref))
+    np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref), rtol=2e-5, atol=1e-6)
+
+    half = jnp.asarray(np.abs(rng.standard_normal((8, 8, 151))), dtype=jnp.float32)
+    c_got, s_got = pk.shell_bin_sums_rfft(half, 0.5 * half, 0.5 * half, nbins, 300)
+    c_ref, s_ref = pk._shell_bin_jnp_rfft(half, 0.5 * half, 0.5 * half, nbins, 300)
+    assert np.asarray(c_got).shape == (nbins,)
+    assert np.asarray(c_ref)[130:].sum() > 0
+    np.testing.assert_allclose(np.asarray(c_got), np.asarray(c_ref))
+    np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref), rtol=2e-5, atol=1e-6)
+
+
+def test_shell_bin_rfft_folded_interpret_matches_jnp(force_interpret):
+    """The quadrant-folded rfft binning kernel must reproduce the jnp
+    Hermitian-weighted reference on arbitrary half-spectrum volumes."""
+    nx, ny, nz = 16, 16, 16
+    nzr = nz // 2 + 1
+    rng = np.random.default_rng(9)
+    total = jnp.asarray(np.abs(rng.standard_normal((nx, ny, nzr))), dtype=jnp.float32)
+    longi = jnp.asarray(np.abs(rng.standard_normal((nx, ny, nzr))), dtype=jnp.float32)
+    trans = total - longi
+    nbins = nx // 2 - 1
+    c_got, s_got = pk.shell_bin_sums_rfft(total, longi, trans, nbins, nz)
+    c_ref, s_ref = pk._shell_bin_jnp_rfft(total, longi, trans, nbins, nz)
+    np.testing.assert_allclose(np.asarray(c_got), np.asarray(c_ref))
+    np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref), rtol=2e-5, atol=1e-6)
+
+
 def test_centered_moments_interpret_matches_jnp(force_interpret):
     d, vs = _fields(16, seed=3)
     means = jnp.stack([jnp.mean(v, axis=(1, 2)) for v in vs])
