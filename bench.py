@@ -56,18 +56,39 @@ def _device_time(n: int, repeats: int = 3) -> float:
 
     futils.timing.VERBOSE = False
 
+    import jax
+    import jax.numpy as jnp
+
     fields = make_example_fields(n=n)
     for f in fields:
         f.block_until_ready()
 
-    step = jitted_analysis_step(None)
+    inner = jitted_analysis_step(None)
+
+    @jax.jit
+    def step(*f):
+        out = inner(*f)
+        # Pack every small result into ONE array so syncing costs a
+        # single host round trip (each fetch through the axon tunnel
+        # pays the ~27 ms dispatch floor).
+        return jnp.concatenate(
+            [
+                out["spectra_counts"],
+                out["spectra_total"],
+                out["spectra_longitudinal"],
+                out["spectra_transverse"],
+                out["reynolds_stress"].ravel(),
+                out["favre_mean"].ravel(),
+                out["favre_rms"].ravel(),
+                out["mean_dens"],
+                jnp.atleast_1d(out["total_mass"]),
+            ]
+        )
 
     def sync(out):
-        # Fetch the small outputs: forces full device sync (the axon
+        # Fetch the packed outputs: forces full device sync (the axon
         # tunnel's block_until_ready does not reliably synchronize).
-        np.asarray(out["spectra_total"])
-        np.asarray(out["reynolds_stress"])
-        np.asarray(out["favre_rms"])
+        np.asarray(out)
 
     sync(step(*fields))  # compile + first run
 
