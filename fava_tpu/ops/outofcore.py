@@ -1,0 +1,181 @@
+"""Out-of-core flagship analysis for volumes exceeding single-chip HBM.
+
+A 1024^3 float32 snapshot needs 4 x 4.3 GB of fields plus FFT
+temporaries — more than one v5e's 16 GB. The pod answer is the sharded
+flagship (slab sharding + sharded FFT), but a single chip can still run
+the FULL spectra + profile suite by streaming:
+
+Stage A (one pass over x-slabs, host -> device):
+  upload (dens, velx, vely, velz) slabs; per velocity component compute
+  w = sqrt(dens) * v and apply the z (real) and y (complex) DFTs — both
+  LOCAL to an x-slab — writing into three device-resident zy-spectra
+  buffers (complex64, the dominant HBM cost: 3 x nx*ny*(nz/2+1)*8 B).
+  The same slab visit computes the profile row moments: on a uniform
+  volume every x-row is one profile bin, entirely inside its slab, so
+  the raw AND centered moments finish in this single pass.
+
+Stage B (kx-chunked, device-only):
+  the x-axis DFT couples slabs but is a matmul over x — apply it one
+  kx-chunk at a time (einsum with a (chunk, nx) DFT matrix slice on the
+  MXU), form the spectral powers, and shell-bin each chunk as it is
+  produced (Pallas kernel with the chunk's kx offset scalar-prefetched).
+  Peak extra memory is one chunk (~chunk/nx of a full volume).
+
+The result dict matches flagship.uniform_analysis_step exactly (same
+keys, same math; validated in tests/test_outofcore.py). Reference being
+replaced at this scale: redundant full-volume np.fft.fftn per rank,
+fava/mesh/FLASH/FlashUniform.py:268.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fava_tpu.ops import dft
+from fava_tpu.ops import pallas_kernels as pk
+from fava_tpu.ops.spectra import rfft_power_volumes
+from fava_tpu.utils import accum_dtype
+
+# field_slab(name, x0, x1) -> np.ndarray of shape (x1-x0, ny, nz)
+SlabLoader = Callable[[str, int, int], np.ndarray]
+
+FIELDS = ("dens", "velx", "vely", "velz")
+
+
+def _stage_a_fn(slab_shape: Tuple[int, int, int], full_shape: Tuple[int, int, int]):
+    nx, ny, nz = full_shape
+    precision = jax.lax.Precision.HIGHEST
+
+    def run(bz0, bz1, bz2, d_slab, vx, vy, vz, i0):
+        rdt = d_slab.dtype.name
+        cr, ci = (jnp.asarray(m) for m in dft._rdft_mats(nz, rdt))
+        dy = jnp.asarray(dft._dft_mat(ny, rdt))
+        sd = jnp.sqrt(d_slab)
+        bufs = []
+        for buf, v in zip((bz0, bz1, bz2), (vx, vy, vz)):
+            w = sd * v
+            re = jnp.einsum("xyz,zk->xyk", w, cr, precision=precision)
+            im = jnp.einsum("xyz,zk->xyk", w, ci, precision=precision)
+            wz = jax.lax.complex(re, im)
+            wzy = jnp.einsum("ab,xbz->xaz", dy, wz, precision=precision)
+            zero = jnp.zeros((), dtype=i0.dtype)
+            bufs.append(jax.lax.dynamic_update_slice(buf, wzy, (i0, zero, zero)))
+
+        # Profile moments: each x-row is a whole profile bin.
+        raw = pk.block_row_moments(
+            d_slab[None], vx[None], vy[None], vz[None]
+        )[:, 0, :]
+        means = (raw[1:4].astype(accum_dtype()) / (ny * nz)).astype(d_slab.dtype)
+        cen = pk.block_centered_row_moments(
+            d_slab[None], vx[None], vy[None], vz[None], means[:, None, :]
+        )[:, 0, :]
+        return bufs[0], bufs[1], bufs[2], raw, cen
+
+    return jax.jit(run, donate_argnums=(0, 1, 2))
+
+
+def _stage_b_fn(full_shape: Tuple[int, int, int], chunk: int, nbins: int):
+    nx, ny, nz = full_shape
+    nzr = nz // 2 + 1
+    ntot = nx * ny * nz
+    precision = jax.lax.Precision.HIGHEST
+
+    def run(bz0, bz1, bz2, dxc, kx0, acc_counts, acc_sums):
+        # dxc: (chunk, nx) complex DFT rows, pre-scaled by 1/ntot.
+        ws = [
+            jnp.einsum("kx,xyz->kyz", dxc, b, precision=precision) for b in (bz0, bz1, bz2)
+        ]
+        jxg = kx0 + jnp.arange(chunk)
+        kxv = jnp.where(jxg <= (nx - 1) // 2, jxg, jxg - nx).astype(ws[0].real.dtype)
+        total, longi, trans, _ = rfft_power_volumes(
+            ws, full_shape, jx=jxg, kx=kxv
+        )
+        counts, sums = pk.shell_bin_sums_rfft_chunk(
+            total, longi, trans, nbins, nx, nz, kx0
+        )
+        return acc_counts + counts, acc_sums + sums
+
+    return jax.jit(run)
+
+
+def streamed_uniform_analysis(
+    field_slab: SlabLoader,
+    shape: Tuple[int, int, int],
+    *,
+    slab_rows: int = 64,
+    chunk_rows: int = 128,
+    dtype=jnp.float32,
+) -> Dict[str, np.ndarray]:
+    """Full spectra + Reynolds/Favre profile suite, streamed from host.
+
+    Matches flagship.uniform_analysis_step's output dict for volumes
+    that cannot be device-resident. ``slab_rows``/``chunk_rows`` must
+    divide nx.
+    """
+    nx, ny, nz = (int(s) for s in shape)
+    assert nx % slab_rows == 0 and nx % chunk_rows == 0
+    nzr = nz // 2 + 1
+    nbins = max(shape) // 2 - 1
+    adt = accum_dtype()
+    cdt = jnp.complex128 if jnp.dtype(dtype) == jnp.float64 else jnp.complex64
+
+    bufs = [jnp.zeros((nx, ny, nzr), dtype=cdt) for _ in range(3)]
+    stage_a = _stage_a_fn((slab_rows, ny, nz), (nx, ny, nz))
+
+    raws = []
+    cens = []
+    for x0 in range(0, nx, slab_rows):
+        slabs = [
+            jnp.asarray(field_slab(name, x0, x0 + slab_rows), dtype=dtype) for name in FIELDS
+        ]
+        *bufs, raw, cen = stage_a(*bufs, *slabs, jnp.asarray(x0, dtype=jnp.int32))
+        raws.append(raw)
+        cens.append(cen)
+
+    raw = jnp.concatenate([r.astype(adt) for r in raws], axis=-1)  # (7, nx)
+    cen = jnp.concatenate([c.astype(adt) for c in cens], axis=-1)  # (9, nx)
+
+    # --- Stage B: kx-chunked x-DFT + powers + binning -----------------
+    stage_b = _stage_b_fn((nx, ny, nz), chunk_rows, nbins)
+    dmat = dft._dft_mat(nx, jnp.dtype(dtype).name) / (nx * ny * nz)
+    counts = jnp.zeros(nbins, dtype=adt)
+    sums = jnp.zeros((3, nbins), dtype=adt)
+    for kx0 in range(0, nx, chunk_rows):
+        dxc = jnp.asarray(dmat[kx0 : kx0 + chunk_rows])
+        counts, sums = stage_b(*bufs, dxc, jnp.asarray(kx0, dtype=jnp.int32), counts, sums)
+
+    # --- Assemble the flagship output dict ----------------------------
+    layer = jnp.asarray(ny * nz, dtype=adt)
+    d_row = raw[0]
+    v_rows = raw[1:4]
+    dv_rows = raw[4:7]
+    mean_d = d_row / layer
+    means = v_rows / layer
+    cov = cen[:6]
+    c1 = cen[6:9]
+    pairs = [(i, j) for i in range(3) for j in range(i, 3)]
+    stress = cov / layer
+    favre_mean = dv_rows / d_row
+    diag = [pairs.index((i, i)) for i in range(3)]
+    favre_rms = []
+    for i in range(3):
+        di = favre_mean[i] - means[i]
+        var = (cov[diag[i]] - 2.0 * di * c1[i] + di * di * d_row) / d_row
+        favre_rms.append(jnp.sqrt(jnp.maximum(var, 0.0)))
+
+    out = {
+        "spectra_counts": counts,
+        "spectra_total": sums[0],
+        "spectra_longitudinal": sums[1],
+        "spectra_transverse": sums[2],
+        "mean_dens": mean_d,
+        "reynolds_stress": stress,
+        "favre_mean": favre_mean,
+        "favre_rms": jnp.stack(favre_rms),
+        "total_mass": jnp.sum(d_row),
+    }
+    return {k: np.asarray(v) for k, v in out.items()}

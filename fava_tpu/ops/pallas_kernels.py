@@ -722,6 +722,141 @@ def _build_shell_folded_fn(
     return jax.jit(run)
 
 
+def _shell_kernel_chunkx(kx0_ref, t_ref, l_ref, out_ref, *, full_nx, nbins, full_nz, nzr):
+    """rfft shell binning of an x-chunk of k-space (rows kx0..kx0+rows).
+
+    Used by the out-of-core 1024^3 path, where the x-axis DFT is
+    applied in chunks and each chunk is binned as it is produced.
+    ``kx0`` arrives via scalar prefetch so one compiled kernel serves
+    every chunk.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    jxg = i + kx0_ref[0]
+    kx = jnp.where(jxg <= (full_nx - 1) // 2, jxg, jxg - full_nx).astype(jnp.float32)
+
+    rows = t_ref.shape[1]
+    jy = jax.lax.broadcasted_iota(jnp.int32, (rows, nzr), 0)
+    jz = jax.lax.broadcasted_iota(jnp.int32, (rows, nzr), 1)
+    ky = jnp.where(jy <= (rows - 1) // 2, jy, jy - rows).astype(jnp.float32)
+    kzf = jz.astype(jnp.float32)
+    if full_nz % 2 == 0:
+        weight = jnp.where((jz == 0) | (jz == full_nz // 2), 1.0, 2.0)
+    else:
+        weight = jnp.where(jz == 0, 1.0, 2.0)
+
+    k_abs = jnp.sqrt(kx * kx + ky * ky + kzf * kzf)
+    shell = jnp.floor(k_abs + 0.5).astype(jnp.int32)
+    valid = k_abs <= (nbins - 0.5)
+    shell = jnp.where(valid, jnp.minimum(shell, nbins - 1), nbins)
+
+    t = t_ref[0]
+    l = l_ref[0]
+    width = _bins_width(nbins)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+
+    def body(b, acc):
+        m = (shell == b).astype(t.dtype) * weight
+        partial = jnp.stack([_sum2(m), _sum2(t * m), _sum2(l * m)])
+        onehot = (lane == b).astype(acc.dtype)
+        return acc + partial[:, None] * onehot
+
+    b_lo = jnp.maximum(jnp.floor(jnp.abs(kx) - 0.5).astype(jnp.int32), 0)
+    acc = jax.lax.fori_loop(b_lo, nbins, body, jnp.zeros((3, width), dtype=out_ref.dtype))
+    out_ref[...] += acc
+
+
+@lru_cache(maxsize=8)
+def _build_shell_chunk_fn(
+    chunk_shape: Tuple[int, int, int],
+    nbins: int,
+    dtype_name: str,
+    interpret: bool,
+    full_nx: int,
+    full_nz: int,
+):
+    rows_x, ny, nzr = chunk_shape
+    dtype = jnp.dtype(dtype_name)
+    slab = pl.BlockSpec((1, ny, nzr), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM)
+    kernel = partial(
+        _shell_kernel_chunkx, full_nx=full_nx, nbins=nbins, full_nz=full_nz, nzr=nzr
+    )
+    width = _bins_width(nbins)
+
+    def run(kx0, total, longi):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(rows_x,),
+            in_specs=[slab, slab],
+            out_specs=pl.BlockSpec((3, width), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((3, width), dtype),
+            interpret=interpret,
+        )(kx0, total, longi)
+        counts = out[0, :nbins]
+        t_sum = out[1, :nbins]
+        l_sum = out[2, :nbins]
+        return counts, jnp.stack([t_sum, l_sum, t_sum - l_sum])
+
+    return jax.jit(run)
+
+
+def shell_bin_sums_rfft_chunk(
+    total: jax.Array,
+    longi: jax.Array,
+    trans: jax.Array,
+    nbins: int,
+    full_nx: int,
+    full_nz: int,
+    kx0,
+):
+    """Hermitian-weighted shell binning of an x-chunk of rfft powers.
+
+    ``kx0`` (traced int) is the chunk's first global x index. Sums over
+    all chunks equal the full-volume shell binning.
+    """
+    shape = tuple(int(s) for s in total.shape)
+    if (on_tpu() or FORCE_INTERPRET) and shape[1] % 8 == 0:
+        kx0_arr = jnp.asarray([kx0], dtype=jnp.int32)
+        return _build_shell_chunk_fn(
+            shape, int(nbins), str(total.dtype), FORCE_INTERPRET, full_nx, full_nz
+        )(kx0_arr, total, longi)
+    return _shell_bin_jnp_rfft_chunk(total, longi, trans, nbins, full_nx, full_nz, kx0)
+
+
+@partial(jax.jit, static_argnames=("nbins", "full_nx", "full_nz"))
+def _shell_bin_jnp_rfft_chunk(total, longi, trans, nbins, full_nx, full_nz, kx0):
+    rows_x, ny, nzr = total.shape
+    jxg = kx0 + jnp.arange(rows_x)
+    kx = jnp.where(jxg <= (full_nx - 1) // 2, jxg, jxg - full_nx).astype(total.dtype)
+    ky = jnp.arange(ny)
+    ky = jnp.where(ky <= (ny - 1) // 2, ky, ky - ny).astype(total.dtype)
+    kz = jnp.arange(nzr).astype(total.dtype)
+    k_abs = jnp.sqrt(
+        kx[:, None, None] ** 2 + ky[None, :, None] ** 2 + kz[None, None, :] ** 2
+    )
+    self_conj = jnp.arange(nzr) == 0
+    if full_nz % 2 == 0:
+        self_conj = self_conj | (jnp.arange(nzr) == full_nz // 2)
+    weight = jnp.where(self_conj, 1.0, 2.0)
+    weight = jnp.broadcast_to(weight[None, None, :], total.shape).astype(total.dtype)
+
+    idx = jnp.clip(jnp.floor(k_abs + 0.5).astype(jnp.int32), 0, nbins - 1).ravel()
+    mask = (k_abs <= (nbins - 0.5)).ravel()
+    w = jnp.where(mask, weight.ravel(), 0)
+    counts = jnp.zeros(nbins, dtype=total.dtype).at[idx].add(w)
+    stacked = jnp.stack([total.ravel(), longi.ravel(), trans.ravel()])
+    sums = jnp.zeros((3, nbins), dtype=total.dtype).at[:, idx].add(stacked * w)
+    return counts, sums
+
+
 @partial(jax.jit, static_argnames=("nbins", "full_nz"))
 def _shell_bin_jnp_rfft(total, longi, trans, nbins, full_nz):
     shape = total.shape

@@ -65,7 +65,7 @@ def _split_nyquist(k, n: int, idx):
     return k, jnp.zeros_like(k)
 
 
-def rfft_power_volumes(ffts, full_shape: Tuple[int, int, int], jy=None, ky=None):
+def rfft_power_volumes(ffts, full_shape: Tuple[int, int, int], jy=None, ky=None, jx=None, kx=None):
     """(total, longi, trans, k_abs) power volumes of z-rfft half-spectra.
 
     ``ffts`` are the three velocity transforms with a half z axis
@@ -81,14 +81,18 @@ def rfft_power_volumes(ffts, full_shape: Tuple[int, int, int], jy=None, ky=None)
     points verbatim) uses the plain signed formula |reg.w - nyq.w|^2.
     Validated against full-grid binning in tests/test_spectra.py.
 
-    ``jy``/``ky`` override the y wavenumbers for sharded k-slabs
-    (1D arrays of global y indices / signed wavenumbers).
+    ``jy``/``ky`` (and ``jx``/``kx``) override the y (x) wavenumbers for
+    sharded or chunked k-slabs (1D arrays of global indices / signed
+    wavenumbers).
     """
     nx, ny, nz = full_shape
     nzr = ffts[0].shape[-1]
     rdt = ffts[0].real.dtype
-    kx = pfft._wavenumbers(nx, rdt)[:, None, None]
-    jx = jnp.arange(nx)[:, None, None]
+    if kx is None:
+        kx = pfft._wavenumbers(nx, rdt)
+        jx = jnp.arange(nx)
+    kx = kx[:, None, None]
+    jx = jx[:, None, None]
     if ky is None:
         ky = pfft._wavenumbers(ny, rdt)
         jy = jnp.arange(ny)
