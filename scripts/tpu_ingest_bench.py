@@ -69,15 +69,20 @@ def main() -> None:
             results[f"ingest_gbps_depth{depth}"] = gbps
             print(f"ingest depth={depth}: {gbps:.2f} GB/s", flush=True)
 
-        # Native vs NumPy axis swap + cast on one raw field read.
+        # Component breakdown on one snapshot: disk read, swap+cast
+        # (NumPy vs native C++), host->device transfer.
         import h5py
 
+        t0 = time.perf_counter()
         with h5py.File(paths[0], "r") as f:
-            raw = f["dens"][()]  # (nb, nz, ny, nx) float64 on disk
+            raw = f["dens"][()]  # (nz, ny, nx) float64 on disk
+        results["disk_read_s"] = time.perf_counter() - t0
+        results["disk_read_gbps"] = raw.nbytes / results["disk_read_s"] / 1e9
+        print(f"disk read: {results['disk_read_gbps']:.2f} GB/s", flush=True)
         reps = 3
 
         t_np = min(
-            _time_once(lambda: np.ascontiguousarray(raw.swapaxes(1, 3), dtype=np.float32))
+            _time_once(lambda: np.ascontiguousarray(raw.swapaxes(-1, -3), dtype=np.float32))
             for _ in range(reps)
         )
         results["transpose_numpy_s"] = t_np
@@ -92,7 +97,7 @@ def main() -> None:
             results["transpose_speedup"] = t_np / t_nat
             ok = np.array_equal(
                 native.swap_axes_cast(raw, np.float32),
-                np.ascontiguousarray(raw.swapaxes(1, 3), dtype=np.float32),
+                np.ascontiguousarray(raw.swapaxes(-1, -3), dtype=np.float32),
             )
             results["transpose_native_matches"] = bool(ok)
             print(
@@ -103,6 +108,20 @@ def main() -> None:
             )
         else:
             print("native transpose unavailable", flush=True)
+
+        # Pure host->device bandwidth through the runtime (f32 volume).
+        host32 = np.ascontiguousarray(raw.swapaxes(-1, -3), dtype=np.float32)
+        import jax.numpy as jnp
+
+        def put():
+            arr = jax.device_put(host32)
+            arr.block_until_ready()
+            float(jnp.sum(arr[:1, :1, :8]).block_until_ready().item())
+
+        t_put = min(_time_once(put) for _ in range(reps))
+        results["device_put_s"] = t_put
+        results["device_put_gbps"] = host32.nbytes / t_put / 1e9
+        print(f"device_put: {results['device_put_gbps']:.2f} GB/s", flush=True)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
