@@ -395,15 +395,29 @@ class FLASH(Structured):
         return float(arr[(blockID, *point[: self.ndim])])
 
     def sample_fields(self, points: np.ndarray, fields: Sequence[str], block_list=None):
-        """Vectorized point sampling: {field: values}, plus per-point volume fraction."""
+        """Vectorized point sampling: {field: values}, plus per-point volume fraction.
+
+        The gather runs on device and only the npoints sampled values
+        come back to host — the fields stay HBM-resident (the round-1
+        version pulled each full field to host per snapshot, the one
+        analysis path that ignored the HBM-resident design).
+        """
         blk, cells, found = self.locate_points(points, block_list)
         levels = np.asarray(self.refine_level)[blk]
         vol_frac = self._cell_volumes_for_levels(levels) / self.cell_volume_min
         out = {}
+        flat = None
         for field in fields:
-            arr = self.host_data(field)
-            idx = (blk,) + tuple(cells[:, a] for a in range(self.ndim))
-            out[field] = arr[idx]
+            stack = self._field_stack(field)
+            if flat is None:
+                shape = stack.shape
+                flat = np.asarray(blk, dtype=np.int64)
+                for a in range(1, stack.ndim):
+                    flat = flat * shape[a] + (
+                        cells[:, a - 1] if a - 1 < self.ndim else 0
+                    )
+                flat = jnp.asarray(flat)
+            out[field] = np.asarray(jnp.take(stack.reshape(-1), flat), dtype=np.float64)
         return out, vol_frac, found
 
     # ------------------------------------------------------------------
