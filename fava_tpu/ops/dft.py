@@ -58,23 +58,35 @@ def _dft_mat(n: int, dtype_name: str):
     return np.exp(1j * ang).astype(cdt)
 
 
+def rfft_trailing(x: jax.Array, precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """Real -> half-spectrum DFT along the trailing axis (two real matmuls)."""
+    n = x.shape[-1]
+    rdt = x.dtype.name
+    cr, ci = _rdft_mats(n, rdt)
+    re = jnp.einsum("...z,zk->...k", x, cr, precision=precision)
+    im = jnp.einsum("...z,zk->...k", x, ci, precision=precision)
+    return jax.lax.complex(re, im)
+
+
+def fft_axis(x: jax.Array, axis: int, precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """Complex DFT along ``axis`` as one dense matmul (dot_general
+    contracts the axis in place; no materialized transpose)."""
+    n = x.shape[axis]
+    d = _dft_mat(n, jnp.finfo(x.dtype).dtype.name)  # real counterpart of complex dtype
+    moved = jnp.moveaxis(x, axis, -1)
+    out = jnp.einsum("...b,ab->...a", moved, d, precision=precision)
+    return jnp.moveaxis(out, -1, axis)
+
+
 def rfftn_mxu(x: jax.Array, precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """rfftn of a real 3D volume via per-axis dense DFT matmuls.
 
     Matches ``jnp.fft.rfftn`` (unnormalized, half spectrum along the
     trailing axis) to matmul rounding.
     """
-    nx, ny, nz = x.shape
-    rdt = x.dtype.name
-    cr, ci = _rdft_mats(nz, rdt)
-    # z: real -> half spectrum, two real matmuls on the MXU.
-    re = jnp.einsum("xyz,zk->xyk", x, cr, precision=precision)
-    im = jnp.einsum("xyz,zk->xyk", x, ci, precision=precision)
-    w = jax.lax.complex(re, im)
-    # y then x: complex DFT matmuls (XLA decomposes to real MXU passes).
-    w = jnp.einsum("ab,xbz->xaz", _dft_mat(ny, rdt), w, precision=precision)
-    w = jnp.einsum("ab,byz->ayz", _dft_mat(nx, rdt), w, precision=precision)
-    return w
+    w = rfft_trailing(x, precision)
+    w = fft_axis(w, 1, precision)
+    return fft_axis(w, 0, precision)
 
 
 def use_mxu_fft(shape) -> bool:
@@ -91,3 +103,17 @@ def rfftn_fast(x: jax.Array) -> jax.Array:
     if use_mxu_fft(x.shape):
         return rfftn_mxu(x)
     return jnp.fft.rfftn(x)
+
+
+def rfft_trailing_fast(x: jax.Array) -> jax.Array:
+    n = int(x.shape[-1])
+    if 2 <= n <= MAX_DENSE_AXIS and jax.devices()[0].platform == "tpu":
+        return rfft_trailing(x)
+    return jnp.fft.rfft(x, axis=-1)
+
+
+def fft_axis_fast(x: jax.Array, axis: int) -> jax.Array:
+    n = int(x.shape[axis])
+    if 2 <= n <= MAX_DENSE_AXIS and jax.devices()[0].platform == "tpu":
+        return fft_axis(x, axis)
+    return jnp.fft.fft(x, axis=axis)

@@ -138,17 +138,21 @@ def sharded_power_spectra(dens, vels, mesh, nbins: int, axis_name: str = None):
 
     nzr = nz // 2 + 1
 
+    from fava_tpu.ops import dft as dftops
+
     def local(d_loc, *v_loc):
         sd = jnp.sqrt(d_loc)
         ffts = []
         for v in v_loc:
             # Real input: rfft along z halves local FFT work and the
             # all_to_all payload; Hermitian weights below make shell
-            # sums exactly equal to the full-grid computation.
-            w = jnp.fft.rfft(sd * v, axis=2)
-            w = jnp.fft.fft(w, axis=1)
+            # sums exactly equal to the full-grid computation. On TPU
+            # the per-axis transforms are dense MXU DFT matmuls
+            # (ops/dft.py) — XLA's FFT lowering is ~10x off roofline.
+            w = dftops.rfft_trailing_fast(sd * v)
+            w = dftops.fft_axis_fast(w, axis=1)
             w = jax.lax.all_to_all(w, axis_name, split_axis=1, concat_axis=0, tiled=True)
-            ffts.append(jnp.fft.fft(w, axis=0) / ntot)
+            ffts.append(dftops.fft_axis_fast(w, axis=0) / ntot)
 
         idx = jax.lax.axis_index(axis_name)
         lo = idx * (ny // nd)

@@ -25,6 +25,25 @@ def test_rfftn_fast_dispatches_off_tpu():
     )
 
 
+def test_axis_helpers_match_numpy():
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((6, 10, 8))
+    np.testing.assert_allclose(
+        np.asarray(dft.rfft_trailing(jnp.asarray(x))),
+        np.fft.rfft(x, axis=-1),
+        rtol=1e-10,
+        atol=1e-10,
+    )
+    xc = rng.standard_normal((6, 10, 8)) + 1j * rng.standard_normal((6, 10, 8))
+    for axis in (0, 1, 2):
+        np.testing.assert_allclose(
+            np.asarray(dft.fft_axis(jnp.asarray(xc), axis)),
+            np.fft.fft(xc, axis=axis),
+            rtol=1e-10,
+            atol=1e-10,
+        )
+
+
 def test_use_mxu_fft_gates():
     assert not dft.use_mxu_fft((8, 8))  # 2D: no
     assert not dft.use_mxu_fft((2048, 8, 8))  # beyond dense regime
