@@ -102,7 +102,11 @@ def uniform_analysis_step(
 
         stress = [cov[p] / layer for p in range(6)]
 
-        favre_mean = [dvr / d_row for dvr in dv_rows]
+        # favre_mean = mu + sum(d*(v-mu))/sum(d) exactly, and the
+        # centered c1 term is well-conditioned where the raw sum(d*v)
+        # cancels (near-zero-mean velocities: ~3e-2 scaled f32 error
+        # measured via VALIDATION.json before this form).
+        favre_mean = [means[i] + c1[i] / d_row for i in range(3)]
         diag = [pairs.index((i, i)) for i in range(3)]
         favre_rms = []
         for i in range(3):
@@ -122,7 +126,6 @@ def uniform_analysis_step(
 
         d_row = rows(dens)
         v_rows = [rows(v) for v in vels]
-        dv_rows = [rows(dens * v) for v in vels]
 
         mean_d = d_row / layer
         means = [vr / layer for vr in v_rows]
@@ -133,7 +136,7 @@ def uniform_analysis_step(
 
         stress = [c / layer for c in cov]
 
-        favre_mean = [dvr / d_row for dvr in dv_rows]
+        favre_mean = [means[i] + c1[i] / d_row for i in range(3)]
         diag = [pairs.index((i, i)) for i in range(3)]
         favre_rms = []
         for i in range(3):

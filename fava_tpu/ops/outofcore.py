@@ -152,14 +152,15 @@ def streamed_uniform_analysis(
     layer = jnp.asarray(ny * nz, dtype=adt)
     d_row = raw[0]
     v_rows = raw[1:4]
-    dv_rows = raw[4:7]
     mean_d = d_row / layer
     means = v_rows / layer
     cov = cen[:6]
     c1 = cen[6:9]
     pairs = [(i, j) for i in range(3) for j in range(i, 3)]
     stress = cov / layer
-    favre_mean = dv_rows / d_row
+    # mu + c1/sum(d): exact, conditioned where sum(d*v) cancels. The
+    # slab means mu equal v_rows/layer here (rows are whole bins).
+    favre_mean = means + c1 / d_row
     diag = [pairs.index((i, i)) for i in range(3)]
     favre_rms = []
     for i in range(3):

@@ -306,12 +306,20 @@ def _grouped_stats(data: Dict[str, jax.Array], geom: "ProfileGeometry"):
     """Level-grouped (raw, cen+Sd+mu) device groups + pass-1 profile."""
     nvel = geom.ndim
     nraw = 1 + 2 * nvel
+    npairs = len(_pair_indices(nvel))
     raw, mu, cen = _stack_stats(data, geom)
-    stacked = jnp.concatenate([raw.astype(accum_dtype()), cen.astype(accum_dtype()), mu.astype(accum_dtype())])
+    raw = raw.astype(accum_dtype())
+    cen = cen.astype(accum_dtype())
+    mu = mu.astype(accum_dtype())
+    # Recompose the d*v row sums from the centered residuals:
+    # sum(d*v) = c1 + mu*sum(d) exactly, and c1 stays accurate in f32
+    # where the raw product sum cancels (near-zero-mean velocities).
+    raw = raw.at[1 + nvel :].set(cen[npairs : npairs + nvel] + mu * raw[0][None])
+    stacked = jnp.concatenate([raw, cen, mu])
     groups, scales = geom.device_groups(stacked)
     raw_groups = tuple((g[0][:nraw], g[1], g[2]) for g in groups)
     cen_groups = tuple(
-        (g[0][nraw : nraw + len(_pair_indices(nvel)) + nvel], g[0][0], g[0][nraw + len(_pair_indices(nvel)) + nvel :], g[1], g[2])
+        (g[0][nraw : nraw + npairs + nvel], g[0][0], g[0][nraw + npairs + nvel :], g[1], g[2])
         for g in groups
     )
     prof_raw = np.asarray(_scatter_groups(raw_groups, scales, geom.nfine), dtype=np.float64)
@@ -433,7 +441,11 @@ def favre_profiles(
             "favre_rms": {},
         }
         for i, a in enumerate(axes):
-            fmean = np.asarray(dv_rows[i], dtype=np.float64) / safe_d
+            # mu + sum(d*(v-mu))/sum(d): exact identity, conditioned
+            # where the raw sum(d*v) cancels (zero-mean velocities).
+            fmean = np.asarray(means_rows[i], dtype=np.float64) + np.asarray(
+                c1[i], dtype=np.float64
+            ) / safe_d
             di = fmean - np.asarray(means_rows[i], dtype=np.float64)
             p = pairs3.index((i, i))
             var = (

@@ -294,6 +294,36 @@ def test_flagship_sharded_branch_float32_accuracy(eight_device_mesh):
     assert rel_rms.max() < 5e-4, rel_rms.max()
 
 
+def test_favre_mean_conditioned_for_zero_mean_velocities():
+    """favre_mean must be computed as mu + c1/sum(d): the raw sum(d*v)
+    cancels for near-zero-mean velocities and lost ~3e-2 (scaled) in
+    f32 on the chip (VALIDATION.json before the fix)."""
+    from fava_tpu.flagship import uniform_analysis_step
+
+    rng = np.random.default_rng(3)
+    n = 16
+    dens = (1.0 + 0.5 * rng.random((n, n, n))).astype(np.float32).astype(np.float64)
+    vels = [rng.standard_normal((n, n, n)).astype(np.float32).astype(np.float64) for _ in range(3)]
+
+    d_row = dens.sum(axis=(1, 2))
+    exp = np.stack([(dens * v).sum(axis=(1, 2)) / d_row for v in vels])
+    scale = max(np.abs(v).max() for v in vels)
+
+    prev_x64 = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", False)
+    try:
+        out = jax.jit(lambda *f: uniform_analysis_step(*f, mesh=None))(
+            jnp.asarray(dens, dtype=jnp.float32),
+            *(jnp.asarray(v, dtype=jnp.float32) for v in vels),
+        )
+        got = np.asarray(out["favre_mean"], dtype=np.float64)
+    finally:
+        jax.config.update("jax_enable_x64", prev_x64)
+
+    err = np.abs(got - exp).max() / scale
+    assert err < 2e-6, err
+
+
 def test_flagship_step_consistent_with_mesh_path():
     """mesh=None (kernel path on TPU / jnp fallback on CPU) must agree
     with the sharded-math path run on a single device."""
