@@ -113,10 +113,20 @@ def main() -> None:
         vels = [np.asarray(v, dtype=np.float64) for v in fields[1:]]
         ref = oracle_step(dens, vels)
 
+        # Scale floors: the synthetic fields have integer trig
+        # frequencies, so some oracle outputs are analytically ZERO
+        # (e.g. favre_mean: row means of products of mismatched
+        # harmonics) — dividing f32 noise by f64 noise is meaningless.
+        # Those outputs are scaled by their physical fluctuation scale
+        # instead (the Favre RMS / velocity magnitude).
+        floors = {
+            "favre_mean": np.abs(ref["favre_rms"]).max(),
+            "mean_dens": np.abs(ref["mean_dens"]).max(),
+        }
         errs = {}
         for key, exp in ref.items():
             got = host[key]
-            scale = np.abs(exp).max()
+            scale = max(np.abs(exp).max(), floors.get(key, 0.0))
             err = float(np.abs(got - exp).max() / scale) if scale > 0 else float(np.abs(got).max())
             errs[key] = err
             print(f"  {key}: {err:.3e}", flush=True)
