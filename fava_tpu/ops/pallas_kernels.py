@@ -391,8 +391,15 @@ def _build_block_centered_fn(nrows: int, ncols: int, dtype_name: str, interpret:
     return jax.jit(run)
 
 
-def _rows_ok(ncols: int) -> bool:
-    return (on_tpu() or FORCE_INTERPRET) and ncols % LANE == 0
+def _rows_ok(nrows: int, ncols: int, nfields: int = 4) -> bool:
+    """Kernel path legality: lane-aligned columns AND a legal row block
+    (divisible by 8 or the full row extent) that fits VMEM. Huge
+    per-row extents (e.g. 1024^2 lanes) force 1-row blocks, which
+    Mosaic refuses — the jnp fallback handles those."""
+    if not ((on_tpu() or FORCE_INTERPRET) and ncols % LANE == 0):
+        return False
+    r = _pick_row_block(nrows, ncols, nfields=nfields)
+    return r == nrows or r % 8 == 0
 
 
 def block_row_moments(dens: jax.Array, vx: jax.Array, vy: jax.Array, vz: jax.Array):
@@ -402,7 +409,7 @@ def block_row_moments(dens: jax.Array, vx: jax.Array, vy: jax.Array, vz: jax.Arr
     """
     nb, nx, ny, nz = (int(s) for s in dens.shape)
     ncols = ny * nz
-    if not _rows_ok(ncols):
+    if not _rows_ok(nb * nx, ncols):
         return _block_row_moments_jnp(dens, vx, vy, vz)
     flat = [a.reshape(nb * nx, ncols) for a in (dens, vx, vy, vz)]
     out = _build_block_moments_fn(nb * nx, ncols, str(dens.dtype), FORCE_INTERPRET)(*flat)
@@ -425,7 +432,7 @@ def block_centered_row_moments(
     """(9, nB, nx): [sum d*ci*cj (6 pairs), sum d*ci (3)] per block row."""
     nb, nx, ny, nz = (int(s) for s in dens.shape)
     ncols = ny * nz
-    if not _rows_ok(ncols):
+    if not _rows_ok(nb * nx, ncols, nfields=5):
         return _block_centered_jnp(dens, vx, vy, vz, means)
     flat = [a.reshape(nb * nx, ncols) for a in (dens, vx, vy, vz)]
     m = means.astype(dens.dtype).reshape(3, nb * nx).T  # (rows, 3)
