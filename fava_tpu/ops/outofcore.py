@@ -80,8 +80,6 @@ def _stage_a_fn(slab_shape: Tuple[int, int, int], full_shape: Tuple[int, int, in
 
 def _stage_b_fn(full_shape: Tuple[int, int, int], chunk: int, nbins: int):
     nx, ny, nz = full_shape
-    nzr = nz // 2 + 1
-    ntot = nx * ny * nz
     precision = jax.lax.Precision.HIGHEST
 
     def run(bz0, bz1, bz2, dxc, kx0, acc_counts, acc_sums):

@@ -134,7 +134,7 @@ def main() -> None:
     print(f"batched AMR moments {shape}: {t*1e3:.1f} ms", flush=True)
 
     # --- dispatch floor ---
-    tiny = jax.jit(lambda x: x + 1.0)
+    tiny = jax.jit(lambda x: jnp.sum(x + 1.0))
     t = _time(tiny, jnp.zeros(8), repeats=5)
     results["dispatch_floor_s"] = t
     print(f"dispatch floor: {t*1e3:.1f} ms", flush=True)
