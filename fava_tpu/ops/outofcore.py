@@ -46,36 +46,43 @@ SlabLoader = Callable[[str, int, int], np.ndarray]
 FIELDS = ("dens", "velx", "vely", "velz")
 
 
-def _stage_a_fn(slab_shape: Tuple[int, int, int], full_shape: Tuple[int, int, int]):
+def _stage_a_comp_fn(full_shape: Tuple[int, int, int]):
+    """One component's slab transform + buffer update (donated).
+
+    Split per component so only ONE buffer's einsum temporaries are
+    live at a time — a fused 3-buffer program held ~3.7 GB of HLO temps
+    and pushed a 1024^3 run past 16 GB HBM.
+    """
     nx, ny, nz = full_shape
     precision = jax.lax.Precision.HIGHEST
 
-    def run(bz0, bz1, bz2, d_slab, vx, vy, vz, i0):
+    def run(buf, d_slab, v, i0):
         rdt = d_slab.dtype.name
         cr, ci = (jnp.asarray(m) for m in dft._rdft_mats(nz, rdt))
         dy = jnp.asarray(dft._dft_mat(ny, rdt))
-        sd = jnp.sqrt(d_slab)
-        bufs = []
-        for buf, v in zip((bz0, bz1, bz2), (vx, vy, vz)):
-            w = sd * v
-            re = jnp.einsum("xyz,zk->xyk", w, cr, precision=precision)
-            im = jnp.einsum("xyz,zk->xyk", w, ci, precision=precision)
-            wz = jax.lax.complex(re, im)
-            wzy = jnp.einsum("ab,xbz->xaz", dy, wz, precision=precision)
-            zero = jnp.zeros((), dtype=i0.dtype)
-            bufs.append(jax.lax.dynamic_update_slice(buf, wzy, (i0, zero, zero)))
+        w = jnp.sqrt(d_slab) * v
+        re = jnp.einsum("xyz,zk->xyk", w, cr, precision=precision)
+        im = jnp.einsum("xyz,zk->xyk", w, ci, precision=precision)
+        wzy = jnp.einsum("ab,xbz->xaz", dy, jax.lax.complex(re, im), precision=precision)
+        zero = jnp.zeros((), dtype=i0.dtype)
+        return jax.lax.dynamic_update_slice(buf, wzy, (i0, zero, zero))
 
+    return jax.jit(run, donate_argnums=(0,))
+
+
+def _stage_a_moments_fn(full_shape: Tuple[int, int, int]):
+    nx, ny, nz = full_shape
+
+    def run(d_slab, vx, vy, vz):
         # Profile moments: each x-row is a whole profile bin.
-        raw = pk.block_row_moments(
-            d_slab[None], vx[None], vy[None], vz[None]
-        )[:, 0, :]
+        raw = pk.block_row_moments(d_slab[None], vx[None], vy[None], vz[None])[:, 0, :]
         means = (raw[1:4].astype(accum_dtype()) / (ny * nz)).astype(d_slab.dtype)
         cen = pk.block_centered_row_moments(
             d_slab[None], vx[None], vy[None], vz[None], means[:, None, :]
         )[:, 0, :]
-        return bufs[0], bufs[1], bufs[2], raw, cen
+        return raw, cen
 
-    return jax.jit(run, donate_argnums=(0, 1, 2))
+    return jax.jit(run)
 
 
 def _stage_b_fn(full_shape: Tuple[int, int, int], chunk: int, nbins: int):
@@ -122,7 +129,8 @@ def streamed_uniform_analysis(
     cdt = jnp.complex128 if jnp.dtype(dtype) == jnp.float64 else jnp.complex64
 
     bufs = [jnp.zeros((nx, ny, nzr), dtype=cdt) for _ in range(3)]
-    stage_a = _stage_a_fn((slab_rows, ny, nz), (nx, ny, nz))
+    stage_a = _stage_a_comp_fn((nx, ny, nz))
+    stage_a_moments = _stage_a_moments_fn((nx, ny, nz))
 
     raws = []
     cens = []
@@ -130,7 +138,10 @@ def streamed_uniform_analysis(
         slabs = [
             jnp.asarray(field_slab(name, x0, x0 + slab_rows), dtype=dtype) for name in FIELDS
         ]
-        *bufs, raw, cen = stage_a(*bufs, *slabs, jnp.asarray(x0, dtype=jnp.int32))
+        i0 = jnp.asarray(x0, dtype=jnp.int32)
+        for c in range(3):
+            bufs[c] = stage_a(bufs[c], slabs[0], slabs[1 + c], i0)
+        raw, cen = stage_a_moments(*slabs)
         raws.append(raw)
         cens.append(cen)
 
