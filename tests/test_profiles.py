@@ -134,3 +134,27 @@ def test_pdf2d_normalization(amr_mesh):
     out = amr_mesh.pdf2d("dens", "velx", nbins=(16, 16))
     area = np.outer(np.diff(out["xedges"]), np.diff(out["yedges"]))
     np.testing.assert_allclose((out["pdf"] * area).sum(), 1.0, rtol=1e-12)
+
+
+def _leaf_volume_weights(mesh, shape):
+    cv = np.asarray(mesh.get_cell_volumes("LEAF"), dtype=np.float64)
+    return np.broadcast_to(cv.reshape((-1,) + (1,) * (len(shape) - 1)), shape)
+
+
+def test_pdf1d_matches_numpy_histogram(amr_mesh):
+    out = amr_mesh.pdf1d("dens", nbins=12)
+    vals = np.asarray(amr_mesh._leaf_stack("dens"), dtype=np.float64)
+    w = _leaf_volume_weights(amr_mesh, vals.shape)
+    counts, _ = np.histogram(vals.ravel(), bins=out["edges"], weights=w.ravel())
+    np.testing.assert_allclose(out["counts"], counts, rtol=1e-12, atol=1e-15)
+
+
+def test_pdf2d_matches_numpy_histogram2d(amr_mesh):
+    out = amr_mesh.pdf2d("dens", "velx", nbins=(8, 10))
+    xv = np.asarray(amr_mesh._leaf_stack("dens"), dtype=np.float64)
+    yv = np.asarray(amr_mesh._leaf_stack("velx"), dtype=np.float64)
+    w = _leaf_volume_weights(amr_mesh, xv.shape).ravel()
+    counts, _, _ = np.histogram2d(
+        xv.ravel(), yv.ravel(), bins=[out["xedges"], out["yedges"]], weights=w
+    )
+    np.testing.assert_allclose(out["counts"], counts, rtol=1e-12, atol=1e-15)
