@@ -729,27 +729,31 @@ def _build_shell_folded_fn(
     return jax.jit(run)
 
 
-def _shell_kernel_chunkx(kx0_ref, t_ref, l_ref, out_ref, *, full_nx, nbins, full_nz, nzr):
+def _shell_kernel_chunkx(
+    kx0_ref, t_ref, l_ref, out_ref, *, full_nx, full_ny, gy, nbins, full_nz, nzr
+):
     """rfft shell binning of an x-chunk of k-space (rows kx0..kx0+rows).
 
     Used by the out-of-core 1024^3 path, where the x-axis DFT is
     applied in chunks and each chunk is binned as it is produced.
     ``kx0`` arrives via scalar prefetch so one compiled kernel serves
-    every chunk.
+    every chunk. The ky axis is tiled (``gy`` rows per step): full-ny
+    blocks at 1024^3 blow the 16 MB scoped-VMEM stack with the kernel's
+    full-size temporaries.
     """
     i = pl.program_id(0)
+    j = pl.program_id(1)
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & (j == 0))
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
     jxg = i + kx0_ref[0]
     kx = jnp.where(jxg <= (full_nx - 1) // 2, jxg, jxg - full_nx).astype(jnp.float32)
 
-    rows = t_ref.shape[1]
-    jy = jax.lax.broadcasted_iota(jnp.int32, (rows, nzr), 0)
-    jz = jax.lax.broadcasted_iota(jnp.int32, (rows, nzr), 1)
-    ky = jnp.where(jy <= (rows - 1) // 2, jy, jy - rows).astype(jnp.float32)
+    jy = j * gy + jax.lax.broadcasted_iota(jnp.int32, (gy, nzr), 0)
+    jz = jax.lax.broadcasted_iota(jnp.int32, (gy, nzr), 1)
+    ky = jnp.where(jy <= (full_ny - 1) // 2, jy, jy - full_ny).astype(jnp.float32)
     kzf = jz.astype(jnp.float32)
     if full_nz % 2 == 0:
         weight = jnp.where((jz == 0) | (jz == full_nz // 2), 1.0, 2.0)
@@ -777,6 +781,15 @@ def _shell_kernel_chunkx(kx0_ref, t_ref, l_ref, out_ref, *, full_nx, nbins, full
     out_ref[...] += acc
 
 
+def _pick_gy(ny: int) -> int:
+    """ky tile: largest multiple-of-8 divisor of ny up to 128."""
+    gy = 0
+    for cand in (128, 64, 32, 16, 8):
+        if ny % cand == 0:
+            return cand
+    return ny if ny % 8 == 0 or ny < 8 else 0
+
+
 @lru_cache(maxsize=8)
 def _build_shell_chunk_fn(
     chunk_shape: Tuple[int, int, int],
@@ -787,19 +800,26 @@ def _build_shell_chunk_fn(
     full_nz: int,
 ):
     rows_x, ny, nzr = chunk_shape
+    gy = _pick_gy(ny)
     dtype = jnp.dtype(dtype_name)
-    slab = pl.BlockSpec((1, ny, nzr), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM)
+    slab = pl.BlockSpec((1, gy, nzr), lambda i, j, s: (i, j, 0), memory_space=pltpu.VMEM)
     kernel = partial(
-        _shell_kernel_chunkx, full_nx=full_nx, nbins=nbins, full_nz=full_nz, nzr=nzr
+        _shell_kernel_chunkx,
+        full_nx=full_nx,
+        full_ny=ny,
+        gy=gy,
+        nbins=nbins,
+        full_nz=full_nz,
+        nzr=nzr,
     )
     width = _bins_width(nbins)
 
     def run(kx0, total, longi):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(rows_x,),
+            grid=(rows_x, ny // gy),
             in_specs=[slab, slab],
-            out_specs=pl.BlockSpec((3, width), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((3, width), lambda i, j, s: (0, 0), memory_space=pltpu.VMEM),
         )
         out = pl.pallas_call(
             kernel,
@@ -830,7 +850,7 @@ def shell_bin_sums_rfft_chunk(
     all chunks equal the full-volume shell binning.
     """
     shape = tuple(int(s) for s in total.shape)
-    if (on_tpu() or FORCE_INTERPRET) and shape[1] % 8 == 0:
+    if (on_tpu() or FORCE_INTERPRET) and _pick_gy(shape[1]):
         kx0_arr = jnp.asarray([kx0], dtype=jnp.int32)
         return _build_shell_chunk_fn(
             shape, int(nbins), str(total.dtype), FORCE_INTERPRET, full_nx, full_nz
