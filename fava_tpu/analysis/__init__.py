@@ -18,6 +18,7 @@ from fava_tpu.analysis.structure_functions import structure_functions
 from fava_tpu.analysis.pdf1d import pdf1d
 from fava_tpu.analysis.pdf2d import pdf2d
 from fava_tpu.analysis.mass_sum import mass_sum
+from fava_tpu.analysis.flagship_analysis import flagship_analysis
 from fava_tpu.analysis.time_series import favre_series, particle_series, reynolds_series
 
 __all__ = [
@@ -36,6 +37,7 @@ __all__ = [
     "pdf1d",
     "pdf2d",
     "mass_sum",
+    "flagship_analysis",
     "favre_series",
     "particle_series",
     "reynolds_series",

@@ -101,6 +101,33 @@ def read_field(handle: h5py.File, name: str, dtype=np.float64) -> np.ndarray:
     return np.ascontiguousarray(np.swapaxes(raw.astype(dtype), -1, -3))
 
 
+def read_field_slab(
+    handle: h5py.File, name: str, x0: int, x1: int, dtype=np.float64
+) -> np.ndarray:
+    """Read an x-slab [x0, x1) of a single-block uniform field.
+
+    The file stores (1, nzb, nyb, nxb), so the slab is a trailing-axis
+    hyperslab read (HDF5 partial I/O — the full field never lands in
+    host memory); returned as (x1-x0, nyb, nzb) in grid order. Feeds
+    the out-of-core streamed analysis (ops/outofcore.py).
+    """
+    key = f"{name:4s}" if len(name) < 4 else name
+    if key not in handle and name in handle:
+        key = name
+    if key not in handle:
+        raise KeyError(f"{name} field not found in dataset")
+    dset = handle[key]
+    raw = dset[..., x0:x1]
+    if raw.ndim == 4:
+        assert raw.shape[0] == 1, "read_field_slab expects single-block uniform data"
+        raw = raw[0]
+    if raw.dtype in (np.float32, np.float64):
+        from fava_tpu.native import swap_axes_cast
+
+        return swap_axes_cast(raw, dtype)
+    return np.ascontiguousarray(np.swapaxes(raw.astype(dtype), -1, -3))
+
+
 def read_block_metadata(handle: h5py.File) -> Dict[str, np.ndarray]:
     """All block bookkeeping datasets present in the file."""
     out: Dict[str, np.ndarray] = {}

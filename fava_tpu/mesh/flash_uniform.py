@@ -136,6 +136,68 @@ class FlashUniform(FLASH):
             seed=seed,
         )
 
+    @timer
+    def flagship_analysis(
+        self,
+        streamed: Optional[bool] = None,
+        slab_rows: Optional[int] = None,
+        chunk_rows: Optional[int] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Fused spectra + Reynolds/Favre x-profiles in one program.
+
+        The headline BASELINE workload as a public API: one jitted step
+        (flagship.uniform_analysis_step) when the volume fits HBM —
+        sharded over an active device mesh — or the streamed
+        out-of-core path (ops/outofcore.py) when it does not
+        (``streamed=None`` auto-detects against the device memory
+        budget; 1024^3 f32 exceeds a 16 GB chip).
+        """
+        import jax.numpy as jnp
+
+        from fava_tpu import flagship
+        from fava_tpu.ops import outofcore
+
+        shape = tuple(int(n) for n in (self.nxb, self.nyb, self.nzb))
+        if streamed is None:
+            ntot = int(np.prod(shape))
+            # 4 resident fields + 3 half-spectra + working set.
+            need = 4 * 4 * ntot + 3 * 8 * ntot // 2 + 2 * 4 * ntot
+            budget = 16e9
+            try:
+                stats = jax.devices()[0].memory_stats() or {}
+                budget = float(stats.get("bytes_limit", budget))
+            except Exception:
+                pass
+            streamed = need > 0.9 * budget
+
+        if streamed:
+            def loader(name: str, x0: int, x1: int) -> np.ndarray:
+                from fava_tpu.utils import compute_dtype
+
+                with h5py.File(self._filename, "r") as f:
+                    return flash_file.read_field_slab(f, name, x0, x1, dtype=compute_dtype())
+
+            def divisor(n: int, target: int) -> int:
+                for cand in (target, 64, 32, 16, 8, 4, 2, 1):
+                    if cand and n % cand == 0:
+                        return cand
+                return 1
+
+            from fava_tpu.utils import compute_dtype
+
+            return outofcore.streamed_uniform_analysis(
+                loader,
+                shape,
+                slab_rows=divisor(shape[0], slab_rows or 64),
+                chunk_rows=divisor(shape[0], chunk_rows or 64),
+                dtype=jnp.dtype(compute_dtype()),
+            )
+
+        dmesh = runtime.get_mesh()
+        vols = [self._volume(name) for name in ("dens", "velx", "vely", "velz")]
+        out = flagship.jitted_analysis_step(dmesh)(*vols)
+        return {k: np.asarray(v) for k, v in out.items()}
+
     def mass_fraction(self, masks: Optional[Dict[str, Any]] = None) -> Dict[str, float]:
         """Total + per-mask mass (reference: FlashUniform.py:449-458)."""
         dens = self._volume("dens")

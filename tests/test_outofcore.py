@@ -34,6 +34,27 @@ def test_streamed_matches_incore_step():
         np.testing.assert_allclose(g / scale, r / scale, rtol=0, atol=1e-9, err_msg=key)
 
 
+def test_mesh_flagship_analysis_incore_vs_streamed(tmp_path):
+    """The public flagship_analysis must give identical results whether
+    the volume is device-resident or streamed from the HDF5 file."""
+    import fava_tpu
+    from fava_tpu.io import synthetic
+
+    path = tmp_path / "rt_hdf5_uniform_0001"
+    synthetic.make_uniform_file(path, ncells=(16, 16, 16), seed=9)
+    m = fava_tpu.FLASH(tmp_path)
+    m.load(file_type="uni")
+
+    incore = m.flagship_analysis(streamed=False)
+    streamed = m.flagship_analysis(streamed=True, slab_rows=4, chunk_rows=8)
+    assert set(incore) == set(streamed)
+    for key in incore:
+        r = np.asarray(incore[key], dtype=np.float64)
+        g = np.asarray(streamed[key], dtype=np.float64)
+        scale = max(np.abs(r).max(), 1e-30)
+        np.testing.assert_allclose(g / scale, r / scale, rtol=0, atol=1e-9, err_msg=key)
+
+
 def test_streamed_chunk_binning_equals_whole():
     """Chunked shell binning must sum to the unchunked result."""
     from fava_tpu.ops import pallas_kernels as pk
