@@ -51,23 +51,37 @@ def _stage_a_comp_fn(full_shape: Tuple[int, int, int]):
 
     Split per component so only ONE buffer's einsum temporaries are
     live at a time — a fused 3-buffer program held ~3.7 GB of HLO temps
-    and pushed a 1024^3 run past 16 GB HBM.
+    and pushed a 1024^3 run past 16 GB HBM. The zy spectra are stored
+    PLANAR (separate re/im f32 buffers): XLA materializes full-size
+    real/imag extraction temps when matmul-contracting a complex64
+    array, which alone re-OOMed stage B at 1024^3.
     """
     nx, ny, nz = full_shape
     precision = jax.lax.Precision.HIGHEST
 
-    def run(buf, d_slab, v, i0):
+    def run(buf_re, buf_im, d_slab, v, i0):
         rdt = d_slab.dtype.name
         cr, ci = (jnp.asarray(m) for m in dft._rdft_mats(nz, rdt))
-        dy = jnp.asarray(dft._dft_mat(ny, rdt))
+        dy = dft._dft_mat(ny, rdt)
+        dyr = jnp.asarray(dy.real.copy())
+        dyi = jnp.asarray(dy.imag.copy())
         w = jnp.sqrt(d_slab) * v
-        re = jnp.einsum("xyz,zk->xyk", w, cr, precision=precision)
-        im = jnp.einsum("xyz,zk->xyk", w, ci, precision=precision)
-        wzy = jnp.einsum("ab,xbz->xaz", dy, jax.lax.complex(re, im), precision=precision)
+        zre = jnp.einsum("xyz,zk->xyk", w, cr, precision=precision)
+        zim = jnp.einsum("xyz,zk->xyk", w, ci, precision=precision)
+        # Complex y-DFT as four real matmuls (keeps everything planar).
+        yre = jnp.einsum("ab,xbz->xaz", dyr, zre, precision=precision) - jnp.einsum(
+            "ab,xbz->xaz", dyi, zim, precision=precision
+        )
+        yim = jnp.einsum("ab,xbz->xaz", dyr, zim, precision=precision) + jnp.einsum(
+            "ab,xbz->xaz", dyi, zre, precision=precision
+        )
         zero = jnp.zeros((), dtype=i0.dtype)
-        return jax.lax.dynamic_update_slice(buf, wzy, (i0, zero, zero))
+        return (
+            jax.lax.dynamic_update_slice(buf_re, yre, (i0, zero, zero)),
+            jax.lax.dynamic_update_slice(buf_im, yim, (i0, zero, zero)),
+        )
 
-    return jax.jit(run, donate_argnums=(0,))
+    return jax.jit(run, donate_argnums=(0, 1))
 
 
 def _stage_a_moments_fn(full_shape: Tuple[int, int, int]):
@@ -89,11 +103,18 @@ def _stage_b_fn(full_shape: Tuple[int, int, int], chunk: int, nbins: int):
     nx, ny, nz = full_shape
     precision = jax.lax.Precision.HIGHEST
 
-    def run(bz0, bz1, bz2, dxc, kx0, acc_counts, acc_sums):
-        # dxc: (chunk, nx) complex DFT rows, pre-scaled by 1/ntot.
-        ws = [
-            jnp.einsum("kx,xyz->kyz", dxc, b, precision=precision) for b in (bz0, bz1, bz2)
-        ]
+    def run(bufs, dxr, dxi, kx0, acc_counts, acc_sums):
+        # dxr/dxi: (chunk, nx) real/imag DFT rows, pre-scaled by 1/ntot.
+        # Planar real matmuls per component; complex only at chunk size.
+        ws = []
+        for b_re, b_im in bufs:
+            wre = jnp.einsum("kx,xyz->kyz", dxr, b_re, precision=precision) - jnp.einsum(
+                "kx,xyz->kyz", dxi, b_im, precision=precision
+            )
+            wim = jnp.einsum("kx,xyz->kyz", dxr, b_im, precision=precision) + jnp.einsum(
+                "kx,xyz->kyz", dxi, b_re, precision=precision
+            )
+            ws.append(jax.lax.complex(wre, wim))
         jxg = kx0 + jnp.arange(chunk)
         kxv = jnp.where(jxg <= (nx - 1) // 2, jxg, jxg - nx).astype(ws[0].real.dtype)
         total, longi, trans, _ = rfft_power_volumes(
@@ -126,9 +147,11 @@ def streamed_uniform_analysis(
     nzr = nz // 2 + 1
     nbins = max(shape) // 2 - 1
     adt = accum_dtype()
-    cdt = jnp.complex128 if jnp.dtype(dtype) == jnp.float64 else jnp.complex64
 
-    bufs = [jnp.zeros((nx, ny, nzr), dtype=cdt) for _ in range(3)]
+    bufs = [
+        (jnp.zeros((nx, ny, nzr), dtype=dtype), jnp.zeros((nx, ny, nzr), dtype=dtype))
+        for _ in range(3)
+    ]
     stage_a = _stage_a_comp_fn((nx, ny, nz))
     stage_a_moments = _stage_a_moments_fn((nx, ny, nz))
 
@@ -140,7 +163,7 @@ def streamed_uniform_analysis(
         ]
         i0 = jnp.asarray(x0, dtype=jnp.int32)
         for c in range(3):
-            bufs[c] = stage_a(bufs[c], slabs[0], slabs[1 + c], i0)
+            bufs[c] = stage_a(*bufs[c], slabs[0], slabs[1 + c], i0)
         raw, cen = stage_a_moments(*slabs)
         raws.append(raw)
         cens.append(cen)
@@ -154,8 +177,9 @@ def streamed_uniform_analysis(
     counts = jnp.zeros(nbins, dtype=adt)
     sums = jnp.zeros((3, nbins), dtype=adt)
     for kx0 in range(0, nx, chunk_rows):
-        dxc = jnp.asarray(dmat[kx0 : kx0 + chunk_rows])
-        counts, sums = stage_b(*bufs, dxc, jnp.asarray(kx0, dtype=jnp.int32), counts, sums)
+        dxr = jnp.asarray(dmat[kx0 : kx0 + chunk_rows].real.copy())
+        dxi = jnp.asarray(dmat[kx0 : kx0 + chunk_rows].imag.copy())
+        counts, sums = stage_b(bufs, dxr, dxi, jnp.asarray(kx0, dtype=jnp.int32), counts, sums)
 
     # --- Assemble the flagship output dict ----------------------------
     layer = jnp.asarray(ny * nz, dtype=adt)
