@@ -11,9 +11,9 @@ Tradeoffs, by design:
 * Dense DFT is O(n)/element vs FFT's O(log n)/element. On TPU the MXU
   makes n <= ~1024 matmul-cheap; beyond that a two-stage Cooley-Tukey
   split would be required (fall back to jnp.fft there).
-* Matmuls run at ``Precision.HIGHEST`` (3-pass bf16 emulation of f32):
-  max relative error vs the f64 oracle is ~1e-5 at 512^3 (recorded in
-  VALIDATION.json), comparable to the f32 FFT path's own rounding.
+* Matmuls emulate f32 with bf16 passes; the depth is the module
+  PRECISION knob (HIGH by default — see its comment). On-chip error of
+  both modes vs the f64 oracle is recorded in VALIDATION.json.
 
 The reference computes np.fft.fftn on every MPI rank redundantly
 (reference: fava/mesh/FLASH/FlashUniform.py:268); this module is the
@@ -23,6 +23,7 @@ the spectra (half-spectrum over the trailing axis, like rfftn).
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax
@@ -32,6 +33,17 @@ import numpy as np
 # Above this axis length the dense-DFT flops (O(n)/element) stop being
 # free next to the memory bound; jnp.fft takes over.
 MAX_DENSE_AXIS = 1024
+
+# f32 matmul emulation depth for the DFT matmuls (dft_variants_512.json):
+#   HIGHEST — 20.4 ms per 512^3 transform, ~2.7e-7 field deviation
+#   HIGH    — 12.8 ms,                     ~2.1e-5 field deviation
+# HIGH is the production default: it nearly halves MXU time and its
+# ~1e-5-level rounding sits far below the discretization error of any
+# turbulence statistic. Set FAVA_DFT_PRECISION=highest (env, read at
+# import) or assign dft.PRECISION for validation-grade transforms; the
+# on-chip error of both modes is recorded in VALIDATION.json.
+_PRECISIONS = {"high": jax.lax.Precision.HIGH, "highest": jax.lax.Precision.HIGHEST}
+PRECISION = _PRECISIONS[os.environ.get("FAVA_DFT_PRECISION", "high").lower()]
 
 
 # The matrix caches hold HOST arrays: caching device arrays would leak
@@ -58,8 +70,9 @@ def _dft_mat(n: int, dtype_name: str):
     return np.exp(1j * ang).astype(cdt)
 
 
-def rfft_trailing(x: jax.Array, precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+def rfft_trailing(x: jax.Array, precision=None) -> jax.Array:
     """Real -> half-spectrum DFT along the trailing axis (two real matmuls)."""
+    precision = PRECISION if precision is None else precision
     n = x.shape[-1]
     rdt = x.dtype.name
     cr, ci = _rdft_mats(n, rdt)
@@ -68,9 +81,10 @@ def rfft_trailing(x: jax.Array, precision=jax.lax.Precision.HIGHEST) -> jax.Arra
     return jax.lax.complex(re, im)
 
 
-def fft_axis(x: jax.Array, axis: int, precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+def fft_axis(x: jax.Array, axis: int, precision=None) -> jax.Array:
     """Complex DFT along ``axis`` as one dense matmul (dot_general
     contracts the axis in place; no materialized transpose)."""
+    precision = PRECISION if precision is None else precision
     n = x.shape[axis]
     d = _dft_mat(n, jnp.finfo(x.dtype).dtype.name)  # real counterpart of complex dtype
     moved = jnp.moveaxis(x, axis, -1)
@@ -78,7 +92,15 @@ def fft_axis(x: jax.Array, axis: int, precision=jax.lax.Precision.HIGHEST) -> ja
     return jnp.moveaxis(out, -1, axis)
 
 
-def rfftn_mxu(x: jax.Array, precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+# NOTE (negative result, scripts/tpu_dft_variants.py): a two-stage
+# four-step Cooley-Tukey split (512 = 4 x 128, keeping one factor at the
+# MXU tile) measured ~36-39 ms per 512^3 transform vs 20.4 ms dense —
+# the twiddle/transpose memory passes and the tiny-factor contraction
+# cost more than the 4x MXU-flop saving. Dense + reduced emulation
+# passes (Precision.HIGH) is the winning configuration.
+
+
+def rfftn_mxu(x: jax.Array, precision=None) -> jax.Array:
     """rfftn of a real 3D volume via per-axis dense DFT matmuls.
 
     Matches ``jnp.fft.rfftn`` (unnormalized, half spectrum along the

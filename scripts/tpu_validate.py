@@ -86,7 +86,7 @@ def main() -> None:
     import jax
 
     from fava_tpu import utils as futils
-    from fava_tpu.flagship import jitted_analysis_step, make_example_fields
+    from fava_tpu.flagship import make_example_fields
 
     futils.enable_compilation_cache(str(ROOT / ".jax_cache"))
     futils.timing.VERBOSE = False
@@ -97,40 +97,50 @@ def main() -> None:
         "compute_dtype": "float32",
         "oracle": "float64 NumPy, reference algorithms (full-grid FFT binning, centered profiles)",
         "error_metric": "max |got - oracle| / max |oracle| per output",
-        "sizes": {},
+        "dft_precision_default": "high (sizes); sizes_dft_highest records the validation-grade mode",
     }
 
-    step = jitted_analysis_step(None)
-    for n in sizes:
-        print(f"== {n}^3 ==", flush=True)
-        fields = make_example_fields(n=n)
-        t0 = time.perf_counter()
-        out = step(*fields)
-        host = {k: np.asarray(v, dtype=np.float64) for k, v in out.items()}
-        wall = time.perf_counter() - t0
+    import jax as _jax
 
-        dens = np.asarray(fields[0], dtype=np.float64)
-        vels = [np.asarray(v, dtype=np.float64) for v in fields[1:]]
-        ref = oracle_step(dens, vels)
+    from fava_tpu.flagship import uniform_analysis_step
+    from fava_tpu.ops import dft
 
-        # Scale floors: the synthetic fields have integer trig
-        # frequencies, so some oracle outputs are analytically ZERO
-        # (e.g. favre_mean: row means of products of mismatched
-        # harmonics) — dividing f32 noise by f64 noise is meaningless.
-        # Those outputs are scaled by their physical fluctuation scale
-        # instead (the Favre RMS / velocity magnitude).
-        floors = {
-            "favre_mean": np.abs(ref["favre_rms"]).max(),
-            "mean_dens": np.abs(ref["mean_dens"]).max(),
-        }
-        errs = {}
-        for key, exp in ref.items():
-            got = host[key]
-            scale = max(np.abs(exp).max(), floors.get(key, 0.0))
-            err = float(np.abs(got - exp).max() / scale) if scale > 0 else float(np.abs(got).max())
-            errs[key] = err
-            print(f"  {key}: {err:.3e}", flush=True)
-        report["sizes"][str(n)] = {"wall_first_call_s": wall, "max_scaled_error": errs}
+    for mode in ("high", "highest"):
+        dft.PRECISION = dft._PRECISIONS[mode]
+        # fresh jit per mode: the precision knob is read at trace time
+        step = _jax.jit(lambda d, vx, vy, vz: uniform_analysis_step(d, vx, vy, vz, mesh=None))
+        sizes_key = "sizes" if mode == "high" else "sizes_dft_highest"
+        report[sizes_key] = {}
+        for n in sizes:
+            print(f"== {n}^3 dft={mode} ==", flush=True)
+            fields = make_example_fields(n=n)
+            t0 = time.perf_counter()
+            out = step(*fields)
+            host = {k: np.asarray(v, dtype=np.float64) for k, v in out.items()}
+            wall = time.perf_counter() - t0
+
+            dens = np.asarray(fields[0], dtype=np.float64)
+            vels = [np.asarray(v, dtype=np.float64) for v in fields[1:]]
+            ref = oracle_step(dens, vels)
+
+            # Scale floors: the synthetic fields have integer trig
+            # frequencies, so some oracle outputs are analytically ZERO
+            # (e.g. favre_mean: row means of products of mismatched
+            # harmonics) — dividing f32 noise by f64 noise is meaningless.
+            # Those outputs are scaled by their physical fluctuation scale
+            # instead (the Favre RMS / velocity magnitude).
+            floors = {
+                "favre_mean": np.abs(ref["favre_rms"]).max(),
+                "mean_dens": np.abs(ref["mean_dens"]).max(),
+            }
+            errs = {}
+            for key, exp in ref.items():
+                got = host[key]
+                scale = max(np.abs(exp).max(), floors.get(key, 0.0))
+                err = float(np.abs(got - exp).max() / scale) if scale > 0 else float(np.abs(got).max())
+                errs[key] = err
+                print(f"  {key}: {err:.3e}", flush=True)
+            report[sizes_key][str(n)] = {"wall_first_call_s": wall, "max_scaled_error": errs}
 
     (ROOT / "VALIDATION.json").write_text(json.dumps(report, indent=2))
     print(json.dumps(report), flush=True)
