@@ -159,6 +159,32 @@ def jitted_analysis_step(mesh=None):
     return jax.jit(lambda d, vx, vy, vz: uniform_analysis_step(d, vx, vy, vz, mesh=mesh))
 
 
+def series_analysis_step(dens, velx, vely, velz):
+    """Flagship step over a leading snapshot axis, in ONE dispatch.
+
+    ``lax.scan`` runs the snapshots sequentially on device, so the
+    per-dispatch host round trip (~25-32 ms through this environment's
+    tunnel; ~1-2 ms on a directly-attached chip) is paid once per batch
+    instead of once per snapshot, while the working set stays one
+    snapshot wide (inputs aside). Outputs gain a leading snap axis.
+
+    Single-chip tool: multi-chip series batching shards a leading snap
+    axis over the mesh "snap" axis instead (see __graft_entry__'s
+    dryrun, which vmaps the sharded step over snapshots).
+    """
+
+    def body(_, args):
+        return None, uniform_analysis_step(*args, mesh=None)
+
+    _, out = jax.lax.scan(body, None, (dens, velx, vely, velz))
+    return out
+
+
+@lru_cache(maxsize=2)
+def jitted_series_step():
+    return jax.jit(series_analysis_step)
+
+
 @lru_cache(maxsize=4)
 def _example_fields_fn(n: int, dtype_name: str, seed: int):
     dtype = jnp.dtype(dtype_name)

@@ -80,3 +80,21 @@ def test_streamed_chunk_binning_equals_whole():
         s_acc = s_acc + s
     np.testing.assert_allclose(np.asarray(c_acc), np.asarray(c_ref))
     np.testing.assert_allclose(np.asarray(s_acc), np.asarray(s_ref), rtol=1e-12, atol=1e-18)
+
+
+def test_series_step_matches_per_snapshot():
+    """series_analysis_step (one-dispatch lax.scan batch) must equal the
+    per-snapshot step for every snapshot in the batch."""
+    import jax.numpy as jnp
+
+    from fava_tpu.flagship import make_example_fields, series_analysis_step
+
+    snaps = [make_example_fields(n=16, seed=s) for s in (0, 5)]
+    batched = [jnp.stack([snap[i] for snap in snaps]) for i in range(4)]
+    out = series_analysis_step(*batched)
+    for s, snap in enumerate(snaps):
+        ref = uniform_analysis_step(*snap, mesh=None)
+        for key, val in ref.items():
+            np.testing.assert_allclose(
+                np.asarray(out[key][s]), np.asarray(val), rtol=1e-12, atol=1e-12
+            )
