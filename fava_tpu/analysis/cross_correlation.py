@@ -54,36 +54,36 @@ def cross_correlation(
     temp_data = np.zeros((nfiles, 1), dtype=float)
 
     def grab(i: int):
-        # The tag column is always loaded: the particle loader sorts
-        # rows by tag only when tags are present, and that sort is what
-        # makes the mid-file row indices address the same particles in
-        # every other file (particles migrate between ranks in FLASH
-        # output, so raw table order is not stable across snapshots).
+        # The tag column is always loaded: particles migrate between
+        # ranks in FLASH output, so raw table order is not stable
+        # across snapshots — every file's rows are re-resolved from its
+        # OWN tag column below (the loader's sort-by-tag only applies
+        # to a column literally named "tag", so it cannot be relied on
+        # for arbitrary tag_field names).
         self.load(file_index=i, fields=[*fields, tagvar], *args, **kwargs)
-        return self.particles.data.get(tagvar)
+        return np.asarray(self.particles.data.get(tagvar))
 
-    def tag_row(tags: np.ndarray, value) -> int:
-        """Particle-table row of a tag value; hard error on 0 or >1 matches."""
-        rows = np.flatnonzero(np.asarray(tags) == value)
-        if rows.size != 1:
+    def rows_for(tags: np.ndarray, values: np.ndarray) -> np.ndarray:
+        """Particle-table rows of tag values; hard error on missing/dup tags."""
+        order = np.argsort(tags, kind="stable")
+        st = tags[order]
+        if st.size > 1 and np.any(st[1:] == st[:-1]):
+            raise ValueError(f"duplicate particle tags in field {tagvar!r}")
+        pos = np.clip(np.searchsorted(st, values), 0, st.size - 1)
+        rows = order[pos]
+        missing = tags[rows] != values
+        if np.any(missing):
             raise ValueError(
-                f"particle tag {value!r}: expected exactly one match in "
-                f"{tagvar!r}, found {rows.size}"
+                f"particle tags {np.asarray(values)[missing][:5]!r}... not found in {tagvar!r}"
             )
-        return int(rows[0])
+        return rows
 
-    tags = grab(imid)
-    poi_row = tag_row(tags, poi_idx)
-    temp_data[imid] = self.particles.data[tvar][poi_row]
-    samp_rows = np.array([tag_row(tags, smp) for smp in sample_points.ravel()], dtype=int)
-    samp_data[imid, :] = self.particles.data[svar][samp_rows]
+    wanted = np.concatenate(([poi_idx], sample_points.ravel()))
 
-    for i in range(nfiles):
-        if i == imid:
-            continue
-        grab(i)
-        temp_data[i] = self.particles.data[tvar][poi_row]
-        samp_data[i, :] = self.particles.data[svar][samp_rows]
+    for i in (imid, *(j for j in range(nfiles) if j != imid)):
+        rows = rows_for(grab(i), wanted)
+        temp_data[i] = self.particles.data[tvar][rows[0]]
+        samp_data[i, :] = self.particles.data[svar][rows[1:]]
 
     smean = samp_data[:-1, ...].mean(axis=0)
     tmean = temp_data[1:].mean()

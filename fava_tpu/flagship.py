@@ -89,7 +89,6 @@ def uniform_analysis_step(
         moments = pallas_kernels.row_moments_volume(dens, *vels).astype(adt)
         d_row = moments[0]
         v_rows = [moments[1 + i] for i in range(3)]
-        dv_rows = [moments[4 + i] for i in range(3)]
 
         mean_d = d_row / layer
         means = [vr / layer for vr in v_rows]

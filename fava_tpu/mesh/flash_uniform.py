@@ -178,10 +178,11 @@ class FlashUniform(FLASH):
                     return flash_file.read_field_slab(f, name, x0, x1, dtype=compute_dtype())
 
             def divisor(n: int, target: int) -> int:
-                for cand in (target, 64, 32, 16, 8, 4, 2, 1):
-                    if cand and n % cand == 0:
-                        return cand
-                return 1
+                # Largest divisor of n NOT EXCEEDING the request: the
+                # slab/chunk knobs exist to shrink memory, so never
+                # round up past what the caller asked for.
+                target = max(1, min(int(target or 64), n))
+                return next(c for c in range(target, 0, -1) if n % c == 0)
 
             from fava_tpu.utils import compute_dtype
 

@@ -43,7 +43,12 @@ MAX_DENSE_AXIS = 1024
 # import) or assign dft.PRECISION for validation-grade transforms; the
 # on-chip error of both modes is recorded in VALIDATION.json.
 _PRECISIONS = {"high": jax.lax.Precision.HIGH, "highest": jax.lax.Precision.HIGHEST}
-PRECISION = _PRECISIONS[os.environ.get("FAVA_DFT_PRECISION", "high").lower()]
+_prec_name = os.environ.get("FAVA_DFT_PRECISION", "high").strip().lower()
+if _prec_name not in _PRECISIONS:
+    raise ValueError(
+        f"FAVA_DFT_PRECISION={_prec_name!r}: expected one of {sorted(_PRECISIONS)}"
+    )
+PRECISION = _PRECISIONS[_prec_name]
 
 
 # The matrix caches hold HOST arrays: caching device arrays would leak

@@ -57,7 +57,7 @@ def _stage_a_comp_fn(full_shape: Tuple[int, int, int]):
     array, which alone re-OOMed stage B at 1024^3.
     """
     nx, ny, nz = full_shape
-    precision = jax.lax.Precision.HIGHEST
+    precision = dft.PRECISION  # inherit the production/validation knob
 
     def run(buf_re, buf_im, d_slab, v, i0):
         rdt = d_slab.dtype.name
@@ -101,7 +101,7 @@ def _stage_a_moments_fn(full_shape: Tuple[int, int, int]):
 
 def _stage_b_fn(full_shape: Tuple[int, int, int], chunk: int, nbins: int):
     nx, ny, nz = full_shape
-    precision = jax.lax.Precision.HIGHEST
+    precision = dft.PRECISION  # inherit the production/validation knob
 
     def run(bufs, dxr, dxi, kx0, acc_counts, acc_sums):
         # dxr/dxi: (chunk, nx) real/imag DFT rows, pre-scaled by 1/ntot.

@@ -347,7 +347,9 @@ def _uniform_centered_stats(data: Dict[str, jax.Array], geom: "ProfileGeometry")
 
     Centering about the per-row means avoids float32 cancellation in
     the one-pass expansion (see ops.pallas_kernels.centered_row_moments).
-    Returns (d_row, v_rows, dv_rows, cov(6,n), c1(3,n)), all unscaled.
+    Returns (d_row, v_rows, cov(6,n), c1(3,n), means_rows), all
+    unscaled. The raw d*v sums the moment kernel also produces are NOT
+    returned: Favre outputs use the conditioned mu + c1/sum(d) form.
     """
     from fava_tpu.ops.pallas_kernels import centered_row_moments, row_moments_volume
 
@@ -356,11 +358,10 @@ def _uniform_centered_stats(data: Dict[str, jax.Array], geom: "ProfileGeometry")
     moments = row_moments_volume(*vols)
     d_row = moments[0]
     v_rows = moments[1:4]
-    dv_rows = moments[4:7]
     ncells_per_row = vols[0].shape[1] * vols[0].shape[2]
     means_rows = v_rows / ncells_per_row
     centered = centered_row_moments(*vols, means_rows)
-    return d_row, v_rows, dv_rows, centered[:6], centered[6:9], means_rows
+    return d_row, v_rows, centered[:6], centered[6:9], means_rows
 
 
 def reynolds_stress(
@@ -380,7 +381,7 @@ def reynolds_stress(
 
     layer_volume_u = geom.layer_area * geom.min_deltas[geom.raxis]
     if _is_uniform_fast_case(data, geom):
-        d_row, v_rows, dv_rows, cov, c1, means_rows = _uniform_centered_stats(data, geom)
+        d_row, v_rows, cov, c1, means_rows = _uniform_centered_stats(data, geom)
         vol = float(geom.vol_fracs[0])
         scale = vol / layer_volume_u
         means: Dict[str, np.ndarray] = {"dens": np.asarray(d_row, dtype=np.float64) * scale}
@@ -428,7 +429,7 @@ def favre_profiles(
     layer_volume_u = geom.layer_area * geom.min_deltas[geom.raxis]
 
     if _is_uniform_fast_case(data, geom):
-        d_row, v_rows, dv_rows, cov, c1, means_rows = _uniform_centered_stats(data, geom)
+        d_row, v_rows, cov, c1, means_rows = _uniform_centered_stats(data, geom)
         vol = float(geom.vol_fracs[0])
         scale = vol / layer_volume_u
         d64 = np.asarray(d_row, dtype=np.float64)

@@ -262,7 +262,36 @@ def regrid_fields_sharded(
     scales = jnp.asarray(plan.block_scales)
     remap = jnp.asarray(splan.remap)
 
-    def local(stack_loc, remap_loc):
+    # The plan tables are passed as (replicated) arguments, not closure
+    # captures, so the jitted shard_map is cached across snapshots of
+    # the same geometry (pipeline stage 3 regrids one window per plt
+    # file — a fresh closure per call would retrace every time).
+    gather = _build_sharded_gather_fn(
+        mesh, axis_name, (nxs, ny, nz), (ox, oy, oz), (ncx, ncy, ncz), (bx, by, bz)
+    )
+
+    remap_dev = jax.device_put(remap, NamedSharding(mesh, P(axis_name)))
+    leaf_dev = jax.device_put(leaf_table, NamedSharding(mesh, P()))
+    off_dev = jax.device_put(offsets, NamedSharding(mesh, P()))
+    sc_dev = jax.device_put(scales, NamedSharding(mesh, P()))
+    out = {}
+    for name in fields:
+        stack = splan.place_stack(np.asarray(host_stacks[name]), mesh, axis_name)
+        out[name] = gather(stack, remap_dev, leaf_dev, off_dev, sc_dev)
+    return out
+
+
+@lru_cache(maxsize=16)
+def _build_sharded_gather_fn(mesh, axis_name, out_dims, origin, ncells, block_dims):
+    """Cached jitted shard_map gather for one regrid geometry."""
+    from jax.sharding import PartitionSpec as P
+
+    nxs, ny, nz = out_dims
+    ox, oy, oz = origin
+    ncx, ncy, ncz = ncells
+    bx, by, bz = block_dims
+
+    def local(stack_loc, remap_loc, leaf_table, offsets, scales):
         d = jax.lax.axis_index(axis_name)
         gx = (d * nxs + jnp.arange(nxs) + ox)[:, None, None]
         gy = (jnp.arange(ny) + oy)[None, :, None]
@@ -278,21 +307,14 @@ def regrid_fields_sharded(
         out = jnp.take(stack_loc.reshape(-1), flat.reshape(-1)).reshape((nxs, ny, nz))
         return jnp.where(blkid >= 0, out, 0)
 
-    gather = jax.jit(
+    return jax.jit(
         jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(axis_name), P(axis_name)),
+            in_specs=(P(axis_name), P(axis_name), P(), P(), P()),
             out_specs=P(axis_name, None, None),
         )
     )
-
-    remap_dev = jax.device_put(remap, NamedSharding(mesh, P(axis_name)))
-    out = {}
-    for name in fields:
-        stack = splan.place_stack(np.asarray(host_stacks[name]), mesh, axis_name)
-        out[name] = gather(stack, remap_dev)
-    return out
 
 
 def regrid_fields(

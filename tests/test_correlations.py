@@ -80,7 +80,7 @@ def test_cross_correlation_missing_tag_errors(series_dir):
     m.load(file_type="prt")
     tags = np.sort(m.particles.data["tag"])
     absent = int(tags.max()) + 1000
-    with pytest.raises(ValueError, match="expected exactly one match"):
+    with pytest.raises(ValueError, match="not found"):
         m.cross_correlation(
             "velx",
             "vely",
@@ -89,3 +89,42 @@ def test_cross_correlation_missing_tag_errors(series_dir):
             lagrangian_tracking=True,
             tag_field="tag",
         )
+
+
+def test_cross_correlation_custom_tag_field(tmp_path):
+    """Row tracking must follow the named tag field even when tables are
+    permuted differently per file and the field is NOT literally 'tag'
+    (the loader's sort-by-tag only applies to that exact column name)."""
+    from fava_tpu.io import flash_file
+
+    nglob = 16
+    times = [0.0, 0.1, 0.2]
+    rng = np.random.default_rng(0)
+    base = np.arange(1, nglob + 1, dtype=np.float64)
+    for i, t in enumerate(times, start=1):
+        ptag = rng.permutation(base)
+        flash_file.write_particle_file(
+            tmp_path / f"rt_hdf5_part_{i:04d}",
+            int_scalars={"dimensionality": 3, "globalnumparticles": nglob},
+            real_scalars={"time": float(t), "dt": 1e-3, "dtold": 1e-3},
+            particles={"ptag": ptag, "velx": 2 * ptag + 10 * t, "vely": 3 * ptag - t},
+        )
+    m = fava_tpu.FLASH(tmp_path)
+    sample_tags = base[:4]
+    rho = m.cross_correlation(
+        "velx",
+        "vely",
+        sample_points=sample_tags,
+        poi_idx=3.0,
+        lagrangian_tracking=True,
+        tag_field="ptag",
+    )
+    # Oracle straight from the analytic field-of-tag definitions.
+    nfiles = len(times)
+    samp = np.stack([2 * sample_tags + 10 * t for t in times])
+    temp = np.array([[3 * 3.0 - t] for t in times])
+    smean, tmean = samp[:-1].mean(axis=0), temp[1:].mean()
+    sstd, tstd = samp[:-1].std(axis=0), temp[1:].std()
+    Rts = np.sum(temp[1:] * samp[:-1], axis=0) / float(nfiles - 1)
+    expected = (Rts - smean * tmean) / (sstd * tstd)
+    np.testing.assert_allclose(rho, expected, rtol=1e-12)
