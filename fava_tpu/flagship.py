@@ -49,7 +49,10 @@ def uniform_analysis_step(
         # Separate transforms: in this fused program XLA overlaps them
         # with the profile kernels; batching measured slightly slower.
         # On TPU the transform itself is the dense-DFT MXU path
-        # (ops/dft.py) — ~3x the XLA FFT lowering at 512^3.
+        # (ops/dft.py) — ~3x the XLA FFT lowering at 512^3. (A fully
+        # planar re/im pipeline — rationale in ops/outofcore.py —
+        # measured SLOWER in-core: 116 vs 113 ms; XLA's own complex
+        # decomposition fuses better here. See docs/perf.md.)
         from fava_tpu.ops.dft import rfftn_fast
 
         ffts = [rfftn_fast(sqrt_d * v) / ntot for v in vels]

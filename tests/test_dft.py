@@ -49,3 +49,4 @@ def test_use_mxu_fft_gates():
     assert not dft.use_mxu_fft((2048, 8, 8))  # beyond dense regime
     # 3D within range: depends on platform only (CPU here -> False).
     assert not dft.use_mxu_fft((64, 64, 64))
+

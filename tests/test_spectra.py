@@ -129,3 +129,4 @@ def test_reference_transpose_quirk_documented():
     # total is unaffected; longitudinal differs.
     np.testing.assert_allclose(correct["total"], quirk["total"])
     assert not np.allclose(correct["longitudinal"], quirk["longitudinal"])
+
