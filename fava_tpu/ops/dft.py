@@ -116,6 +116,37 @@ def rfftn_mxu(x: jax.Array, precision=None) -> jax.Array:
     return fft_axis(w, 0, precision)
 
 
+def rfftn_mxu_planar_stacked(vols, precision=None):
+    """Stacked PLANAR transforms of three real volumes: ((3, nx, ny,
+    nz//2+1) re, same im).
+
+    Four real einsums per complex axis — no complex dtype anywhere, so
+    XLA never materializes re/im extraction temps; this is the input
+    format of the fused powers+binning kernel
+    (pallas_kernels.shell_bin_powers_fused).
+    """
+    precision = PRECISION if precision is None else precision
+    x = jnp.stack(vols)  # (3, nx, ny, nz)
+    n = x.shape[-1]
+    cr, ci = _rdft_mats(n, x.dtype.name)
+    re = jnp.einsum("...z,zk->...k", x, cr, precision=precision)
+    im = jnp.einsum("...z,zk->...k", x, ci, precision=precision)
+    for axis in (2, 1):  # y then x of the (comp, x, y, kz) layout
+        d = _dft_mat(x.shape[axis], x.dtype.name)
+        dr = jnp.asarray(d.real.copy())
+        di = jnp.asarray(d.imag.copy())
+
+        def t(m, v, a=axis):
+            return jnp.moveaxis(
+                jnp.einsum("...b,ab->...a", jnp.moveaxis(v, a, -1), m, precision=precision),
+                -1,
+                a,
+            )
+
+        re, im = t(dr, re) - t(di, im), t(dr, im) + t(di, re)
+    return re, im
+
+
 def use_mxu_fft(shape) -> bool:
     """Dense-DFT path: on TPU, 3D, axes within the matmul-cheap regime."""
     if len(shape) != 3:

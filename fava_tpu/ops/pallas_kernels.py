@@ -835,6 +835,182 @@ def _build_shell_chunk_fn(
     return jax.jit(run)
 
 
+def _powers_fold_bin_kernel(
+    rp_ref, ip_ref, rm_ref, im_ref, out_ref, *, nbins, full_nx, full_ny, full_nz, nzr, rows_f
+):
+    """Fused spectral powers + quadrant fold + shell binning.
+
+    Program i covers the +-kx slab PAIR (jx = i and jx = full_nx - i):
+    the mirror slab arrives via a second set of refs on the same
+    stacked-planar transform arrays (index map (full_nx - i) % full_nx),
+    so the x fold needs no in-kernel reversal. The y fold is one
+    anti-diagonal 0/1 matmul (exact at HIGHEST): fold[j] = t[j] +
+    (P @ t)[j] with P[j, full_ny - j] = 1 for 1 <= j < full_ny/2.
+    Counts weight by the unfold multiplicities mx*my*wz exactly like
+    _shell_kernel_folded.
+    """
+    i = pl.program_id(0)
+    f32 = jnp.float32
+
+    rp = rp_ref[:, 0]  # (3, ny, nzr) planar re/im, primary slab
+    ip = ip_ref[:, 0]
+    rm = rm_ref[:, 0]  # mirror slab (jx = full_nx - i)
+    imm = im_ref[:, 0]
+
+    jy = jax.lax.broadcasted_iota(jnp.int32, (full_ny, nzr), 0)
+    jz = jax.lax.broadcasted_iota(jnp.int32, (full_ny, nzr), 1)
+    ky_full = jnp.where(jy <= (full_ny - 1) // 2, jy, jy - full_ny).astype(f32)
+    kz_full = jz.astype(f32)
+
+    # Conjugate-even / Nyquist splits per axis (see rfft_power_volumes).
+    ky_r = jnp.where(jy == full_ny // 2, 0.0, ky_full)
+    ky_n = jnp.where(jy == full_ny // 2, full_ny / 2.0, 0.0)
+    if full_nz % 2 == 0:
+        kz_r = jnp.where(jz == full_nz // 2, 0.0, kz_full)
+        kz_n = jnp.where(jz == full_nz // 2, full_nz / 2.0, 0.0)
+    else:
+        kz_r, kz_n = kz_full, jnp.zeros_like(kz_full)
+    ifl = i.astype(f32)
+    kxp_r = jnp.where(i == full_nx // 2, 0.0, ifl)
+    kxp_n = jnp.where(i == full_nx // 2, full_nx / 2.0, 0.0)
+
+    k2 = ifl * ifl + ky_full * ky_full + kz_full * kz_full
+    g2 = jnp.maximum(k2, 1e-30)
+    at_kz0 = jz == 0
+
+    def powers(r3, i3, kx_r, kx_n):
+        tot = 0.5 * jnp.sum(r3 * r3 + i3 * i3, axis=0)
+        reg_re = kx_r * r3[0] + ky_r * r3[1] + kz_r * r3[2]
+        reg_im = kx_r * i3[0] + ky_r * i3[1] + kz_r * i3[2]
+        nyq_re = kx_n * r3[0] + ky_n * r3[1] + kz_n * r3[2]
+        nyq_im = kx_n * i3[0] + ky_n * i3[1] + kz_n * i3[2]
+        lon = (
+            jnp.where(
+                at_kz0,
+                (reg_re - nyq_re) ** 2 + (reg_im - nyq_im) ** 2,
+                reg_re**2 + reg_im**2 + nyq_re**2 + nyq_im**2,
+            )
+            / g2
+        )
+        return tot, lon
+
+    t, l = powers(rp, ip, kxp_r, kxp_n)
+    # Mirror slab: kx = -i, never a Nyquist row for 0 < i < nx/2; the
+    # pair weight masks i == 0 and i == nx/2 (self-paired slabs).
+    pair = ((i > 0) & (i < full_nx // 2)).astype(f32)
+    t_m, l_m = powers(rm, imm, -ifl, jnp.zeros_like(ky_n[:1, :1]) + 0.0)
+    t = t + pair * t_m
+    l = l + pair * l_m
+
+    # --- y fold: anti-diagonal matmul, exact 0/1 matrix ---------------
+    jf = jax.lax.broadcasted_iota(jnp.int32, (rows_f, full_ny), 0)
+    jc = jax.lax.broadcasted_iota(jnp.int32, (rows_f, full_ny), 1)
+    pmat = ((jc == full_ny - jf) & (jf >= 1) & (jf < full_ny // 2)).astype(t.dtype)
+    tf = t[:rows_f] + jnp.dot(pmat, t, precision=jax.lax.Precision.HIGHEST)
+    lf = l[:rows_f] + jnp.dot(pmat, l, precision=jax.lax.Precision.HIGHEST)
+
+    # --- shell binning of the folded quadrant (cf. _shell_kernel_folded)
+    jyf = jax.lax.broadcasted_iota(jnp.int32, (rows_f, nzr), 0)
+    jzf = jax.lax.broadcasted_iota(jnp.int32, (rows_f, nzr), 1)
+    k_abs = jnp.sqrt(ifl * ifl + (jyf * jyf + jzf * jzf).astype(f32))
+    shell = jnp.floor(k_abs + 0.5).astype(jnp.int32)
+    in_range = (k_abs <= (nbins - 0.5)) & (jyf <= full_ny // 2)
+    shell = jnp.where(in_range, jnp.minimum(shell, nbins - 1), nbins)
+
+    if full_nz % 2 == 0:
+        wz = jnp.where((jzf == 0) | (jzf == full_nz // 2), 1.0, 2.0)
+    else:
+        wz = jnp.where(jzf == 0, 1.0, 2.0)
+    my = jnp.where((jyf == 0) | (jyf == full_ny // 2), 1.0, 2.0)
+    mx = jnp.where((i == 0) | (i == full_nx // 2), 1.0, 2.0)
+    w_cnt = (mx * my) * wz
+
+    tw = tf * wz
+    lw = lf * wz
+
+    width = _bins_width(nbins)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+
+    def body(b, acc):
+        m = (shell == b).astype(tw.dtype)
+        partial = jnp.stack([_sum2(w_cnt * m), _sum2(tw * m), _sum2(lw * m)])
+        onehot = (lane == b).astype(acc.dtype)
+        return acc + partial[:, None] * onehot
+
+    b_lo = jnp.minimum(i, nbins)
+    acc = jax.lax.fori_loop(b_lo, nbins, body, jnp.zeros((3, width), dtype=out_ref.dtype))
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += acc
+
+
+@lru_cache(maxsize=8)
+def _build_powers_fold_bin_fn(
+    shape: Tuple[int, int, int], nbins: int, dtype_name: str, interpret: bool
+):
+    nx, ny, nz = shape
+    nzr = nz // 2 + 1
+    nxh = nx // 2 + 1
+    nyh = ny // 2 + 1
+    rows_f = nyh + ((-nyh) % 8)
+    dtype = jnp.dtype(dtype_name)
+
+    prim = pl.BlockSpec((3, 1, ny, nzr), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM)
+    mirr = pl.BlockSpec(
+        (3, 1, ny, nzr), lambda i: (0, (nx - i) % nx, 0, 0), memory_space=pltpu.VMEM
+    )
+    width = _bins_width(nbins)
+    kernel = partial(
+        _powers_fold_bin_kernel,
+        nbins=nbins,
+        full_nx=nx,
+        full_ny=ny,
+        full_nz=nz,
+        nzr=nzr,
+        rows_f=rows_f,
+    )
+
+    def run(re_stack, im_stack):
+        out = pl.pallas_call(
+            kernel,
+            grid=(nxh,),
+            in_specs=[prim, prim, mirr, mirr],
+            out_specs=pl.BlockSpec((3, width), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, width), dtype),
+            # 4 slab refs (double-buffered) + temps exceed the 16 MB
+            # default scoped-VMEM budget at 512^3; v5e has 128 MB VMEM.
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(re_stack, im_stack, re_stack, im_stack)
+        counts = out[0, :nbins]
+        t_sum = out[1, :nbins]
+        l_sum = out[2, :nbins]
+        return counts, jnp.stack([t_sum, l_sum, t_sum - l_sum])
+
+    return jax.jit(run)
+
+
+def shell_bin_powers_fused(re_stack: jax.Array, im_stack: jax.Array, nbins: int, full_nz: int):
+    """(counts, sums[3]) straight from stacked planar rfft transforms.
+
+    ``re_stack``/``im_stack`` are (3, nx, ny, nz//2+1) from
+    ``dft.rfftn_mxu_planar_stacked`` (already 1/ntot-normalized). Fuses
+    the power computation, the +-kx pair fold (mirror-slab refs), the
+    +-ky fold (anti-diagonal matmul) and the Hermitian-weighted shell
+    binning into ONE kernel pass over the transforms — the power
+    volumes are never materialized. Even x/y extents only.
+    """
+    three, nx, ny, nzr = (int(s) for s in re_stack.shape)
+    if not ((on_tpu() or FORCE_INTERPRET) and nx % 2 == 0 and ny % 2 == 0):
+        raise ValueError("fused powers binning: TPU/interpret with even x/y extents only")
+    return _build_powers_fold_bin_fn(
+        (nx, ny, int(full_nz)), int(nbins), str(re_stack.dtype), FORCE_INTERPRET
+    )(re_stack, im_stack)
+
+
 def shell_bin_sums_rfft_chunk(
     total: jax.Array,
     longi: jax.Array,

@@ -342,3 +342,37 @@ def test_flagship_step_consistent_with_mesh_path():
         np.testing.assert_allclose(
             np.asarray(a[key_]), np.asarray(b[key_]), rtol=1e-9, atol=1e-15, err_msg=key_
         )
+
+
+def test_shell_bin_powers_fused_matches_jnp(force_interpret):
+    """The fused powers+fold+bin kernel must reproduce powers->jnp
+    binning exactly (f64 interpret mode), including x/y Nyquist rows,
+    the kz=0 longitudinal special case, and odd z extents."""
+    from fava_tpu.ops.spectra import rfft_power_volumes
+
+    for (nx, ny, nz) in [(16, 16, 16), (8, 16, 9), (16, 8, 8)]:
+        nzr = nz // 2 + 1
+        rng = np.random.default_rng(nx + ny + nz)
+        re = jnp.asarray(rng.standard_normal((3, nx, ny, nzr)))
+        im = jnp.asarray(rng.standard_normal((3, nx, ny, nzr)))
+        nbins = max(nx, ny, nz) // 2 - 1
+
+        c_got, s_got = pk.shell_bin_powers_fused(re, im, nbins, nz)
+
+        ffts = [re[c] + 1j * im[c] for c in range(3)]
+        total, longi, trans, _ = rfft_power_volumes(ffts, (nx, ny, nz))
+        c_ref, s_ref = pk._shell_bin_jnp_rfft(total, longi, trans, nbins, nz)
+        np.testing.assert_allclose(np.asarray(c_got), np.asarray(c_ref), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref), rtol=1e-10, atol=1e-12)
+
+
+def test_planar_stacked_transforms_match_numpy():
+    from fava_tpu.ops import dft
+
+    rng = np.random.default_rng(2)
+    vols = [rng.standard_normal((8, 12, 10)) for _ in range(3)]
+    re, im = dft.rfftn_mxu_planar_stacked([jnp.asarray(v) for v in vols])
+    for c in range(3):
+        ref = np.fft.rfftn(vols[c])
+        np.testing.assert_allclose(np.asarray(re[c]), ref.real, rtol=1e-10, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(im[c]), ref.imag, rtol=1e-10, atol=1e-10)
