@@ -259,6 +259,22 @@ class FLASH(Structured):
     def nBlksVec(self) -> np.ndarray:
         return np.array([self.nblockx, self.nblocky, self.nblockz], dtype=np.int64)
 
+    @property
+    def blk_beg(self) -> int:
+        """First locally-owned block (reference: fava/mesh/FLASH/_flash.py:203-205).
+
+        The reference splits the block range over MPI ranks; here the
+        host process owns every block and the spatial decomposition
+        happens at the device level via jax.sharding, so the "local"
+        range is always the full range.
+        """
+        return 0
+
+    @property
+    def blk_end(self) -> int:
+        """One past the last locally-owned block (reference: _flash.py:207-208)."""
+        return int(self.nblocks)
+
     # ------------------------------------------------------------------
     # Block queries
     def get_blocklist(self, block_type: str | BLOCK_TYPE = "LEAF") -> np.ndarray:

@@ -36,6 +36,11 @@ def test_amr_metadata(amr_mesh):
     assert amr_mesh.geometry.value == "cartesian"
     np.testing.assert_allclose(amr_mesh.domain_volume, 1.0)
 
+    # Rank-local block range (reference _flash.py:203-208): single host
+    # process owns all blocks; decomposition is device-level sharding.
+    assert amr_mesh.blk_beg == 0
+    assert amr_mesh.blk_end == amr_mesh.nblocks
+
     leaves = amr_mesh.get_blocklist("LEAF")
     allb = amr_mesh.get_blocklist("ALL")
     assert len(allb) == amr_mesh.nblocks
