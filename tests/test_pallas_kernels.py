@@ -376,3 +376,22 @@ def test_planar_stacked_transforms_match_numpy():
         ref = np.fft.rfftn(vols[c])
         np.testing.assert_allclose(np.asarray(re[c]), ref.real, rtol=1e-10, atol=1e-10)
         np.testing.assert_allclose(np.asarray(im[c]), ref.imag, rtol=1e-10, atol=1e-10)
+
+
+def test_shell_bin_folded_v2_matches_jnp(force_interpret):
+    """The chunked values-only v2 kernel + static counts must reproduce
+    the jnp Hermitian-weighted reference, including odd z extents and
+    shapes where the row chunking does not divide evenly."""
+    for (nx, ny, nz) in [(16, 16, 16), (16, 16, 9), (32, 16, 16), (16, 16, 400)]:
+        nzr = nz // 2 + 1
+        nbins = max(nx, ny, nz) // 2 - 1
+        rng = np.random.default_rng(nx * ny + nz)
+        total = jnp.asarray(np.abs(rng.standard_normal((nx, ny, nzr))), dtype=jnp.float64)
+        longi = jnp.asarray(np.abs(rng.standard_normal((nx, ny, nzr))), dtype=jnp.float64)
+        trans = total - longi
+
+        folded = [pk._fold_quadrants(v) for v in (total, longi)]
+        c_got, s_got = pk.shell_bin_values_folded_v2(*folded, nbins, nx, ny, nz)
+        c_ref, s_ref = pk._shell_bin_jnp_rfft(total, longi, trans, nbins, nz)
+        np.testing.assert_allclose(np.asarray(c_got), np.asarray(c_ref), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref), rtol=1e-10, atol=1e-12)
