@@ -50,3 +50,20 @@ def test_use_mxu_fft_gates():
     # 3D within range: depends on platform only (CPU here -> False).
     assert not dft.use_mxu_fft((64, 64, 64))
 
+
+
+def test_fused_zy_rfft_matches_numpy():
+    """The fused z+y Pallas kernel (interpret mode) + x einsum must
+    reproduce np.fft.rfftn."""
+    from fava_tpu.ops import pallas_dft, pallas_kernels as pk
+
+    pk.FORCE_INTERPRET = True
+    try:
+        rng = np.random.default_rng(5)
+        v = rng.standard_normal((4, 128, 128))
+        assert pallas_dft.use_fused_zy(v.shape)
+        got = np.asarray(pallas_dft.rfftn_mxu_fused(jnp.asarray(v)))
+        ref = np.fft.rfftn(v)
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+    finally:
+        pk.FORCE_INTERPRET = False
