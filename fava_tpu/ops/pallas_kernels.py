@@ -910,7 +910,10 @@ def _folded_counts(
     shell = np.where(in_range, np.minimum(shell, nbins - 1), nbins)
     w = (mx[:, None, None] * my[None, :, None]) * wz[None, None, :]
     counts = np.bincount(shell.ravel(), weights=w.ravel(), minlength=nbins + 1)[:nbins]
-    return jnp.asarray(counts.astype(dtype_name))
+    # Return HOST numpy: a jnp array materialized under an active jit
+    # trace is a tracer, and caching it leaks it into later traces.
+    # Callers lift it per-trace.
+    return counts.astype(dtype_name)
 
 
 def shell_bin_values_folded_v2(total: jax.Array, longi: jax.Array, nbins: int,
@@ -922,7 +925,7 @@ def shell_bin_values_folded_v2(total: jax.Array, longi: jax.Array, nbins: int,
     t_sum, l_sum = _build_shell_folded_v2_fn(
         fshape, int(nbins), dname, FORCE_INTERPRET, full_nx, full_ny, full_nz
     )(total, longi)
-    counts = _folded_counts(fshape, int(nbins), dname, full_nx, full_ny, full_nz)
+    counts = jnp.asarray(_folded_counts(fshape, int(nbins), dname, full_nx, full_ny, full_nz))
     return counts, jnp.stack([t_sum, l_sum, t_sum - l_sum])
 
 

@@ -395,3 +395,27 @@ def test_shell_bin_folded_v2_matches_jnp(force_interpret):
         c_ref, s_ref = pk._shell_bin_jnp_rfft(total, longi, trans, nbins, nz)
         np.testing.assert_allclose(np.asarray(c_got), np.asarray(c_ref), rtol=1e-12)
         np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref), rtol=1e-10, atol=1e-12)
+
+
+def test_shell_bin_folded_v2_two_traces(force_interpret):
+    """Regression: _folded_counts must not cache a jnp constant created
+    inside the first jit trace (UnexpectedTracerError when a SECOND jit
+    traces the same shape)."""
+    pk._folded_counts.cache_clear()
+    nx = ny = nz = 16
+    nzr = nz // 2 + 1
+    rng = np.random.default_rng(3)
+    total = jnp.asarray(np.abs(rng.standard_normal((nx, ny, nzr))))
+    longi = jnp.asarray(np.abs(rng.standard_normal((nx, ny, nzr))))
+
+    @jax.jit
+    def f1(t, l):
+        return pk.shell_bin_sums_rfft(t, l, t - l, 7, nz)[0]
+
+    @jax.jit
+    def f2(t, l):
+        return pk.shell_bin_sums_rfft(t, l, t - l, 7, nz)[0] * 2.0
+
+    c1 = np.asarray(f1(total, longi))
+    c2 = np.asarray(f2(total, longi))
+    np.testing.assert_allclose(c2, 2.0 * c1)
