@@ -116,14 +116,19 @@ def rfftn_mxu(x: jax.Array, precision=None) -> jax.Array:
     return fft_axis(w, 0, precision)
 
 
-def rfftn_mxu_planar_stacked(vols, precision=None):
+def rfftn_mxu_planar_stacked(vols, precision=None, karatsuba: bool = False):
     """Stacked PLANAR transforms of three real volumes: ((3, nx, ny,
     nz//2+1) re, same im).
 
-    Four real einsums per complex axis — no complex dtype anywhere, so
-    XLA never materializes re/im extraction temps; this is the input
-    format of the fused powers+binning kernel
-    (pallas_kernels.shell_bin_powers_fused).
+    No complex dtype anywhere, so XLA never materializes re/im
+    extraction temps; this is the input format of the fused
+    powers+binning kernel (pallas_kernels.shell_bin_powers_fused).
+
+    ``karatsuba`` applies each complex axis with THREE real einsums
+    instead of four (t1 = Wr@re, t2 = Wi@im, t3 = (Wr+Wi)@(re+im);
+    re' = t1-t2, im' = t3-t1-t2) — 25% fewer MXU flops on the y/x
+    axes at the cost of one elementwise add pass and slightly larger
+    rounding (sums before products).
     """
     precision = PRECISION if precision is None else precision
     x = jnp.stack(vols)  # (3, nx, ny, nz)
@@ -143,7 +148,13 @@ def rfftn_mxu_planar_stacked(vols, precision=None):
                 a,
             )
 
-        re, im = t(dr, re) - t(di, im), t(dr, im) + t(di, re)
+        if karatsuba:
+            t1 = t(dr, re)
+            t2 = t(di, im)
+            t3 = t(dr + di, re + im)
+            re, im = t1 - t2, t3 - t1 - t2
+        else:
+            re, im = t(dr, re) - t(di, im), t(dr, im) + t(di, re)
     return re, im
 
 
