@@ -815,8 +815,10 @@ def _shell_kernel_folded_v2(
 
 
 def _pick_row_chunk(rows_f: int) -> int:
-    """Largest useful row-chunk: smallest multiple-of-8 divisor >= 32
-    (falls back to the full row count)."""
+    """SMALLEST multiple-of-8 divisor >= 32 (full rows if none): small
+    chunks tighten the per-chunk shell bounds, but below ~32 rows the
+    per-program prologue outweighs the loop saving (z-chunk experiment,
+    docs/perf.md)."""
     for d in range(32, rows_f + 1, 8):
         if rows_f % d == 0:
             return d

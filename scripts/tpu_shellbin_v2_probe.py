@@ -52,8 +52,16 @@ def main() -> None:
 
     @jax.jit
     def v1(d, a, b, c):
+        # Call the v1 folded kernel DIRECTLY: production
+        # shell_bin_sums_rfft dispatches to v2 now, so going through it
+        # would compare v2 against itself (the bug that produced the
+        # first committed artifact: dev exactly 0.0).
         total, longi, trans = powers(d, a, b, c)
-        counts, sums = pk.shell_bin_sums_rfft(total, longi, trans, nbins, n)
+        folded = [pk._fold_quadrants(v) for v in (total, longi)]
+        fshape = tuple(int(s) for s in folded[0].shape)
+        counts, sums = pk._build_shell_folded_fn(
+            fshape, nbins, str(total.dtype), pk.FORCE_INTERPRET, n, n, n
+        )(*folded)
         return jnp.concatenate([counts[None], sums])
 
     @jax.jit

@@ -381,9 +381,12 @@ def test_planar_stacked_transforms_match_numpy(karatsuba):
 
 def test_shell_bin_folded_v2_matches_jnp(force_interpret):
     """The chunked values-only v2 kernel + static counts must reproduce
-    the jnp Hermitian-weighted reference, including odd z extents and
-    shapes where the row chunking does not divide evenly."""
-    for (nx, ny, nz) in [(16, 16, 16), (16, 16, 9), (32, 16, 16), (16, 16, 400)]:
+    the jnp Hermitian-weighted reference, including odd z extents,
+    shapes where the row chunking does not divide evenly, and shapes
+    that actually take MULTIPLE row chunks (ny=126 -> rows_f=64,
+    rows_c=32: two chunks with nonzero row0 bounds, like the 512^3
+    production shape's 264/88 split)."""
+    for (nx, ny, nz) in [(16, 16, 16), (16, 16, 9), (32, 16, 16), (16, 16, 400), (16, 126, 16)]:
         nzr = nz // 2 + 1
         nbins = max(nx, ny, nz) // 2 - 1
         rng = np.random.default_rng(nx * ny + nz)
@@ -392,10 +395,30 @@ def test_shell_bin_folded_v2_matches_jnp(force_interpret):
         trans = total - longi
 
         folded = [pk._fold_quadrants(v) for v in (total, longi)]
+        if ny == 126:  # multi-chunk guard: keep this case meaningful
+            assert pk._pick_row_chunk(folded[0].shape[1]) < folded[0].shape[1]
         c_got, s_got = pk.shell_bin_values_folded_v2(*folded, nbins, nx, ny, nz)
         c_ref, s_ref = pk._shell_bin_jnp_rfft(total, longi, trans, nbins, nz)
         np.testing.assert_allclose(np.asarray(c_got), np.asarray(c_ref), rtol=1e-12)
         np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref), rtol=1e-10, atol=1e-12)
+
+
+def test_shell_bin_folded_v1_kernel_matches_jnp(force_interpret):
+    """The one-pass folded v1 kernel stays alive as the probe's
+    comparison baseline (scripts/tpu_shellbin_v2_probe.py) — pin it to
+    the jnp reference so it cannot silently rot."""
+    nx, ny, nz = 16, 16, 16
+    nzr = nz // 2 + 1
+    rng = np.random.default_rng(21)
+    total = jnp.asarray(np.abs(rng.standard_normal((nx, ny, nzr))), dtype=jnp.float64)
+    longi = jnp.asarray(np.abs(rng.standard_normal((nx, ny, nzr))), dtype=jnp.float64)
+    nbins = nx // 2 - 1
+    folded = [pk._fold_quadrants(v) for v in (total, longi)]
+    fshape = tuple(int(s) for s in folded[0].shape)
+    c_got, s_got = pk._build_shell_folded_fn(fshape, nbins, "float64", True, nx, ny, nz)(*folded)
+    c_ref, s_ref = pk._shell_bin_jnp_rfft(total, longi, total - longi, nbins, nz)
+    np.testing.assert_allclose(np.asarray(c_got), np.asarray(c_ref), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref), rtol=1e-10, atol=1e-12)
 
 
 def test_shell_bin_folded_v2_two_traces(force_interpret):
