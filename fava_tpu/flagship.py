@@ -99,22 +99,13 @@ def uniform_analysis_step(
         centered = pallas_kernels.centered_row_moments(
             dens, *vels, jnp.stack(means)
         ).astype(adt)
-        cov = centered[:6]
-        c1 = centered[6:9]
 
-        stress = [cov[p] / layer for p in range(6)]
+        # Shared assembly (conditioning rationale documented there).
+        from fava_tpu.ops.profiles import assemble_profile_stats
 
-        # favre_mean = mu + sum(d*(v-mu))/sum(d) exactly, and the
-        # centered c1 term is well-conditioned where the raw sum(d*v)
-        # cancels (near-zero-mean velocities: ~3e-2 scaled f32 error
-        # measured via VALIDATION.json before this form).
-        favre_mean = [means[i] + c1[i] / d_row for i in range(3)]
-        diag = [pairs.index((i, i)) for i in range(3)]
-        favre_rms = []
-        for i in range(3):
-            di = favre_mean[i] - means[i]
-            var = (cov[diag[i]] - 2.0 * di * c1[i] + di * di * d_row) / d_row
-            favre_rms.append(jnp.sqrt(jnp.maximum(var, 0.0)))
+        stress, favre_mean, favre_rms = assemble_profile_stats(
+            d_row, jnp.stack(means), centered[6:9], centered[:6], layer
+        )
     else:
         # Same centered two-pass as the single-chip branch: the volume
         # is slab-sharded along x, so every row (= profile bin) lives
@@ -136,22 +127,18 @@ def uniform_analysis_step(
         c1 = [rows(dens * cv) for cv in cvels]
         cov = [rows(dens * cvels[i] * cvels[j]) for (i, j) in pairs]
 
-        stress = [c / layer for c in cov]
+        from fava_tpu.ops.profiles import assemble_profile_stats
 
-        favre_mean = [means[i] + c1[i] / d_row for i in range(3)]
-        diag = [pairs.index((i, i)) for i in range(3)]
-        favre_rms = []
-        for i in range(3):
-            di = favre_mean[i] - means[i]
-            var = (cov[diag[i]] - 2.0 * di * c1[i] + di * di * d_row) / d_row
-            favre_rms.append(jnp.sqrt(jnp.maximum(var, 0.0)))
+        stress, favre_mean, favre_rms = assemble_profile_stats(
+            d_row, jnp.stack(means), jnp.stack(c1), jnp.stack(cov), layer
+        )
 
     return {
         **{f"spectra_{k}": v for k, v in spectra.items()},
         "mean_dens": mean_d,
-        "reynolds_stress": jnp.stack(stress),
-        "favre_mean": jnp.stack(favre_mean),
-        "favre_rms": jnp.stack(favre_rms),
+        "reynolds_stress": stress,
+        "favre_mean": favre_mean,
+        "favre_rms": favre_rms,
         "total_mass": jnp.sum(dens.astype(adt)),
     }
 

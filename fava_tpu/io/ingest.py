@@ -111,12 +111,14 @@ def ingest_bandwidth_gbps(paths: Sequence[str | Path], fields: Sequence[str], de
 
     total = 0
     t0 = time.perf_counter()
-    last = None
     for snap in SnapshotPrefetcher(paths, fields, depth=depth):
         total += snap.nbytes
-        last = snap
-    if last is not None:
-        for arr in last.fields.values():
-            arr.block_until_ready()
+        # Sync by FETCHING a scalar from every array of every snapshot:
+        # block_until_ready does not reliably synchronize on the axon
+        # tunnel (CLAUDE.md), and awaiting only the last snapshot would
+        # leave earlier transfers possibly in flight even on well-
+        # behaved backends.
+        for arr in snap.fields.values():
+            np.asarray(jax.device_get(arr.ravel()[:1]))
     dt = time.perf_counter() - t0
     return total / dt / 1e9

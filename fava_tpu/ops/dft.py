@@ -116,6 +116,31 @@ def rfftn_mxu(x: jax.Array, precision=None) -> jax.Array:
     return fft_axis(w, 0, precision)
 
 
+def planar_complex_matmul(spec, dr, di, re, im, precision=None, karatsuba=False):
+    """(dr + i*di) applied to planar (re, im) data via REAL einsums.
+
+    One definition for every planar DFT site (the stacked in-core
+    transform below and both out-of-core stages, ops/outofcore.py) so
+    precision plumbing and algebra fixes land everywhere at once. The
+    caller keeps its exact einsum ``spec`` — the spellings are
+    load-bearing for HLO temp layout in the 1024^3 streamed path.
+
+    ``karatsuba`` uses three einsums instead of four (t3 = (dr+di) @
+    (re+im)); measured SLOWER in-core at 512^3 (docs/perf.md) but kept
+    as an option.
+    """
+    precision = PRECISION if precision is None else precision
+
+    def t(m, v):
+        return jnp.einsum(spec, m, v, precision=precision)
+
+    if karatsuba:
+        t1, t2 = t(dr, re), t(di, im)
+        t3 = t(dr + di, re + im)
+        return t1 - t2, t3 - t1 - t2
+    return t(dr, re) - t(di, im), t(dr, im) + t(di, re)
+
+
 def rfftn_mxu_planar_stacked(vols, precision=None, karatsuba: bool = False):
     """Stacked PLANAR transforms of three real volumes: ((3, nx, ny,
     nz//2+1) re, same im).
@@ -136,25 +161,18 @@ def rfftn_mxu_planar_stacked(vols, precision=None, karatsuba: bool = False):
     cr, ci = _rdft_mats(n, x.dtype.name)
     re = jnp.einsum("...z,zk->...k", x, cr, precision=precision)
     im = jnp.einsum("...z,zk->...k", x, ci, precision=precision)
+    specs = {2: "ab,cxbz->cxaz", 1: "ab,cbyz->cayz"}
     for axis in (2, 1):  # y then x of the (comp, x, y, kz) layout
         d = _dft_mat(x.shape[axis], x.dtype.name)
-        dr = jnp.asarray(d.real.copy())
-        di = jnp.asarray(d.imag.copy())
-
-        def t(m, v, a=axis):
-            return jnp.moveaxis(
-                jnp.einsum("...b,ab->...a", jnp.moveaxis(v, a, -1), m, precision=precision),
-                -1,
-                a,
-            )
-
-        if karatsuba:
-            t1 = t(dr, re)
-            t2 = t(di, im)
-            t3 = t(dr + di, re + im)
-            re, im = t1 - t2, t3 - t1 - t2
-        else:
-            re, im = t(dr, re) - t(di, im), t(dr, im) + t(di, re)
+        re, im = planar_complex_matmul(
+            specs[axis],
+            jnp.asarray(d.real.copy()),
+            jnp.asarray(d.imag.copy()),
+            re,
+            im,
+            precision=precision,
+            karatsuba=karatsuba,
+        )
     return re, im
 
 

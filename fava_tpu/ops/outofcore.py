@@ -29,6 +29,7 @@ fava/mesh/FLASH/FlashUniform.py:268.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Callable, Dict, Tuple
 
 import jax
@@ -46,7 +47,8 @@ SlabLoader = Callable[[str, int, int], np.ndarray]
 FIELDS = ("dens", "velx", "vely", "velz")
 
 
-def _stage_a_comp_fn(full_shape: Tuple[int, int, int]):
+@lru_cache(maxsize=8)
+def _stage_a_comp_fn(full_shape: Tuple[int, int, int], precision=None):
     """One component's slab transform + buffer update (donated).
 
     Split per component so only ONE buffer's einsum temporaries are
@@ -57,7 +59,7 @@ def _stage_a_comp_fn(full_shape: Tuple[int, int, int]):
     array, which alone re-OOMed stage B at 1024^3.
     """
     nx, ny, nz = full_shape
-    precision = dft.PRECISION  # inherit the production/validation knob
+    precision = dft.PRECISION if precision is None else precision
 
     def run(buf_re, buf_im, d_slab, v, i0):
         rdt = d_slab.dtype.name
@@ -68,12 +70,9 @@ def _stage_a_comp_fn(full_shape: Tuple[int, int, int]):
         w = jnp.sqrt(d_slab) * v
         zre = jnp.einsum("xyz,zk->xyk", w, cr, precision=precision)
         zim = jnp.einsum("xyz,zk->xyk", w, ci, precision=precision)
-        # Complex y-DFT as four real matmuls (keeps everything planar).
-        yre = jnp.einsum("ab,xbz->xaz", dyr, zre, precision=precision) - jnp.einsum(
-            "ab,xbz->xaz", dyi, zim, precision=precision
-        )
-        yim = jnp.einsum("ab,xbz->xaz", dyr, zim, precision=precision) + jnp.einsum(
-            "ab,xbz->xaz", dyi, zre, precision=precision
+        # Complex y-DFT as real matmuls (keeps everything planar).
+        yre, yim = dft.planar_complex_matmul(
+            "ab,xbz->xaz", dyr, dyi, zre, zim, precision=precision
         )
         zero = jnp.zeros((), dtype=i0.dtype)
         return (
@@ -84,6 +83,7 @@ def _stage_a_comp_fn(full_shape: Tuple[int, int, int]):
     return jax.jit(run, donate_argnums=(0, 1))
 
 
+@lru_cache(maxsize=8)
 def _stage_a_moments_fn(full_shape: Tuple[int, int, int]):
     nx, ny, nz = full_shape
 
@@ -99,20 +99,18 @@ def _stage_a_moments_fn(full_shape: Tuple[int, int, int]):
     return jax.jit(run)
 
 
-def _stage_b_fn(full_shape: Tuple[int, int, int], chunk: int, nbins: int):
+@lru_cache(maxsize=8)
+def _stage_b_fn(full_shape: Tuple[int, int, int], chunk: int, nbins: int, precision=None):
     nx, ny, nz = full_shape
-    precision = dft.PRECISION  # inherit the production/validation knob
+    precision = dft.PRECISION if precision is None else precision
 
     def run(bufs, dxr, dxi, kx0, acc_counts, acc_sums):
         # dxr/dxi: (chunk, nx) real/imag DFT rows, pre-scaled by 1/ntot.
         # Planar real matmuls per component; complex only at chunk size.
         ws = []
         for b_re, b_im in bufs:
-            wre = jnp.einsum("kx,xyz->kyz", dxr, b_re, precision=precision) - jnp.einsum(
-                "kx,xyz->kyz", dxi, b_im, precision=precision
-            )
-            wim = jnp.einsum("kx,xyz->kyz", dxr, b_im, precision=precision) + jnp.einsum(
-                "kx,xyz->kyz", dxi, b_re, precision=precision
+            wre, wim = dft.planar_complex_matmul(
+                "kx,xyz->kyz", dxr, dxi, b_re, b_im, precision=precision
             )
             ws.append(jax.lax.complex(wre, wim))
         jxg = kx0 + jnp.arange(chunk)
@@ -152,7 +150,10 @@ def streamed_uniform_analysis(
         (jnp.zeros((nx, ny, nzr), dtype=dtype), jnp.zeros((nx, ny, nzr), dtype=dtype))
         for _ in range(3)
     ]
-    stage_a = _stage_a_comp_fn((nx, ny, nz))
+    # Builders are lru_cached (keyed on shape + the precision knob) so a
+    # streamed SERIES retraces nothing per snapshot — a fresh jit per
+    # call re-embedded the (ny, ny) DFT matrices into every trace.
+    stage_a = _stage_a_comp_fn((nx, ny, nz), dft.PRECISION)
     stage_a_moments = _stage_a_moments_fn((nx, ny, nz))
 
     raws = []
@@ -172,7 +173,7 @@ def streamed_uniform_analysis(
     cen = jnp.concatenate([c.astype(adt) for c in cens], axis=-1)  # (9, nx)
 
     # --- Stage B: kx-chunked x-DFT + powers + binning -----------------
-    stage_b = _stage_b_fn((nx, ny, nz), chunk_rows, nbins)
+    stage_b = _stage_b_fn((nx, ny, nz), chunk_rows, nbins, dft.PRECISION)
     dmat = dft._dft_mat(nx, jnp.dtype(dtype).name) / (nx * ny * nz)
     counts = jnp.zeros(nbins, dtype=adt)
     sums = jnp.zeros((3, nbins), dtype=adt)
@@ -182,24 +183,15 @@ def streamed_uniform_analysis(
         counts, sums = stage_b(bufs, dxr, dxi, jnp.asarray(kx0, dtype=jnp.int32), counts, sums)
 
     # --- Assemble the flagship output dict ----------------------------
+    from fava_tpu.ops.profiles import assemble_profile_stats
+
     layer = jnp.asarray(ny * nz, dtype=adt)
     d_row = raw[0]
-    v_rows = raw[1:4]
     mean_d = d_row / layer
-    means = v_rows / layer
-    cov = cen[:6]
-    c1 = cen[6:9]
-    pairs = [(i, j) for i in range(3) for j in range(i, 3)]
-    stress = cov / layer
-    # mu + c1/sum(d): exact, conditioned where sum(d*v) cancels. The
-    # slab means mu equal v_rows/layer here (rows are whole bins).
-    favre_mean = means + c1 / d_row
-    diag = [pairs.index((i, i)) for i in range(3)]
-    favre_rms = []
-    for i in range(3):
-        di = favre_mean[i] - means[i]
-        var = (cov[diag[i]] - 2.0 * di * c1[i] + di * di * d_row) / d_row
-        favre_rms.append(jnp.sqrt(jnp.maximum(var, 0.0)))
+    means = raw[1:4] / layer  # slab means ARE the bin means (rows = bins)
+    stress, favre_mean, favre_rms = assemble_profile_stats(
+        d_row, means, cen[6:9], cen[:6], layer
+    )
 
     out = {
         "spectra_counts": counts,
@@ -209,7 +201,7 @@ def streamed_uniform_analysis(
         "mean_dens": mean_d,
         "reynolds_stress": stress,
         "favre_mean": favre_mean,
-        "favre_rms": jnp.stack(favre_rms),
+        "favre_rms": favre_rms,
         "total_mass": jnp.sum(d_row),
     }
     return {k: np.asarray(v) for k, v in out.items()}

@@ -515,3 +515,32 @@ def slice_average(
     span, alp = slice_integral(field_data, geom)
     layer_volume = geom.layer_area * geom.min_deltas[geom.raxis]
     return span, alp / layer_volume
+
+
+# Velocity-pair order shared by every profile consumer: xx,xy,xz,yy,yz,zz.
+VEL_PAIRS: Tuple[Tuple[int, int], ...] = tuple(
+    (i, j) for i in range(3) for j in range(i, 3)
+)
+_DIAG = tuple(VEL_PAIRS.index((i, i)) for i in range(3))
+
+
+def assemble_profile_stats(d_row, means, c1, cov, layer):
+    """Reynolds stress + Favre mean/RMS from centered per-bin moments.
+
+    One definition for the three call sites (single-chip flagship,
+    sharded flagship, streamed out-of-core) so conditioning fixes land
+    everywhere at once. Inputs are stacked rows: d_row (nx,), means
+    (3, nx) volume-mean velocities, c1 (3, nx) = sum(d*(v-mu)),
+    cov (6, nx) = sum(d*ci*cj) in VEL_PAIRS order, layer = cells/bin.
+
+    favre_mean = mu + c1/sum(d) exactly, conditioned where the raw
+    sum(d*v) cancels (near-zero-mean velocities); the RMS variance is
+    the centered covariance shifted to the Favre mean.
+    """
+    stress = cov / layer
+    favre_mean = means + c1 / d_row
+    di = favre_mean - means
+    diag_cov = jnp.stack([cov[d] for d in _DIAG])
+    var = (diag_cov - 2.0 * di * c1 + di * di * d_row) / d_row
+    favre_rms = jnp.sqrt(jnp.maximum(var, 0.0))
+    return stress, favre_mean, favre_rms

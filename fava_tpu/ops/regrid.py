@@ -150,12 +150,22 @@ class RegridPlan:
 
 
 @lru_cache(maxsize=16)
-def _build_gather_fns(out_shape, ncells, origin, block_shape):
+def _build_gather_fns(out_shape, ncells, origin, block_shape, nb_total=None):
     """Jitted flat-index computation + per-field gather (cached per geometry)."""
     nx, ny, nz = out_shape
     ncx, ncy, ncz = ncells
     ox, oy, oz = origin
     bx, by, bz = block_shape
+    # The flat gather index is computed in int32 when x64 is off (TPU
+    # production): jnp.take would silently clamp a wrapped-negative
+    # index to 0, filling regions with block 0's first cell. Refuse
+    # loudly instead; such trees must crop/truncate (like the lookup
+    # table guard above).
+    if nb_total is not None and int(nb_total) * bx * by * bz > np.iinfo(np.int32).max:
+        raise MemoryError(
+            f"Regrid gather index space {int(nb_total) * bx * by * bz} exceeds int32; "
+            "crop with subdomain_coords or truncate with refine_level."
+        )
 
     @jax.jit
     def flat_indices(leaf_table, offsets, scales):
@@ -349,6 +359,7 @@ def regrid_fields(
         tuple(int(c) for c in plan.ncells_vec),
         tuple(int(o) for o in plan.out_origin),
         block_shape,
+        nb_total=int(first.shape[0]),
     )
 
     flat, valid = flat_fn(
