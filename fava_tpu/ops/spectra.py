@@ -162,30 +162,54 @@ def sharded_power_spectra(dens, vels, mesh, nbins: int, axis_name: str = None):
         jy = lo + jnp.arange(ny // nd)
         total, longi, trans, k_abs = rfft_power_volumes(ffts, (nx, ny, nz), jy=jy, ky=ky)
 
-        jz = jnp.arange(nzr)
-        self_conj = jz == 0
-        if nz % 2 == 0:  # Nyquist plane exists only for even extents
-            self_conj = self_conj | (jz == nz // 2)
-        weight = jnp.where(self_conj, 1.0, 2.0).astype(adt)
-        weight = jnp.broadcast_to(weight[None, None, :], k_abs.shape)
+        from fava_tpu.ops import pallas_kernels as pk
 
-        bidx = jnp.clip(jnp.floor(k_abs + 0.5).astype(jnp.int32), 0, nbins - 1).ravel()
-        mask = (k_abs <= (nbins - 0.5)).ravel()
-        w_flat = jnp.where(mask, weight.ravel(), 0)
-        counts = jnp.zeros(nbins, dtype=adt).at[bidx].add(w_flat)
-        stacked = jnp.stack([total.ravel(), longi.ravel(), trans.ravel()]).astype(adt)
-        sums = jnp.zeros((3, nbins), dtype=adt).at[:, bidx].add(stacked * w_flat)
+        if (pk.on_tpu() or pk.FORCE_INTERPRET) and pk._pick_gy(nx):
+            # Pallas mask-loop binning of the local k-slab: XLA's
+            # scatter-add is the slow path on TPU (~174 ms for a
+            # 16M-point scatter measured at 256^3). The chunk kernel's
+            # math is symmetric in the slab/middle axes, so the local
+            # y-slab binning is the x-chunk kernel on the TRANSPOSED
+            # block with the global y offset as the chunk origin.
+            c_loc, s_loc = pk.shell_bin_sums_rfft_chunk(
+                jnp.swapaxes(total, 0, 1),
+                jnp.swapaxes(longi, 0, 1),
+                jnp.swapaxes(trans, 0, 1),
+                nbins,
+                ny,  # slab axis is GLOBAL y
+                nz,
+                lo,
+            )
+            counts = c_loc.astype(adt)
+            sums = s_loc.astype(adt)
+        else:
+            jz = jnp.arange(nzr)
+            self_conj = jz == 0
+            if nz % 2 == 0:  # Nyquist plane exists only for even extents
+                self_conj = self_conj | (jz == nz // 2)
+            weight = jnp.where(self_conj, 1.0, 2.0).astype(adt)
+            weight = jnp.broadcast_to(weight[None, None, :], k_abs.shape)
+
+            bidx = jnp.clip(jnp.floor(k_abs + 0.5).astype(jnp.int32), 0, nbins - 1).ravel()
+            mask = (k_abs <= (nbins - 0.5)).ravel()
+            w_flat = jnp.where(mask, weight.ravel(), 0)
+            counts = jnp.zeros(nbins, dtype=adt).at[bidx].add(w_flat)
+            stacked = jnp.stack([total.ravel(), longi.ravel(), trans.ravel()]).astype(adt)
+            sums = jnp.zeros((3, nbins), dtype=adt).at[:, bidx].add(stacked * w_flat)
         return jax.lax.psum(counts, axis_name), jax.lax.psum(sums, axis_name)
 
     from jax.sharding import PartitionSpec as P
 
     spec = P(axis_name, None, None)
     # Replicate over any other mesh axes by naming only the space axis.
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation, which the shard_map checker (on by default) rejects.
     return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(spec,) * (1 + len(vels)),
         out_specs=(P(), P()),
+        check_vma=False,
     )(dens, *vels)
 
 

@@ -100,3 +100,26 @@ def test_sharded_favre_match(uniform_file_32, eight_device_mesh):
         np.testing.assert_allclose(
             out1["favre_rms"][f"vel{a}"], out0["favre_rms"][f"vel{a}"], rtol=1e-9
         )
+
+
+def test_sharded_spectra_pallas_binning_matches(uniform_file_32, eight_device_mesh):
+    """The Pallas chunk-kernel binning inside shard_map (the TPU pod
+    path, forced via interpret mode) must match the scatter-add path
+    and the unsharded spectra."""
+    from fava_tpu.mesh.flash_uniform import FlashUniform
+    from fava_tpu.ops import pallas_kernels as pk
+
+    uni = FlashUniform(uniform_file_32)
+    uni.load()
+    ref = uni.kinetic_energy_spectra()  # unsharded (no mesh in context)
+
+    pk.FORCE_INTERPRET = True
+    try:
+        with use_mesh(eight_device_mesh):
+            uni2 = FlashUniform(uniform_file_32)
+            uni2.load()
+            got = uni2.kinetic_energy_spectra()
+    finally:
+        pk.FORCE_INTERPRET = False
+    for key in ("total", "longitudinal", "transverse"):
+        np.testing.assert_allclose(got[key], ref[key], rtol=1e-8, atol=1e-12, err_msg=key)
