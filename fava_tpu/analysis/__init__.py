@@ -19,7 +19,12 @@ from fava_tpu.analysis.pdf1d import pdf1d
 from fava_tpu.analysis.pdf2d import pdf2d
 from fava_tpu.analysis.mass_sum import mass_sum
 from fava_tpu.analysis.flagship_analysis import flagship_analysis
-from fava_tpu.analysis.time_series import favre_series, particle_series, reynolds_series
+from fava_tpu.analysis.time_series import (
+    favre_series,
+    flagship_series,
+    particle_series,
+    reynolds_series,
+)
 
 __all__ = [
     "reynolds_stress",
@@ -39,6 +44,7 @@ __all__ = [
     "mass_sum",
     "flagship_analysis",
     "favre_series",
+    "flagship_series",
     "particle_series",
     "reynolds_series",
 ]

@@ -149,3 +149,27 @@ def test_pipeline_skip_flags(pipeline_dir):
     pipe = Pipeline(workdir)
     pipe.restart()
     assert pipe.settings["reynolds stress"]["skip"] is True
+
+
+def test_flagship_series_matches_per_snapshot(tmp_path):
+    """flagship_series (batched lax.scan dispatches, including a short
+    final batch) must equal per-snapshot flagship_analysis."""
+    from fava_tpu.io import synthetic
+    import fava_tpu
+
+    for i in (1, 2, 3):
+        synthetic.make_uniform_file(
+            tmp_path / f"rt_hdf5_uniform_000{i}", ncells=(16, 16, 16), seed=10 + i
+        )
+    m = fava_tpu.FLASH(tmp_path)
+
+    series = m.flagship_series(batch=2)  # batches of 2 + final batch of 1
+    assert series["times"].shape == (3,)
+
+    for j in (0, 1, 2):
+        m.load(file_type="uni", file_index=j)
+        single = m.flagship_analysis()
+        for key, val in single.items():
+            np.testing.assert_allclose(
+                series[key][j], np.asarray(val), rtol=1e-12, atol=1e-13, err_msg=key
+            )
