@@ -972,14 +972,39 @@ def _shell_kernel_chunkx(
     width = _bins_width(nbins)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
 
-    def body(b, acc):
-        m = (shell == b).astype(t.dtype) * weight
-        partial = jnp.stack([_sum2(m), _sum2(t * m), _sum2(l * m)])
-        onehot = (lane == b).astype(acc.dtype)
-        return acc + partial[:, None] * onehot
+    # Two-sided reachable-shell bounds (the v2-kernel trick): |ky| =
+    # min(jy, ny-jy) is unimodal over the y tile, so its extrema sit at
+    # the tile endpoints (min) / the ny//2 peak if inside (max).
+    f32 = jnp.float32
+    y0 = j * gy
+    y1 = y0 + gy - 1
+    aky0 = jnp.minimum(y0, full_ny - y0)
+    aky1 = jnp.minimum(y1, full_ny - y1)
+    ky_min = jnp.minimum(aky0, aky1).astype(f32)
+    has_peak = (y0 <= full_ny // 2) & (full_ny // 2 <= y1)
+    ky_max = jnp.where(
+        has_peak, full_ny // 2, jnp.maximum(aky0, aky1)
+    ).astype(f32)
+    kmin = jnp.sqrt(kx * kx + ky_min * ky_min)
+    kmax = jnp.sqrt(kx * kx + ky_max * ky_max + f32(nzr - 1) ** 2)
+    b_lo = jnp.maximum(jnp.floor(kmin + 0.5).astype(jnp.int32), 0)
+    b_hi = jnp.minimum(jnp.floor(kmax + 0.5).astype(jnp.int32) + 1, nbins)
+    b_hi = jnp.maximum(b_hi, b_lo)
 
-    b_lo = jnp.maximum(jnp.floor(jnp.abs(kx) - 0.5).astype(jnp.int32), 0)
-    acc = jax.lax.fori_loop(b_lo, nbins, body, jnp.zeros((3, width), dtype=out_ref.dtype))
+    unroll = 4
+
+    def body(it, acc):
+        b0 = b_lo + it * unroll
+        for u in range(unroll):
+            b = b0 + u
+            m = (shell == b).astype(t.dtype) * weight
+            partial = jnp.stack([_sum2(m), _sum2(t * m), _sum2(l * m)])
+            onehot = (lane == b).astype(acc.dtype)
+            acc = acc + partial[:, None] * onehot
+        return acc
+
+    nit = (b_hi - b_lo + unroll - 1) // unroll
+    acc = jax.lax.fori_loop(0, nit, body, jnp.zeros((3, width), dtype=out_ref.dtype))
     out_ref[...] += acc
 
 
