@@ -104,7 +104,7 @@ def _stage_b_fn(full_shape: Tuple[int, int, int], chunk: int, nbins: int, precis
     nx, ny, nz = full_shape
     precision = dft.PRECISION if precision is None else precision
 
-    def run(bufs, dxr, dxi, kx0, acc_counts, acc_sums):
+    def run(bufs, dxr, dxi, kx0, acc_sums):
         # dxr/dxi: (chunk, nx) real/imag DFT rows, pre-scaled by 1/ntot.
         # Planar real matmuls per component; complex only at chunk size.
         ws = []
@@ -118,10 +118,15 @@ def _stage_b_fn(full_shape: Tuple[int, int, int], chunk: int, nbins: int, precis
         total, longi, trans, _ = rfft_power_volumes(
             ws, full_shape, jx=jxg, kx=kxv
         )
-        counts, sums = pk.shell_bin_sums_rfft_chunk(
-            total, longi, trans, nbins, nx, nz, kx0
-        )
-        return acc_counts + counts, acc_sums + sums
+        # Values only: chunk counts sum to a pure shape function,
+        # substituted from the static table by the caller.
+        if pk.on_tpu() or pk.FORCE_INTERPRET:
+            sums = pk.shell_bin_values_rfft_chunk(total, longi, nbins, nx, nz, kx0)
+        else:
+            _, sums = pk._shell_bin_jnp_rfft_chunk(
+                total, longi, trans, nbins, nx, nz, kx0
+            )
+        return acc_sums + sums
 
     return jax.jit(run)
 
@@ -175,12 +180,13 @@ def streamed_uniform_analysis(
     # --- Stage B: kx-chunked x-DFT + powers + binning -----------------
     stage_b = _stage_b_fn((nx, ny, nz), chunk_rows, nbins, dft.PRECISION)
     dmat = dft._dft_mat(nx, jnp.dtype(dtype).name) / (nx * ny * nz)
-    counts = jnp.zeros(nbins, dtype=adt)
     sums = jnp.zeros((3, nbins), dtype=adt)
     for kx0 in range(0, nx, chunk_rows):
         dxr = jnp.asarray(dmat[kx0 : kx0 + chunk_rows].real.copy())
         dxi = jnp.asarray(dmat[kx0 : kx0 + chunk_rows].imag.copy())
-        counts, sums = stage_b(bufs, dxr, dxi, jnp.asarray(kx0, dtype=jnp.int32), counts, sums)
+        sums = stage_b(bufs, dxr, dxi, jnp.asarray(kx0, dtype=jnp.int32), sums)
+    # Counts are a pure shape function (see rfft_shell_counts).
+    counts = jnp.asarray(pk.rfft_shell_counts((nx, ny, nz), nbins, str(jnp.dtype(adt))))
 
     # --- Assemble the flagship output dict ----------------------------
     from fava_tpu.ops.profiles import assemble_profile_stats

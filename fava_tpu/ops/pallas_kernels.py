@@ -932,7 +932,8 @@ def shell_bin_values_folded_v2(total: jax.Array, longi: jax.Array, nbins: int,
 
 
 def _shell_kernel_chunkx(
-    kx0_ref, t_ref, l_ref, out_ref, *, full_nx, full_ny, gy, nbins, full_nz, nzr
+    kx0_ref, t_ref, l_ref, out_ref, *, full_nx, full_ny, gy, nbins, full_nz, nzr,
+    with_counts=True,
 ):
     """rfft shell binning of an x-chunk of k-space (rows kx0..kx0+rows).
 
@@ -993,18 +994,26 @@ def _shell_kernel_chunkx(
 
     unroll = 4
 
+    nrows = 3 if with_counts else 2
+
     def body(it, acc):
         b0 = b_lo + it * unroll
         for u in range(unroll):
             b = b0 + u
             m = (shell == b).astype(t.dtype) * weight
-            partial = jnp.stack([_sum2(m), _sum2(t * m), _sum2(l * m)])
+            if with_counts:
+                partial = jnp.stack([_sum2(m), _sum2(t * m), _sum2(l * m)])
+            else:
+                # Counts are a pure shape function (chunks/shards sum to
+                # the same totals _folded_counts precomputes) — skip the
+                # count accumulation entirely.
+                partial = jnp.stack([_sum2(t * m), _sum2(l * m)])
             onehot = (lane == b).astype(acc.dtype)
             acc = acc + partial[:, None] * onehot
         return acc
 
     nit = (b_hi - b_lo + unroll - 1) // unroll
-    acc = jax.lax.fori_loop(0, nit, body, jnp.zeros((3, width), dtype=out_ref.dtype))
+    acc = jax.lax.fori_loop(0, nit, body, jnp.zeros((nrows, width), dtype=out_ref.dtype))
     out_ref[...] += acc
 
 
@@ -1025,6 +1034,7 @@ def _build_shell_chunk_fn(
     interpret: bool,
     full_nx: int,
     full_nz: int,
+    with_counts: bool = True,
 ):
     rows_x, ny, nzr = chunk_shape
     gy = _pick_gy(ny)
@@ -1038,28 +1048,69 @@ def _build_shell_chunk_fn(
         nbins=nbins,
         full_nz=full_nz,
         nzr=nzr,
+        with_counts=with_counts,
     )
     width = _bins_width(nbins)
+    nrows = 3 if with_counts else 2
 
     def run(kx0, total, longi):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(rows_x, ny // gy),
             in_specs=[slab, slab],
-            out_specs=pl.BlockSpec((3, width), lambda i, j, s: (0, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((nrows, width), lambda i, j, s: (0, 0), memory_space=pltpu.VMEM),
         )
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((3, width), dtype),
+            out_shape=jax.ShapeDtypeStruct((nrows, width), dtype),
             interpret=interpret,
         )(kx0, total, longi)
-        counts = out[0, :nbins]
-        t_sum = out[1, :nbins]
-        l_sum = out[2, :nbins]
-        return counts, jnp.stack([t_sum, l_sum, t_sum - l_sum])
+        if with_counts:
+            counts = out[0, :nbins]
+            t_sum = out[1, :nbins]
+            l_sum = out[2, :nbins]
+            return counts, jnp.stack([t_sum, l_sum, t_sum - l_sum])
+        t_sum = out[0, :nbins]
+        l_sum = out[1, :nbins]
+        return jnp.stack([t_sum, l_sum, t_sum - l_sum])
 
     return jax.jit(run)
+
+
+def rfft_shell_counts(full_shape: Tuple[int, int, int], nbins: int, dtype_name: str):
+    """Static full-volume rfft Hermitian shell counts (host numpy).
+
+    Exactly what the chunk/shard count accumulators sum to: counts are
+    a pure shape function, so values-only kernels skip them and
+    consumers use this instead (same table as the folded-kernel path).
+    """
+    nx, ny, nz = (int(s) for s in full_shape)
+    fshape = (nx // 2 + 1, 0, nz // 2 + 1)  # rows_f unused by _folded_counts
+    return _folded_counts(fshape, int(nbins), dtype_name, nx, ny, nz)
+
+
+def shell_bin_values_rfft_chunk(
+    total: jax.Array,
+    longi: jax.Array,
+    nbins: int,
+    full_nx: int,
+    full_nz: int,
+    kx0,
+):
+    """sums[3] of an x-chunk of rfft powers — values only; pair with
+    ``rfft_shell_counts`` for the (static) counts."""
+    shape = tuple(int(s) for s in total.shape)
+    if (on_tpu() or FORCE_INTERPRET) and _pick_gy(shape[1]):
+        kx0_arr = jnp.asarray([kx0], dtype=jnp.int32)
+        return _build_shell_chunk_fn(
+            shape, int(nbins), str(total.dtype), FORCE_INTERPRET, full_nx, full_nz,
+            with_counts=False,
+        )(kx0_arr, total, longi)
+    _, sums = _shell_bin_jnp_rfft_chunk(
+        total, longi, total - longi, nbins, full_nx, full_nz, kx0
+    )
+    return sums
 
 
 def _powers_fold_bin_kernel(

@@ -139,6 +139,9 @@ def sharded_power_spectra(dens, vels, mesh, nbins: int, axis_name: str = None):
     nzr = nz // 2 + 1
 
     from fava_tpu.ops import dft as dftops
+    from fava_tpu.ops import pallas_kernels as pk
+
+    use_kernel_binning = bool((pk.on_tpu() or pk.FORCE_INTERPRET) and pk._pick_gy(nx))
 
     def local(d_loc, *v_loc):
         sd = jnp.sqrt(d_loc)
@@ -162,25 +165,24 @@ def sharded_power_spectra(dens, vels, mesh, nbins: int, axis_name: str = None):
         jy = lo + jnp.arange(ny // nd)
         total, longi, trans, k_abs = rfft_power_volumes(ffts, (nx, ny, nz), jy=jy, ky=ky)
 
-        from fava_tpu.ops import pallas_kernels as pk
-
-        if (pk.on_tpu() or pk.FORCE_INTERPRET) and pk._pick_gy(nx):
+        if use_kernel_binning:
             # Pallas mask-loop binning of the local k-slab: XLA's
             # scatter-add is the slow path on TPU (~174 ms for a
             # 16M-point scatter measured at 256^3). The chunk kernel's
             # math is symmetric in the slab/middle axes, so the local
             # y-slab binning is the x-chunk kernel on the TRANSPOSED
             # block with the global y offset as the chunk origin.
-            c_loc, s_loc = pk.shell_bin_sums_rfft_chunk(
+            # Values only: shard counts psum to a pure shape function,
+            # precomputed on host (rfft_shell_counts).
+            s_loc = pk.shell_bin_values_rfft_chunk(
                 jnp.swapaxes(total, 0, 1),
                 jnp.swapaxes(longi, 0, 1),
-                jnp.swapaxes(trans, 0, 1),
                 nbins,
                 ny,  # slab axis is GLOBAL y
                 nz,
                 lo,
             )
-            counts = c_loc.astype(adt)
+            counts = jnp.zeros((nbins,), dtype=adt)  # substituted below
             sums = s_loc.astype(adt)
         else:
             jz = jnp.arange(nzr)
@@ -204,13 +206,18 @@ def sharded_power_spectra(dens, vels, mesh, nbins: int, axis_name: str = None):
     # Replicate over any other mesh axes by naming only the space axis.
     # check_vma=False: pallas_call outputs carry no varying-mesh-axes
     # annotation, which the shard_map checker (on by default) rejects.
-    return jax.shard_map(
+    counts, sums = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(spec,) * (1 + len(vels)),
         out_specs=(P(), P()),
         check_vma=False,
     )(dens, *vels)
+    if use_kernel_binning:
+        counts = jnp.asarray(
+            pk.rfft_shell_counts((nx, ny, nz), int(nbins), str(jnp.dtype(adt)))
+        )
+    return counts, sums
 
 
 @lru_cache(maxsize=32)

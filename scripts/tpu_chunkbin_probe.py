@@ -49,6 +49,12 @@ def main() -> None:
         c, s = pk.shell_bin_sums_rfft_chunk(t, l, t - l, nbins, n, n, jnp.asarray(0))
         return jnp.concatenate([c[None], s])
 
+    @jax.jit
+    def binned_values(t, l):
+        s = pk.shell_bin_values_rfft_chunk(t, l, nbins, n, n, jnp.asarray(0))
+        c = jnp.asarray(pk.rfft_shell_counts((n, n, n), nbins, "float32"))
+        return jnp.concatenate([c[None], s])
+
     def timeit(fn, *args, repeats=3):
         np.asarray(fn(*args))
         best = float("inf")
@@ -62,13 +68,18 @@ def main() -> None:
     floor = timeit(tiny, jnp.zeros(8), repeats=6)
     tb = timeit(binned, t, l)
     out = np.asarray(binned(t, l), dtype=np.float64)
+    tv = timeit(binned_values, t, l)
+    outv = np.asarray(binned_values(t, l), dtype=np.float64)
+    np.testing.assert_allclose(outv, out, rtol=1e-6)
     results = {
         "n": n,
         "tag": tag,
         "floor_s": floor,
         "chunkbin_s": tb,
+        "chunkbin_values_s": tv,
         "checksum": float(out.sum()),
     }
+    print(f"[{tag}] values-only {tv*1e3:.1f} ms", flush=True)
     print(f"[{tag}] chunk binning {tb*1e3:.1f} ms (floor {floor*1e3:.1f}), checksum {out.sum():.6e}", flush=True)
     (ROOT / f"chunkbin_{n}_{tag}.json").write_text(json.dumps(results, indent=2))
 
