@@ -195,11 +195,12 @@ def flagship_series(
 
     for snap in SnapshotPrefetcher(paths, fields, depth=prefetch_depth):
         if batch <= 0:
-            # Inputs budget: keep the resident batch under ~6 GB so the
+            # Inputs budget: keep the resident batch under ~7 GB so the
             # scan's per-iteration temporaries (~8 GB at 512^3 f32) fit
-            # 16 GB-class HBM; small grids cap at 8 per dispatch.
+            # 16 GB-class HBM; yields the measured-safe batch 3 at 512^3
+            # (SERIES_512.json; batch 4 OOMs). Small grids cap at 8.
             per_snap = sum(vol(snap, f).nbytes for f in fields)
-            batch = int(np.clip(6e9 // max(per_snap, 1), 1, 8))
+            batch = int(np.clip(7e9 // max(per_snap, 1), 1, 8))
         times.append(snap.time)
         pending.append(snap)
         if len(pending) >= batch:
