@@ -180,7 +180,16 @@ def flagship_series(
 
     def vol(snap: Snapshot, name: str):
         v = snap.fields[name]
-        return v[0] if v.ndim == 4 else v  # uniform files: one block
+        if v.ndim == 4:
+            if v.shape[0] != 1:
+                raise ValueError(
+                    "flagship_series needs single-block uniform volumes; "
+                    f"got {v.shape[0]} blocks from {file_type!r} files — "
+                    "use favre_series/reynolds_series for AMR series, or "
+                    "regrid with from_amr first."
+                )
+            return v[0]
+        return v
 
     step = flagship.jitted_series_step()
     times: list = []

@@ -119,13 +119,9 @@ def _stage_b_fn(full_shape: Tuple[int, int, int], chunk: int, nbins: int, precis
             ws, full_shape, jx=jxg, kx=kxv
         )
         # Values only: chunk counts sum to a pure shape function,
-        # substituted from the static table by the caller.
-        if pk.on_tpu() or pk.FORCE_INTERPRET:
-            sums = pk.shell_bin_values_rfft_chunk(total, longi, nbins, nx, nz, kx0)
-        else:
-            _, sums = pk._shell_bin_jnp_rfft_chunk(
-                total, longi, trans, nbins, nx, nz, kx0
-            )
+        # substituted from the static table by the caller (the wrapper
+        # handles the off-TPU jnp fallback itself).
+        sums = pk.shell_bin_values_rfft_chunk(total, longi, nbins, nx, nz, kx0)
         return acc_sums + sums
 
     return jax.jit(run)

@@ -899,8 +899,18 @@ def _folded_counts(
     ix = np.arange(nxh, dtype=np.float32)
     jy = np.arange(nyh, dtype=np.float32)
     jz = np.arange(nzr, dtype=np.float32)
-    mx = np.where((ix == 0) | (ix == full_nx // 2), 1.0, 2.0).astype(np.float32)
-    my = np.where((jy == 0) | (jy == full_ny // 2), 1.0, 2.0).astype(np.float32)
+    # Self-conjugate classes carry multiplicity 1: always |k|=0, plus
+    # the Nyquist row ONLY for even extents (odd extents have none —
+    # without the parity guard, odd-nx/ny counts undercount every
+    # interior shell; rfft_shell_counts reaches this with odd shapes).
+    if full_nx % 2 == 0:
+        mx = np.where((ix == 0) | (ix == full_nx // 2), 1.0, 2.0).astype(np.float32)
+    else:
+        mx = np.where(ix == 0, 1.0, 2.0).astype(np.float32)
+    if full_ny % 2 == 0:
+        my = np.where((jy == 0) | (jy == full_ny // 2), 1.0, 2.0).astype(np.float32)
+    else:
+        my = np.where(jy == 0, 1.0, 2.0).astype(np.float32)
     if full_nz % 2 == 0:
         wz = np.where((jz == 0) | (jz == full_nz // 2), 1.0, 2.0).astype(np.float32)
     else:

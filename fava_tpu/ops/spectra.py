@@ -221,8 +221,15 @@ def sharded_power_spectra(dens, vels, mesh, nbins: int, axis_name: str = None):
 
 
 @lru_cache(maxsize=32)
-def _build_spectra_fn(shape: Tuple[int, ...], mesh_key, nbins: int):
-    """Jitted spectra core for a given volume shape (cached per shape/mesh)."""
+def _build_spectra_fn(shape: Tuple[int, ...], mesh_key, nbins: int, path_key=None):
+    """Jitted spectra core for a given volume shape (cached per shape/mesh).
+
+    ``path_key`` folds backend-dependent dispatch state (platform +
+    FORCE_INTERPRET) into the cache key: the binning-path choice is
+    baked into the trace, so a trace built under one state must not be
+    reused under another (a stale cached scatter trace silently
+    masked the Pallas shard_map binning in tests).
+    """
     mesh = mesh_key  # jax.sharding.Mesh is hashable
     ndim = len(shape)
     ntot = int(np.prod(shape))
@@ -340,7 +347,11 @@ def kinetic_energy_spectra(
     shape = tuple(int(s) for s in dens.shape)
     nbins = max(shape) // 2 - 1  # len(bins)-1 with bins = arange(max//2)-0.5
 
-    fn = _build_spectra_fn(shape, mesh, nbins)
+    from fava_tpu.ops import pallas_kernels as pk
+
+    fn = _build_spectra_fn(
+        shape, mesh, nbins, (jax.devices()[0].platform, pk.FORCE_INTERPRET)
+    )
     means = np.asarray(fn(dens, tuple(vels)), dtype=np.float64)
 
     k = np.arange(nbins, dtype=np.float64)

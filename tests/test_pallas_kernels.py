@@ -443,3 +443,16 @@ def test_shell_bin_folded_v2_two_traces(force_interpret):
     c1 = np.asarray(f1(total, longi))
     c2 = np.asarray(f2(total, longi))
     np.testing.assert_allclose(c2, 2.0 * c1)
+
+
+def test_rfft_shell_counts_odd_extents():
+    """Regression: static shell counts must match the dynamic chunk
+    accumulation for ODD x/y extents (no Nyquist self-conjugate row)."""
+    for shape in [(6, 5, 6), (5, 6, 7), (7, 7, 7), (8, 8, 8)]:
+        nx, ny, nz = shape
+        nzr = nz // 2 + 1
+        nbins = max(shape) // 2 - 1
+        t = jnp.ones((nx, ny, nzr))
+        c_dyn, _ = pk._shell_bin_jnp_rfft_chunk(t, t, t, nbins, nx, nz, jnp.asarray(0))
+        c_stat = pk.rfft_shell_counts(shape, nbins, "float64")
+        np.testing.assert_allclose(np.asarray(c_dyn), c_stat, err_msg=str(shape))

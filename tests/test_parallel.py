@@ -114,6 +114,7 @@ def test_sharded_spectra_pallas_binning_matches(uniform_file_32, eight_device_me
     ref = uni.kinetic_energy_spectra()  # unsharded (no mesh in context)
 
     pk.FORCE_INTERPRET = True
+    before = pk._build_shell_chunk_fn.cache_info().currsize
     try:
         with use_mesh(eight_device_mesh):
             uni2 = FlashUniform(uniform_file_32)
@@ -121,5 +122,8 @@ def test_sharded_spectra_pallas_binning_matches(uniform_file_32, eight_device_me
             got = uni2.kinetic_energy_spectra()
     finally:
         pk.FORCE_INTERPRET = False
+    # Guard against trace-cache staleness making this test vacuous: the
+    # kernel builder must actually have been invoked.
+    assert pk._build_shell_chunk_fn.cache_info().currsize > before
     for key in ("total", "longitudinal", "transverse"):
         np.testing.assert_allclose(got[key], ref[key], rtol=1e-8, atol=1e-12, err_msg=key)

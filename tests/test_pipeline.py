@@ -173,3 +173,14 @@ def test_flagship_series_matches_per_snapshot(tmp_path):
             np.testing.assert_allclose(
                 series[key][j], np.asarray(val), rtol=1e-12, atol=1e-13, err_msg=key
             )
+
+
+def test_flagship_series_rejects_multiblock(tmp_path):
+    from fava_tpu.io import synthetic
+    import fava_tpu
+    import pytest as _pytest
+
+    synthetic.make_amr_file(tmp_path / "rt_hdf5_plt_cnt_0001", ncells=(8, 8, 8), nblks=(2, 2, 2))
+    m = fava_tpu.FLASH(tmp_path)
+    with _pytest.raises(ValueError, match="single-block uniform"):
+        m.flagship_series(file_type="plt")
