@@ -268,7 +268,8 @@ def read_particle_metadata(handle: h5py.File) -> Dict[str, Any]:
     """Particle-file metadata (reference: fava/mesh/FLASH/FlashParticles.py:74-82)."""
     int_scalars = read_parameter_table(handle, "integer scalars", string_values=False)
     real_scalars = read_parameter_table(handle, "real scalars", string_values=False)
-    names = [ _decode(v).strip() for v in np.squeeze(handle["particle names"][()]) ]
+    # atleast_1d: squeeze of a single-column file is 0-d (not iterable).
+    names = [_decode(v).strip() for v in np.atleast_1d(np.squeeze(handle["particle names"][()]))]
     return {
         "integer scalars": int_scalars,
         "real scalars": real_scalars,

@@ -58,9 +58,10 @@ class _SyncedInt:
     (reference: fava/mesh/FLASH/_flash.py:413-567).
     """
 
-    def __init__(self, key: Optional[str] = None, kind: str = "integer"):
+    def __init__(self, key: Optional[str] = None, kind: str = "integer", aliases: tuple = ()):
         self.key = key
         self.kind = kind
+        self.aliases = aliases
 
     def __set_name__(self, owner, name):
         self.name = name
@@ -74,8 +75,11 @@ class _SyncedInt:
 
     def __set__(self, obj, value):
         for d in (getattr(obj, "scalars", None), getattr(obj, "runtime_parameters", None)):
-            if d is not None and self.key in d.get(self.kind, {}):
-                d[self.kind][self.key] = value
+            if d is None:
+                continue
+            for key in (self.key, *self.aliases):
+                if key in d.get(self.kind, {}):
+                    d[self.kind][key] = value
         obj.__dict__[f"_{self.name}"] = value
 
 
@@ -89,7 +93,10 @@ class FLASH(Structured):
     nblockx = _SyncedInt()
     nblocky = _SyncedInt()
     nblockz = _SyncedInt()
-    nblocks = _SyncedInt(key="globalnumblocks")
+    # Both spellings appear in FLASH files; from_amr's collapse to one
+    # block must reach whichever the source carried, or save() writes a
+    # stale block count next to 1-entry block metadata.
+    nblocks = _SyncedInt(key="globalnumblocks", aliases=("total blocks",))
     xmin = _SyncedInt(kind="real")
     xmax = _SyncedInt(kind="real")
     ymin = _SyncedInt(kind="real")
@@ -126,8 +133,11 @@ class FLASH(Structured):
         if fn == self._filename:
             return
         self._filename = fn
-        if "chk" in fn.stem:
-            self._chk_file = True
+        # Match the checkpoint FILE-TYPE marker, not a bare substring (a
+        # basename like "checkerboard" is not a chk file), and RESET
+        # when a mesh object moves from a chk file to a plt file —
+        # _chk_file controls the float64-vs-float32 write format.
+        self._chk_file = "hdf5_chk_" in fn.name
 
     # ------------------------------------------------------------------
     # Loading
@@ -403,6 +413,12 @@ class FLASH(Structured):
 
     def get_coord_index(self, point, block_list) -> Tuple[List[int], int]:
         blk, cells, found = self.locate_points(np.asarray(point)[None, :], block_list)
+        if not bool(found[0]):
+            # The reference returns [None,..] + an arbitrary block here
+            # (_flash.py:862-881); silently returning clipped indices
+            # would hand get_point_data a plausible-looking value for a
+            # point in no block — fail loudly instead.
+            raise ValueError(f"point {np.asarray(point)!r} is not inside any listed block")
         idx = [int(c) for c in cells[0][: self.ndim]]
         return idx, int(blk[0])
 

@@ -21,6 +21,10 @@ from fava_tpu.io import flash_file
 from fava_tpu.mesh.base import Unstructured
 from fava_tpu.models.model import Model
 
+# Short particle-column names (as stored in the file) -> long aliases
+# accepted in ``fields=`` selections. The reference carries the same
+# table but never wires it in (FlashParticles.py:15-28 — requesting a
+# long name there silently loads nothing).
 _field_mapping = {
     "tag": "id",
     "velx": "velocity-x",
@@ -35,6 +39,7 @@ _field_mapping = {
     "divv": "velocity-divergence",
     "vort": "vorticity",
 }
+_long_to_short = {v: k for k, v in _field_mapping.items()}
 
 
 @Model.register_mesh()
@@ -100,8 +105,18 @@ class FlashParticles(Unstructured):
         fields = kwargs.get("fields", self._fields)
         ordered = kwargs.get("ordered", True)
 
+        # Accept long aliases ("density", "velocity-x") for the file's
+        # short column names; warn on names the file does not carry.
+        resolved = []
+        for name in fields:
+            short = name if name in self._fields else _long_to_short.get(name, name)
+            if short not in self._fields:
+                print(f"[WARNING] {name} particle field variable does not exist in dataset")
+                continue
+            resolved.append(short)
+
         with h5py.File(self._filename, "r") as f:
-            self.data = flash_file.read_particles(f, self._fields, select=fields)
+            self.data = flash_file.read_particles(f, self._fields, select=resolved)
 
         if ordered and "tag" in self.data:
             tidx = np.argsort(self.data["tag"])
@@ -144,9 +159,19 @@ class FlashParticles(Unstructured):
         return out
 
     def select_by_tags(self, tags: np.ndarray) -> Dict[str, np.ndarray]:
-        """Rows whose tag matches each requested tag (vectorized)."""
+        """Rows whose tag matches each requested tag (vectorized).
+
+        Raises on tags absent from the file — a clipped searchsorted
+        would silently return an arbitrary particle's row (e.g. for a
+        particle that left the domain between snapshots)."""
         mytags = np.asarray(self.data["tag"])
+        req = np.asarray(tags)
         order = np.argsort(mytags)
-        pos = np.searchsorted(mytags, np.asarray(tags), sorter=order)
+        pos = np.searchsorted(mytags, req, sorter=order)
         idx = order[np.clip(pos, 0, mytags.size - 1)]
+        missing = mytags[idx] != req
+        if np.any(missing):
+            raise ValueError(
+                f"particle tags not present in {self._filename}: {req[missing][:10]}"
+            )
         return {f: v[idx] for f, v in self.data.items()}

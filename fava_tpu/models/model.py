@@ -125,6 +125,11 @@ class Model:
     def write_to_hdf5(self, handle, data: dict) -> None:
         for key, values in data.items():
             if isinstance(values, dict):
+                if key in handle and not isinstance(handle[key], h5py.Group):
+                    # A previous run stored a DATASET here; recursing
+                    # into it would crash — replace like the dataset
+                    # branch does.
+                    del handle[key]
                 group = handle[key] if key in handle else handle.create_group(key)
                 self.write_to_hdf5(group, values)
             else:

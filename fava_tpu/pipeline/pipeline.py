@@ -152,29 +152,52 @@ class Pipeline:
     # ------------------------------------------------------------------
     # Stage 2: smooth the window trajectory across the series
     def smooth_window_trajectory(self) -> None:
-        n = self.model.nfiles(file_type="plt")
-        self.xmax = np.zeros(n)
-        self.time = np.zeros(n)
-
-        for i, p in enumerate(sorted(self.model.plt_files["by index"].keys())):
+        xs, ts = [], []
+        for p in sorted(self.model.plt_files["by index"].keys()):
             self.model.load(file_index=p, file_type="plt")
             fn = self.output_dir / self.model.convert_filename_type("plt", "anl").name
-            with h5py.File(fn, "r") as f:
-                win_right = f["scalars"]["window right"][()]
-            self.xmax[i] = win_right[0]
-            self.time[i] = self.model.mesh.time
+            # Snapshots without window scalars (stage 1 skipped, or a
+            # plt without flam/rpv1) must not kill the pipeline between
+            # stages — skip them from the fit.
+            try:
+                with h5py.File(fn, "r") as f:
+                    win_right = f["scalars"]["window right"][()]
+            except (OSError, KeyError) as exc:
+                LOGGER.warning("no window scalars for plt index %s (%s); skipping", p, exc)
+                continue
+            xs.append(win_right[0])
+            ts.append(self.model.mesh.time)
 
+        n = len(xs)
+        self.xmax = np.asarray(xs)
+        self.time = np.asarray(ts)
+        if n == 0:
+            LOGGER.warning("no window trajectory data; window extraction will be skipped")
+            self.func = None
+            self.t0 = self.x0 = 0.0
+            return
         if n > 1 and np.ptp(self.time) > 0:
             coef = np.polyfit(self.time, self.xmax, 1)
         else:
-            coef = np.array([0.0, self.xmax[0] if n else 0.0])
-        self.t0 = self.time[0] if n else 0.0
-        self.x0 = self.xmax[0] if n else 0.0
+            coef = np.array([0.0, self.xmax[0]])
+        self.t0 = self.time[0]
+        self.x0 = self.xmax[0]
         self.func = np.poly1d(coef)
 
     # ------------------------------------------------------------------
     # Stage 3: extract moving flame windows to uniform files
     def extract_windows(self, index: int) -> None:
+        if getattr(self, "func", None) is None:
+            LOGGER.warning("no window trajectory; skipping window extraction")
+            return
+        # Artifact check BEFORE the load: resuming a long series must
+        # not re-upload every already-extracted snapshot's fields
+        # through the host->device path just to early-return.
+        src = self.model.plt_files["by index"][index]
+        fn = self.output_dir / src.name.replace("plt_cnt", "uniform")
+        if fn.is_file():
+            print(f"[stage 3] window exists -> {fn}", flush=True)
+            return
         self.model.load(file_index=index, file_type="plt")
         if not self._flam_or_rpv1():
             return
@@ -199,10 +222,7 @@ class Pipeline:
         fields = [self.flam, "dens", "pres", "temp", "velx", "vely", "velz", "divv", "igtm", "vort"]
         fields = [f for f in fields if f in self.model.mesh.fields]
 
-        fn = self.output_dir / self.model.convert_filename_type("plt", "uni").name
         print(f"[stage 3] extract window -> {fn}", flush=True)
-        if fn.is_file():
-            return
         self.model.mesh.from_amr(subdomain_coords=subdomain_coords, fields=fields, filename=fn)
 
     # ------------------------------------------------------------------
@@ -304,11 +324,14 @@ def main(workdir: Optional[Path] = None) -> int:
         pipe.refresh_model()
 
         stage = "analyze uniform data"
-        pipe.checkpoint_data.setdefault(stage, {})
-        for i in remaining(pipe.model.uni_files, stage):
-            pipe.analyze_uniform_data(i)
-            pipe.checkpoint_data[stage]["index"] = i + 1
-            pipe.checkpoint()
+        # Honor a stage-level skip like the other stages (per-analysis
+        # skips remain available inside analyze_uniform_data).
+        if not pipe.settings.get(stage, {}).get("skip", False):
+            pipe.checkpoint_data.setdefault(stage, {})
+            for i in remaining(pipe.model.uni_files, stage):
+                pipe.analyze_uniform_data(i)
+                pipe.checkpoint_data[stage]["index"] = i + 1
+                pipe.checkpoint()
 
         print("pipeline complete", flush=True)
     return 0

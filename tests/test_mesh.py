@@ -117,3 +117,40 @@ def test_particles_load(particle_file):
     assert set(stats["velx"].keys()) == {"mean", "rms", "min", "max"}
     sel = p.select_by_tags(tags[[3, 7]])
     np.testing.assert_allclose(sel["tag"], tags[[3, 7]])
+
+
+def test_select_by_tags_missing_tag_errors(particle_file):
+    p = FlashParticles(particle_file)
+    p.load()
+    bogus = np.array([int(p.data["tag"].max()) + 7])
+    with pytest.raises(ValueError, match="tags not present"):
+        p.select_by_tags(bogus)
+
+
+def test_particle_long_field_names(particle_file):
+    p = FlashParticles(particle_file)
+    p._load_particles(fields=["density", "velocity-x", "tag"])
+    assert "dens" in p.data and "velx" in p.data
+
+
+def test_get_coord_index_outside_domain_errors(amr_mesh):
+    outside = amr_mesh.domain_bounds[:, 1] + 1.0
+    with pytest.raises(ValueError, match="not inside any listed block"):
+        amr_mesh.get_coord_index(outside, amr_mesh.get_blocklist("LEAF"))
+
+
+def test_from_amr_writes_consistent_block_count(amr_file, tmp_path):
+    from fava_tpu.mesh.flash_amr import FLASH as FlashAMR
+    from fava_tpu.mesh.flash_uniform import FlashUniform
+
+    amr = FlashAMR(amr_file)
+    amr.load()
+    amr.load_data(["dens"])
+    # Mimic files that carry the 'total blocks' spelling.
+    amr.scalars["integer"]["total blocks"] = amr.nblocks
+    out = tmp_path / "rt_hdf5_uniform_0042"
+    amr.from_amr(fields=["dens"], filename=out)
+    uni = FlashUniform(out)
+    uni.load()
+    assert uni.nblocks == 1
+    assert uni.scalars["integer"].get("total blocks", 1) == 1

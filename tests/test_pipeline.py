@@ -184,3 +184,31 @@ def test_flagship_series_rejects_multiblock(tmp_path):
     m = fava_tpu.FLASH(tmp_path)
     with _pytest.raises(ValueError, match="single-block uniform"):
         m.flagship_series(file_type="plt")
+
+
+def test_pipeline_survives_skipped_stage_one(pipeline_dir):
+    """Skipping the reynolds-stress stage must not crash stage 2/3 on
+    missing window scalars (graceful skip instead of OSError between
+    stages)."""
+    workdir, data, out = pipeline_dir
+    settings_path = workdir / "pipeline_settings.json"
+    settings = json.loads(settings_path.read_text())
+    settings["reynolds stress"] = {"skip": True}
+    settings_path.write_text(json.dumps(settings))
+
+    assert main(workdir) == 0
+    # No windows can be extracted without a trajectory.
+    assert not list(out.glob("*hdf5_uniform_*"))
+
+
+def test_pipeline_stage4_skip_flag(pipeline_dir):
+    workdir, data, out = pipeline_dir
+    settings_path = workdir / "pipeline_settings.json"
+    settings = json.loads(settings_path.read_text())
+    settings["analyze uniform data"] = {"skip": True}
+    settings_path.write_text(json.dumps(settings))
+
+    assert main(workdir) == 0
+    ckpt = json.loads((workdir / "fava.checkpoint").read_text())
+    # The stage never ran: no resume cursor recorded for it.
+    assert "index" not in ckpt.get("analyze uniform data", {})
