@@ -456,3 +456,28 @@ def test_rfft_shell_counts_odd_extents():
         c_dyn, _ = pk._shell_bin_jnp_rfft_chunk(t, t, t, nbins, nx, nz, jnp.asarray(0))
         c_stat = pk.rfft_shell_counts(shape, nbins, "float64")
         np.testing.assert_allclose(np.asarray(c_dyn), c_stat, err_msg=str(shape))
+
+
+def test_chunk_kernel_multi_tile_bounds(force_interpret):
+    """The chunk kernel's two-sided shell bounds must be exact when the
+    y axis spans MULTIPLE gy tiles, including the tile containing the
+    ky sign wrap and the Nyquist |ky| peak (ny=256 -> gy=128, 2 tiles),
+    for both the counts and values-only variants."""
+    nx, ny, nz = 4, 256, 16
+    nzr = nz // 2 + 1
+    nbins = ny // 2 - 1
+    rng = np.random.default_rng(31)
+    total = jnp.asarray(np.abs(rng.standard_normal((nx, ny, nzr))))
+    longi = 0.5 * total
+    trans = total - longi
+    for kx0 in (0, 2):
+        c_ref, s_ref = pk._shell_bin_jnp_rfft_chunk(
+            total, longi, trans, nbins, 8, nz, jnp.asarray(kx0)
+        )
+        c_got, s_got = pk.shell_bin_sums_rfft_chunk(
+            total, longi, trans, nbins, 8, nz, jnp.asarray(kx0)
+        )
+        np.testing.assert_allclose(np.asarray(c_got), np.asarray(c_ref))
+        np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref), rtol=1e-5, atol=1e-7)
+        s_val = pk.shell_bin_values_rfft_chunk(total, longi, nbins, 8, nz, jnp.asarray(kx0))
+        np.testing.assert_allclose(np.asarray(s_val), np.asarray(s_ref), rtol=1e-5, atol=1e-7)
