@@ -87,7 +87,6 @@ def build_amr_tree(
         if depth_left > 1:
             split(first_child, depth_left - 1)
 
-    idx = 0
     roots: List[AmrBlock] = []
     for bk in range(nblks[2]):
         for bj in range(nblks[1]):
@@ -96,7 +95,6 @@ def build_amr_tree(
                 root = AmrBlock(level=1, bounds=np.stack([lb, lb + widths], axis=1), node_type=1)
                 blocks.append(root)
                 roots.append(root)
-                idx += 1
 
     for root_idx, depth in refine.items():
         if depth >= 2:

@@ -144,8 +144,10 @@ class FLASH(Structured):
     def load(self) -> None:
         """Read scalars, runtime parameters, and block metadata (not UNK data)."""
         if self._filename is None or not self._filename.is_file():
-            logger.error("File does not exist: %s", self._filename)
-            return
+            # Fail fast like the reference (whose h5py.File open raises
+            # OSError); silently returning left a half-initialized mesh
+            # that crashed with AttributeError far from the cause.
+            raise FileNotFoundError(f"FLASH file does not exist: {self._filename}")
 
         self._data = {}
         self._delete_cached_properties()

@@ -20,6 +20,7 @@ import numpy as np
 
 from fava_tpu.io import flash_file
 from fava_tpu.mesh.flash_amr import FLASH
+from fava_tpu.ops import volume as volume_ops
 from fava_tpu.models.model import Model
 from fava_tpu.ops import fractal as fractal_ops
 from fava_tpu.ops import spectra as spectra_ops
@@ -44,8 +45,10 @@ class FlashUniform(FLASH):
     def load(self) -> None:
         """Metadata-only load (reference: FlashUniform.py:37-83)."""
         if self._filename is None or not self._filename.is_file():
-            logger.error("File does not exist: %s", self._filename)
-            return
+            # Fail fast like the reference (whose h5py.File open raises
+            # OSError); silently returning left a half-initialized mesh
+            # that crashed with AttributeError far from the cause.
+            raise FileNotFoundError(f"FLASH file does not exist: {self._filename}")
 
         self._data = {}
         self._delete_cached_properties()
@@ -200,10 +203,9 @@ class FlashUniform(FLASH):
         return {k: np.asarray(v) for k, v in out.items()}
 
     def mass_fraction(self, masks: Optional[Dict[str, Any]] = None) -> Dict[str, float]:
-        """Total + per-mask mass (reference: FlashUniform.py:449-458)."""
-        dens = self._volume("dens")
-        mass = dens * self.cell_volume_min
-        out = {"total": float(jnp.sum(mass))}
-        for name, mask in (masks or {}).items():
-            out[name] = float(jnp.sum(jnp.where(jnp.asarray(mask), mass, 0)))
-        return out
+        """Total + per-mask mass (reference: FlashUniform.py:449-458).
+
+        One definition (ops/volume.mass_sum) — the inline copy here had
+        already dropped the accum-dtype cast the shared helper applies.
+        """
+        return volume_ops.mass_sum(self._volume("dens"), self.cell_volume_min, masks)

@@ -50,22 +50,28 @@ def edge_detect(data: jax.Array, contour: jax.Array) -> jax.Array:
 
 
 @lru_cache(maxsize=64)
-def _box_count_fn(shape, bdim: int, bdim_k: int):
+def _box_counts_all_fn(shape, flength: int):
+    """ONE jitted program counting filled boxes at every dyadic level —
+    a dispatch per level paid the ~27 ms host round trip flength times
+    (CLAUDE.md: fuse work into one jit call)."""
     h, w, d = shape
 
     def pad_to(n, b):
         return (n + b - 1) // b * b
 
-    ph, pw, pd = pad_to(h, bdim), pad_to(w, bdim), pad_to(d, bdim_k)
-
     @jax.jit
-    def count(edata):
-        e = jnp.zeros((ph, pw, pd), dtype=jnp.int8).at[:h, :w, :d].set(edata)
-        boxes = e.reshape(ph // bdim, bdim, pw // bdim, bdim, pd // bdim_k, bdim_k)
-        filled = jnp.any(boxes > 0, axis=(1, 3, 5))
-        return jnp.sum(filled)
+    def counts(edata):
+        out = []
+        for level in range(flength):
+            bdim = int(2**level)
+            bdim_k = 1 if d == 1 else bdim
+            ph, pw, pd = pad_to(h, bdim), pad_to(w, bdim), pad_to(d, bdim_k)
+            e = jnp.zeros((ph, pw, pd), dtype=jnp.int8).at[:h, :w, :d].set(edata)
+            boxes = e.reshape(ph // bdim, bdim, pw // bdim, bdim, pd // bdim_k, bdim_k)
+            out.append(jnp.sum(jnp.any(boxes > 0, axis=(1, 3, 5))))
+        return jnp.stack(out)
 
-    return count
+    return counts
 
 
 def fractal_dimension(
@@ -76,7 +82,7 @@ def fractal_dimension(
 
     Returns {contour: {"average fractal dimension", "slope", "R2", "curve"}}.
     """
-    if isinstance(contours, float):
+    if isinstance(contours, (int, float, np.floating)) and not isinstance(contours, bool):
         contour_list = [contours]
     elif isinstance(contours, (list, tuple)):
         contour_list = list(contours)
@@ -88,7 +94,9 @@ def fractal_dimension(
 
     retval: Dict[str, Dict[str, float]] = {}
     for contour in contour_list:
-        _contour = float(np.asarray(data).mean()) if contour is None else float(contour)
+        # On-device mean: fetching the whole volume to host for one
+        # scalar costs minutes per GB on the tunneled backend.
+        _contour = float(jnp.mean(data)) if contour is None else float(contour)
         edata = edge_detect(data, jnp.asarray(_contour, dtype=data.dtype))
 
         largest_dim = min(height, width)
@@ -97,10 +105,9 @@ def fractal_dimension(
         flength = int(np.log2(largest_dim)) + 1
 
         result = np.zeros((flength, 2))
+        nfilled_all = np.asarray(_box_counts_all_fn((height, width, depth), flength)(edata))
         for level in range(flength):
-            bdim = int(2**level)
-            bdim_k = 1 if depth == 1 else bdim
-            nfilled = int(_box_count_fn((height, width, depth), bdim, bdim_k)(edata))
+            nfilled = int(nfilled_all[level])
             result[level, 0] = flength - level - 1
             result[level, 1] = np.log2(nfilled) if nfilled > 0 else -np.inf
 

@@ -296,26 +296,18 @@ def _build_spectra_fn(shape: Tuple[int, ...], mesh_key, nbins: int, path_key=Non
         transverse = total - longitudinal
 
         # binned_statistic "mean" with edges arange(nbins+1)-0.5.
-        if mesh is None and ndim == 3:
-            # Single-chip fast path: fused Pallas shell binning on TPU,
-            # jnp scatter fallback elsewhere.
-            from fava_tpu.ops.pallas_kernels import shell_bin_sums
-
-            counts, sums = shell_bin_sums(
-                total.astype(adt), longitudinal.astype(adt), transverse.astype(adt), nbins
-            )
-        else:
-            # Sharded (or low-dim) path: local scatter-adds partition
-            # over the mesh.
-            stacked = jnp.stack([total.ravel(), longitudinal.ravel(), transverse.ravel()])
-            idx = jnp.clip(jnp.floor(k_abs + 0.5).astype(jnp.int32), 0, nbins - 1)
-            include = k_abs <= (nbins - 0.5)
-            flat_idx = idx.ravel()
-            mask = include.ravel()
-            counts = jnp.zeros(nbins, dtype=adt).at[flat_idx].add(mask.astype(adt))
-            sums = jnp.zeros((3, nbins), dtype=adt).at[:, flat_idx].add(
-                jnp.where(mask, stacked.astype(adt), 0)
-            )
+        # (Only sharded/low-dim volumes reach here: the mesh-is-None 3D
+        # case returned through the rfft fast path above, so this is
+        # the local scatter-add partitioned over the mesh.)
+        stacked = jnp.stack([total.ravel(), longitudinal.ravel(), transverse.ravel()])
+        idx = jnp.clip(jnp.floor(k_abs + 0.5).astype(jnp.int32), 0, nbins - 1)
+        include = k_abs <= (nbins - 0.5)
+        flat_idx = idx.ravel()
+        mask = include.ravel()
+        counts = jnp.zeros(nbins, dtype=adt).at[flat_idx].add(mask.astype(adt))
+        sums = jnp.zeros((3, nbins), dtype=adt).at[:, flat_idx].add(
+            jnp.where(mask, stacked.astype(adt), 0)
+        )
         means = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), jnp.nan)
         return means
 

@@ -62,8 +62,10 @@ def _build_vsf_fn(num_seps: int, num_points: int, ndim: int, anisotropic: bool, 
             i2 = cell_index(p2)
 
             def sample(vol, idx):
-                flat = (idx[..., 0] * vol_shape[1] + idx[..., 1]) * vol_shape[2] + idx[..., 2]
-                return jnp.take(vol.reshape(-1), flat)
+                # ndim-generic tuple gather (no flat index: a 3D-only
+                # flat computation crashed 2D data, and int32 flattening
+                # would overflow beyond ~1290^3 cells).
+                return vol[tuple(idx[..., a] for a in range(ndim))]
 
             dv = jnp.stack([sample(v, i2) - sample(v, i1) for v in vels], axis=-1)
 
