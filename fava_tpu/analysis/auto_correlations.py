@@ -92,7 +92,13 @@ def lagrangian_autocorrelation(
     time_seps = np.zeros(nfiles, dtype=float)
     results: Dict[str, np.ndarray] = {field: np.zeros(nfiles, dtype=float) for field in fields}
 
-    self.load(file_index=0, fields=list(fields), *args, **kwargs)
+    # ALWAYS load the tag column: the loader sorts rows by tag only
+    # when it is present, and raw table order is NOT stable across
+    # FLASH snapshots (particles migrate between ranks) — without it
+    # the products below silently pair different particles.
+    load_fields = list(dict.fromkeys([*fields, "tag"]))
+
+    self.load(file_index=0, fields=load_fields, *args, **kwargs)
     if self.particles is None:
         msg = "Lagrangian autocorrelation requires Lagrangian Particles!"
         if self.mesh is not None:
@@ -103,7 +109,7 @@ def lagrangian_autocorrelation(
     init_sum: Dict[str, float] = {}
 
     for i in range(nfiles):
-        self.load(file_index=i, fields=list(fields), *args, **kwargs)
+        self.load(file_index=i, fields=load_fields, *args, **kwargs)
 
         if i == 0:
             init_data = {field: np.copy(self.particles.data[field]) for field in fields}

@@ -64,19 +64,9 @@ def cross_correlation(
         return np.asarray(self.particles.data.get(tagvar))
 
     def rows_for(tags: np.ndarray, values: np.ndarray) -> np.ndarray:
-        """Particle-table rows of tag values; hard error on missing/dup tags."""
-        order = np.argsort(tags, kind="stable")
-        st = tags[order]
-        if st.size > 1 and np.any(st[1:] == st[:-1]):
-            raise ValueError(f"duplicate particle tags in field {tagvar!r}")
-        pos = np.clip(np.searchsorted(st, values), 0, st.size - 1)
-        rows = order[pos]
-        missing = tags[rows] != values
-        if np.any(missing):
-            raise ValueError(
-                f"particle tags {np.asarray(values)[missing][:5]!r}... not found in {tagvar!r}"
-            )
-        return rows
+        from fava_tpu.mesh.flash_particles import rows_for_tags
+
+        return rows_for_tags(tags, values, label=tagvar)
 
     wanted = np.concatenate(([poi_idx], sample_points.ravel()))
 

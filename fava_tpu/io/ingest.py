@@ -36,7 +36,7 @@ class Snapshot:
     nbytes: int
 
 
-def _read_snapshot(path: Path, fields: Sequence[str], sharding=None) -> Snapshot:
+def _read_snapshot(path: Path, fields: Sequence[str], sharding=None, strict: bool = True) -> Snapshot:
     dtype = compute_dtype()
     with h5py.File(path, "r") as f:
         scalars = flash_file.read_scalars(f)
@@ -47,6 +47,14 @@ def _read_snapshot(path: Path, fields: Sequence[str], sharding=None) -> Snapshot
         device_fields: Dict[str, jax.Array] = {}
         for name in fields:
             if name not in available:
+                # Silently dropping the field surfaces later as a bare
+                # KeyError deep inside a consumer; name the file here
+                # (strict=False restores the opportunistic skip).
+                if strict:
+                    raise KeyError(
+                        f"field {name!r} not in {Path(path).name} "
+                        f"(available: {sorted(available)})"
+                    )
                 continue
             host = flash_file.read_field(f, name, dtype=dtype)
             nbytes += host.nbytes
@@ -78,11 +86,13 @@ class SnapshotPrefetcher:
         fields: Sequence[str],
         depth: int = 2,
         sharding=None,
+        strict: bool = True,
     ) -> None:
         self.paths = [Path(p) for p in paths]
         self.fields = list(fields)
         self.depth = max(1, int(depth))
         self.sharding = sharding
+        self.strict = bool(strict)
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -93,13 +103,21 @@ class SnapshotPrefetcher:
         with cf.ThreadPoolExecutor(max_workers=self.depth) as pool:
             pending: List[cf.Future] = []
             for p in self.paths[: self.depth]:
-                pending.append(pool.submit(_read_snapshot, p, self.fields, self.sharding))
+                pending.append(
+                    pool.submit(_read_snapshot, p, self.fields, self.sharding, self.strict)
+                )
             next_idx = self.depth
             while pending:
                 fut = pending.pop(0)
                 if next_idx < len(self.paths):
                     pending.append(
-                        pool.submit(_read_snapshot, self.paths[next_idx], self.fields, self.sharding)
+                        pool.submit(
+                            _read_snapshot,
+                            self.paths[next_idx],
+                            self.fields,
+                            self.sharding,
+                            self.strict,
+                        )
                     )
                     next_idx += 1
                 yield fut.result()

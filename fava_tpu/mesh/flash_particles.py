@@ -42,6 +42,35 @@ _field_mapping = {
 _long_to_short = {v: k for k, v in _field_mapping.items()}
 
 
+def rows_for_tags(table_tags: np.ndarray, requested: np.ndarray, *, label: str = "tag") -> np.ndarray:
+    """Particle-table row indices of the requested tag values.
+
+    Hard error on duplicate or missing tags — a clipped searchsorted
+    would silently return an arbitrary particle's row. Shared by
+    select_by_tags and the cross-correlation tracking loop.
+    """
+    table_tags = np.asarray(table_tags)
+    requested = np.asarray(requested)
+    order = np.argsort(table_tags, kind="stable")
+    st = table_tags[order]
+    if st.size > 1 and np.any(st[1:] == st[:-1]):
+        raise ValueError(f"duplicate particle tags in field {label!r}")
+    pos = np.clip(np.searchsorted(st, requested), 0, max(st.size - 1, 0))
+    rows = order[pos] if st.size else np.zeros(0, dtype=np.int64)
+    missing = st.size == 0 or np.any(table_tags[rows] != requested)
+    if missing:
+        bad = requested if st.size == 0 else requested[table_tags[rows] != requested]
+        raise ValueError(f"particle tags {bad[:5]!r}... not found in {label!r}")
+    return rows
+
+
+@jax.jit
+def _stats_fn(c):
+    mean = jnp.mean(c, axis=1)
+    rms = jnp.sqrt(jnp.mean((c - mean[:, None]) ** 2, axis=1))
+    return jnp.stack([mean, rms, jnp.min(c, axis=1), jnp.max(c, axis=1)])
+
+
 @Model.register_mesh()
 class FlashParticles(Unstructured):
     _filename: Optional[Path] = None
@@ -143,20 +172,28 @@ class FlashParticles(Unstructured):
         Unknown fields are skipped with a warning (mirrors the reference
         loader's behavior, FlashParticles.py:98-100)."""
         fields = list(fields) if fields is not None else [f for f in self.data if f != "tag"]
-        out: Dict[str, Dict[str, float]] = {}
+        present = []
         for f in fields:
             if f not in self.data:
                 print(f"[WARNING] {f} particle field variable does not exist in dataset")
                 continue
-            col = self.device_column(f)
-            mean = jnp.mean(col)
-            out[f] = {
-                "mean": float(mean),
-                "rms": float(jnp.sqrt(jnp.mean((col - mean) ** 2))),
-                "min": float(jnp.min(col)),
-                "max": float(jnp.max(col)),
+            present.append(f)
+        if not present:
+            return {}
+        # ONE jitted program + ONE fetch for all fields: per-scalar
+        # float() fetches cost a ~27 ms dispatch round trip each on
+        # this backend (4 x nfields of them per series snapshot).
+        cols = jnp.stack([self.device_column(f) for f in present])
+        vals = np.asarray(_stats_fn(cols), dtype=np.float64)
+        return {
+            f: {
+                "mean": float(vals[0, i]),
+                "rms": float(vals[1, i]),
+                "min": float(vals[2, i]),
+                "max": float(vals[3, i]),
             }
-        return out
+            for i, f in enumerate(present)
+        }
 
     def select_by_tags(self, tags: np.ndarray) -> Dict[str, np.ndarray]:
         """Rows whose tag matches each requested tag (vectorized).
@@ -164,14 +201,5 @@ class FlashParticles(Unstructured):
         Raises on tags absent from the file — a clipped searchsorted
         would silently return an arbitrary particle's row (e.g. for a
         particle that left the domain between snapshots)."""
-        mytags = np.asarray(self.data["tag"])
-        req = np.asarray(tags)
-        order = np.argsort(mytags)
-        pos = np.searchsorted(mytags, req, sorter=order)
-        idx = order[np.clip(pos, 0, mytags.size - 1)]
-        missing = mytags[idx] != req
-        if np.any(missing):
-            raise ValueError(
-                f"particle tags not present in {self._filename}: {req[missing][:10]}"
-            )
+        idx = rows_for_tags(self.data["tag"], tags, label=f"tag ({self._filename})")
         return {f: v[idx] for f, v in self.data.items()}

@@ -101,7 +101,10 @@ class FLASH(Model):
 
         def resolve(base: FileType) -> Path:
             catalog = self._catalog(base)
-            assert key in catalog[lookup], f"{ftype.name} file {lookup} {key} not found"
+            if key not in catalog[lookup]:
+                # Not an assert: user-facing lookup errors must survive
+                # python -O (asserts are stripped under optimization).
+                raise ValueError(f"{ftype.name} file {lookup} {key} not found")
             return catalog[lookup][key]
 
         def attach_mesh(base: FileType, mesh_cls) -> Path:

@@ -66,7 +66,10 @@ def _load() -> Optional[ctypes.CDLL]:
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
-        if not _SO.is_file() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        # A packaged tree may ship the .so without the source; only
+        # consider a rebuild when the source is present.
+        stale = _SRC.is_file() and _SO.is_file() and _SO.stat().st_mtime < _SRC.stat().st_mtime
+        if not _SO.is_file() or stale:
             if not _build():
                 return None
         try:

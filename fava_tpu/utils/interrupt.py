@@ -46,8 +46,13 @@ class InterruptHandler:
             print("Calling external handler", flush=True)
             self.external_handler()
 
-        if self.signal is not None:
-            signal.signal(self.signal, self.original_handlers.get(self.signal))
+        # Restore EVERY original handler — on clean exit as well as on
+        # interrupt. Restoring only the caught signal left the stale
+        # closure installed for the other one (and for both after a
+        # clean run), making the process un-interruptible thereafter;
+        # a second Ctrl-C now reaches the default handler and kills.
+        for sig, orig in self.original_handlers.items():
+            signal.signal(sig, orig)
 
         self.released = True
         return True

@@ -43,7 +43,11 @@ def to_device(array: np.ndarray, dtype=None, sharding=None) -> jax.Array:
     """Host array -> device array in the compute dtype (optionally sharded)."""
     dt = compute_dtype() if dtype is None else np.dtype(dtype)
     arr = np.asarray(array)
-    if arr.dtype != dt and np.issubdtype(arr.dtype, np.floating):
+    # With no explicit dtype, only FLOAT data is coerced to the compute
+    # dtype (integer tags/indices keep their kind); an EXPLICIT dtype is
+    # always honored — silently keeping int math for a requested f32
+    # gives truncating arithmetic downstream.
+    if arr.dtype != dt and (dtype is not None or np.issubdtype(arr.dtype, np.floating)):
         arr = arr.astype(dt)
     if sharding is not None:
         return jax.device_put(arr, sharding)

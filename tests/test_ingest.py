@@ -32,9 +32,15 @@ def test_prefetcher_yields_all_snapshots_in_order(series_dir):
         assert s.nbytes > 0
 
 
-def test_prefetcher_skips_missing_fields(series_dir):
+def test_prefetcher_missing_field_handling(series_dir):
     paths = sorted(series_dir.glob("*plt_cnt*"))[:1]
-    snaps = list(SnapshotPrefetcher(paths, ["dens", "notafield"]))
+    # strict (default): loud error naming the file and field
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="notafield"):
+        list(SnapshotPrefetcher(paths, ["dens", "notafield"]))
+    # opportunistic mode keeps the old skip contract
+    snaps = list(SnapshotPrefetcher(paths, ["dens", "notafield"], strict=False))
     assert set(snaps[0].fields.keys()) == {"dens"}
 
 

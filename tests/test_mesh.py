@@ -123,7 +123,7 @@ def test_select_by_tags_missing_tag_errors(particle_file):
     p = FlashParticles(particle_file)
     p.load()
     bogus = np.array([int(p.data["tag"].max()) + 7])
-    with pytest.raises(ValueError, match="tags not present"):
+    with pytest.raises(ValueError, match="not found"):
         p.select_by_tags(bogus)
 
 
