@@ -143,9 +143,25 @@ def uniform_analysis_step(
     }
 
 
+def _path_key():
+    """Backend-dependent dispatch state baked into cached traces.
+
+    The binning-path choice (Pallas kernel vs scatter) depends on the
+    platform and the interpret flag; a trace cached under one state must
+    not be reused under another (mirrors ops.spectra._build_spectra_fn).
+    """
+    from fava_tpu.ops import pallas_kernels as pk
+
+    return (jax.devices()[0].platform, pk.FORCE_INTERPRET)
+
+
 @lru_cache(maxsize=8)
-def jitted_analysis_step(mesh=None):
+def _jitted_analysis_step(mesh, path_key):
     return jax.jit(lambda d, vx, vy, vz: uniform_analysis_step(d, vx, vy, vz, mesh=mesh))
+
+
+def jitted_analysis_step(mesh=None):
+    return _jitted_analysis_step(mesh, _path_key())
 
 
 def series_analysis_step(dens, velx, vely, velz):
@@ -170,8 +186,12 @@ def series_analysis_step(dens, velx, vely, velz):
 
 
 @lru_cache(maxsize=2)
-def jitted_series_step():
+def _jitted_series_step(path_key):
     return jax.jit(series_analysis_step)
+
+
+def jitted_series_step():
+    return _jitted_series_step(_path_key())
 
 
 @lru_cache(maxsize=4)

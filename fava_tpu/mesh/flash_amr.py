@@ -641,6 +641,16 @@ class FLASH(Structured):
                 plan, host_stacks, _fields, active_mesh, axis_name=prt.SPACE_AXIS
             )
         else:
+            if active_mesh is not None and n_space > 1:
+                # At 1024^3-class trees this silently forfeits pooled
+                # multi-chip HBM — say so (crop/pad to a divisible
+                # extent to regain the sharded path).
+                logger.warning(
+                    "from_amr: output x extent %d not divisible by space axis %d "
+                    "(or ndim != 3); falling back to the replicated single-chip gather",
+                    plan.out_shape[0],
+                    n_space,
+                )
             data = {key: self._field_stack(key) for key in _fields}
             regridded = regrid_ops.regrid_fields(plan, data, _fields, sharding=sharding)
 

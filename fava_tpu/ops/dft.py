@@ -126,8 +126,8 @@ def planar_complex_matmul(spec, dr, di, re, im, precision=None, karatsuba=False)
     load-bearing for HLO temp layout in the 1024^3 streamed path.
 
     ``karatsuba`` uses three einsums instead of four (t3 = (dr+di) @
-    (re+im)); measured SLOWER in-core at 512^3 (docs/perf.md) but kept
-    as an option.
+    (re+im)); measured SLOWER in-core at 512^3 (docs/perf.md) — only
+    the experiments package passes it (experiments/planar_dft.py).
     """
     precision = PRECISION if precision is None else precision
 
@@ -139,41 +139,6 @@ def planar_complex_matmul(spec, dr, di, re, im, precision=None, karatsuba=False)
         t3 = t(dr + di, re + im)
         return t1 - t2, t3 - t1 - t2
     return t(dr, re) - t(di, im), t(dr, im) + t(di, re)
-
-
-def rfftn_mxu_planar_stacked(vols, precision=None, karatsuba: bool = False):
-    """Stacked PLANAR transforms of three real volumes: ((3, nx, ny,
-    nz//2+1) re, same im).
-
-    No complex dtype anywhere, so XLA never materializes re/im
-    extraction temps; this is the input format of the fused
-    powers+binning kernel (pallas_kernels.shell_bin_powers_fused).
-
-    ``karatsuba`` applies each complex axis with THREE real einsums
-    instead of four (t1 = Wr@re, t2 = Wi@im, t3 = (Wr+Wi)@(re+im);
-    re' = t1-t2, im' = t3-t1-t2) — 25% fewer MXU flops on the y/x
-    axes at the cost of one elementwise add pass and slightly larger
-    rounding (sums before products).
-    """
-    precision = PRECISION if precision is None else precision
-    x = jnp.stack(vols)  # (3, nx, ny, nz)
-    n = x.shape[-1]
-    cr, ci = _rdft_mats(n, x.dtype.name)
-    re = jnp.einsum("...z,zk->...k", x, cr, precision=precision)
-    im = jnp.einsum("...z,zk->...k", x, ci, precision=precision)
-    specs = {2: "ab,cxbz->cxaz", 1: "ab,cbyz->cayz"}
-    for axis in (2, 1):  # y then x of the (comp, x, y, kz) layout
-        d = _dft_mat(x.shape[axis], x.dtype.name)
-        re, im = planar_complex_matmul(
-            specs[axis],
-            jnp.asarray(d.real.copy()),
-            jnp.asarray(d.imag.copy()),
-            re,
-            im,
-            precision=precision,
-            karatsuba=karatsuba,
-        )
-    return re, im
 
 
 def use_mxu_fft(shape) -> bool:

@@ -82,7 +82,7 @@ def fractal_dimension(
 
     Returns {contour: {"average fractal dimension", "slope", "R2", "curve"}}.
     """
-    if isinstance(contours, (int, float, np.floating)) and not isinstance(contours, bool):
+    if isinstance(contours, (int, float, np.number)) and not isinstance(contours, bool):
         contour_list = [contours]
     elif isinstance(contours, (list, tuple)):
         contour_list = list(contours)

@@ -266,6 +266,14 @@ def regrid_fields_sharded(
     first = host_stacks[fields[0]]
     bx, by, bz = (int(s) for s in first.shape[1:])
     bmax = splan.bmax
+    # Same int32 flat-index guard as _build_gather_fns: jnp.take would
+    # silently clamp a wrapped-negative index to block 0's first cell.
+    # The device-local stack is bmax blocks wide, so that is the bound.
+    if bmax * bx * by * bz > np.iinfo(np.int32).max:
+        raise MemoryError(
+            f"Sharded regrid gather index space {bmax * bx * by * bz} exceeds int32; "
+            "crop with subdomain_coords or truncate with refine_level."
+        )
 
     leaf_table = jnp.asarray(plan.leaf_table)
     offsets = jnp.asarray(plan.block_offsets)

@@ -29,6 +29,76 @@ PIPELINE_CHECKPOINT_NAME = "fava.checkpoint"
 PIPELINE_SETTINGS_NAME = "pipeline_settings.json"
 
 
+class PipelineSettingsError(ValueError):
+    """Raised at load_settings time for malformed pipeline settings."""
+
+
+# Settings schema (reference contract: fava/__main__.py:27-43 +
+# fava/pipeline_settings.json). Top-level scalars are validated in
+# load_settings; stage/analysis entries are {skip, settings} dicts and
+# required per-analysis settings keys are listed here so a missing pdf
+# field name fails at startup, not as a bare TypeError mid-stage-4.
+_STAGE_KEYS = {"reynolds stress", "extract windows", "analyze uniform data"}
+_ANALYSIS_KEYS = {
+    "fractal dimension": ("field",),
+    "structure functions": (),
+    "kinetic energy spectra": (),
+    "favre profiles": (),
+    "reynolds stresses uniform": (),
+    "pdf1d": ("field",),
+    "pdf2d": ("field1", "field2"),
+}
+# Stage 4 runs these whether or not they appear in settings (the
+# reference's fixed three) — their required keys are validated even
+# when the entry is absent.
+_ALWAYS_RUN = {"fractal dimension", "structure functions", "kinetic energy spectra"}
+_KNOWN_TOP_KEYS = (
+    {"basename", "dimension", "model", "data folder", "output folder", "flame window"}
+    | _STAGE_KEYS
+    | set(_ANALYSIS_KEYS)
+)
+
+
+def validate_settings(settings: Dict[str, Any]) -> None:
+    """Schema-check a pipeline settings dict; raise PipelineSettingsError.
+
+    Catches, at startup: non-dict stage/analysis entries, non-dict or
+    missing per-analysis ``settings``, and missing required analysis
+    settings (e.g. pdf1d without a field name). Unknown top-level keys
+    only warn — forward/backward compatibility with reference settings
+    files matters more than strictness there.
+    """
+    for key in settings:
+        if key not in _KNOWN_TOP_KEYS:
+            LOGGER.warning("unknown pipeline setting %r ignored", key)
+    for key in _STAGE_KEYS | set(_ANALYSIS_KEYS):
+        if key not in settings:
+            continue
+        entry = settings[key]
+        if not isinstance(entry, dict):
+            raise PipelineSettingsError(
+                f"pipeline setting {key!r} must be an object with optional "
+                f"'skip'/'settings' keys, got {type(entry).__name__}"
+            )
+        if "settings" in entry and not isinstance(entry["settings"], dict):
+            raise PipelineSettingsError(
+                f"pipeline setting {key!r}.settings must be an object, "
+                f"got {type(entry['settings']).__name__}"
+            )
+    stage4_skipped = settings.get("analyze uniform data", {}).get("skip", False)
+    for name, required in _ANALYSIS_KEYS.items():
+        enabled = name in settings or (name in _ALWAYS_RUN and not stage4_skipped)
+        if not enabled or settings.get(name, {}).get("skip", False):
+            continue
+        analysis_settings = settings.get(name, {}).get("settings", {})
+        for req in required:
+            if req not in analysis_settings:
+                raise PipelineSettingsError(
+                    f"analysis {name!r} is enabled but its settings are missing "
+                    f"the required key {req!r} (have: {sorted(analysis_settings)})"
+                )
+
+
 class Pipeline:
     """Stage driver over a FLASH model directory."""
 
@@ -45,6 +115,7 @@ class Pipeline:
         with path.open("r") as f:
             self.settings: Dict[str, Any] = json.load(f)
 
+        validate_settings(self.settings)
         self.checkpoint_data["settings"] = copy.deepcopy(self.settings)
         self.basename: str = self._validated("basename", str)
         self.ndim: int = self._validated("dimension", int)
@@ -263,7 +334,15 @@ class Pipeline:
             self.checkpoint_data[stage_key]["analysis"] = name
             if not self.settings.get(name, {}).get("skip", False):
                 analysis_settings = self.settings.get(name, {}).get("settings", {})
-                result = analyses[name](**analysis_settings)
+                try:
+                    result = analyses[name](**analysis_settings)
+                except TypeError as exc:
+                    # Name the analysis and the offending settings — a bare
+                    # TypeError from the call site is unactionable.
+                    raise PipelineSettingsError(
+                        f"analysis {name!r} rejected its settings "
+                        f"{sorted(analysis_settings)}: {exc}"
+                    ) from exc
                 self.model.save_to_hdf5(data={name: result}, filename=fn)
 
         self.checkpoint_data[stage_key]["analysis"] = None

@@ -23,6 +23,7 @@ def main() -> None:
 
     from fava_tpu import utils as futils
     from fava_tpu.flagship import make_example_fields
+    from fava_tpu.experiments import planar_dft
     from fava_tpu.ops import dft, pallas_kernels as pk
     from fava_tpu.ops.spectra import rfft_power_volumes
 
@@ -66,7 +67,7 @@ def main() -> None:
     @jax.jit
     def fused(d, a, b, c):
         sd = jnp.sqrt(d)
-        re, im = dft.rfftn_mxu_planar_stacked([sd * v for v in (a, b, c)])
+        re, im = planar_dft.rfftn_mxu_planar_stacked([sd * v for v in (a, b, c)])
         counts, sums = pk.shell_bin_powers_fused(re / ntot, im / ntot, nbins, n)
         return jnp.concatenate([counts[None], sums])
 

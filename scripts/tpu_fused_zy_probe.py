@@ -24,7 +24,8 @@ def main() -> None:
 
     from fava_tpu import utils as futils
     from fava_tpu.flagship import make_example_fields
-    from fava_tpu.ops import dft, pallas_dft, pallas_kernels as pk
+    from fava_tpu.experiments import pallas_dft
+    from fava_tpu.ops import dft, pallas_kernels as pk
     from fava_tpu.ops.spectra import rfft_power_volumes
 
     futils.enable_compilation_cache(str(ROOT / ".jax_cache"))

@@ -24,6 +24,7 @@ def main() -> None:
 
     from fava_tpu import utils as futils
     from fava_tpu.flagship import make_example_fields
+    from fava_tpu.experiments import planar_dft
     from fava_tpu.ops import dft, pallas_kernels as pk
     from fava_tpu.ops.spectra import rfft_power_volumes
 
@@ -55,7 +56,7 @@ def main() -> None:
 
     def planar_step(d, a, b, c, karatsuba):
         sd = jnp.sqrt(d)
-        re, im = dft.rfftn_mxu_planar_stacked(
+        re, im = planar_dft.rfftn_mxu_planar_stacked(
             [sd * v for v in (a, b, c)], karatsuba=karatsuba
         )
         ffts = [jax.lax.complex(re[k], im[k]) / ntot for k in range(3)]

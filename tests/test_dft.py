@@ -55,7 +55,8 @@ def test_use_mxu_fft_gates():
 def test_fused_zy_rfft_matches_numpy():
     """The fused z+y Pallas kernel (interpret mode) + x einsum must
     reproduce np.fft.rfftn."""
-    from fava_tpu.ops import pallas_dft, pallas_kernels as pk
+    from fava_tpu.experiments import pallas_dft
+    from fava_tpu.ops import pallas_kernels as pk
 
     pk.FORCE_INTERPRET = True
     try:

@@ -48,3 +48,9 @@ def test_contour_list_and_validation():
     assert set(out.keys()) == {"0.4", "0.6"}
     with pytest.raises(ValueError):
         fractal_dimension(data, "bad")
+    with pytest.raises(ValueError):
+        fractal_dimension(data, True)  # bool is not a contour level
+    # numpy scalars are scalars too (np.integer/np.floating).
+    out_np = fractal_dimension(data, np.float64(0.5))
+    out_int = fractal_dimension(data, np.int64(1))
+    assert set(out_np.keys()) == {"0.5"} and set(out_int.keys()) == {"1"}

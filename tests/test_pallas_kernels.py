@@ -368,11 +368,12 @@ def test_shell_bin_powers_fused_matches_jnp(force_interpret):
 
 @pytest.mark.parametrize("karatsuba", [False, True])
 def test_planar_stacked_transforms_match_numpy(karatsuba):
+    from fava_tpu.experiments import planar_dft
     from fava_tpu.ops import dft
 
     rng = np.random.default_rng(2)
     vols = [rng.standard_normal((8, 12, 10)) for _ in range(3)]
-    re, im = dft.rfftn_mxu_planar_stacked([jnp.asarray(v) for v in vols], karatsuba=karatsuba)
+    re, im = planar_dft.rfftn_mxu_planar_stacked([jnp.asarray(v) for v in vols], karatsuba=karatsuba)
     for c in range(3):
         ref = np.fft.rfftn(vols[c])
         np.testing.assert_allclose(np.asarray(re[c]), ref.real, rtol=1e-10, atol=1e-10)

@@ -186,6 +186,63 @@ def test_flagship_series_rejects_multiblock(tmp_path):
         m.flagship_series(file_type="plt")
 
 
+def test_settings_validation_missing_pdf_field(pipeline_dir):
+    """Enabling pdf1d without a field name must fail AT STARTUP with
+    the offending key named, not as a TypeError mid-stage-4."""
+    from fava_tpu.pipeline.pipeline import PipelineSettingsError
+
+    workdir, data, out = pipeline_dir
+    settings_path = workdir / "pipeline_settings.json"
+    settings = json.loads(settings_path.read_text())
+    settings["pdf1d"] = {"skip": False, "settings": {"nbins": 16}}
+    settings_path.write_text(json.dumps(settings))
+
+    pipe = Pipeline(workdir)
+    with pytest.raises(PipelineSettingsError, match="'field'"):
+        pipe.restart()
+
+
+def test_settings_validation_pdf2d_and_shapes(pipeline_dir):
+    from fava_tpu.pipeline.pipeline import PipelineSettingsError, validate_settings
+
+    workdir, data, out = pipeline_dir
+    base = json.loads((workdir / "pipeline_settings.json").read_text())
+
+    bad = dict(base)
+    bad["pdf2d"] = {"skip": False, "settings": {"field1": "dens"}}
+    with pytest.raises(PipelineSettingsError, match="'field2'"):
+        validate_settings(bad)
+
+    # Skipped analyses are not required to carry their settings.
+    ok = dict(base)
+    ok["pdf2d"] = {"skip": True}
+    validate_settings(ok)
+
+    # Non-dict stage entry fails with the key named.
+    bad2 = dict(base)
+    bad2["fractal dimension"] = "yes"
+    with pytest.raises(PipelineSettingsError, match="fractal dimension"):
+        validate_settings(bad2)
+
+    bad3 = dict(base)
+    bad3["structure functions"] = {"settings": [1, 2]}
+    with pytest.raises(PipelineSettingsError, match="structure functions"):
+        validate_settings(bad3)
+
+
+def test_settings_validation_unknown_key_warns(pipeline_dir, caplog):
+    import logging
+
+    from fava_tpu.pipeline.pipeline import validate_settings
+
+    workdir, data, out = pipeline_dir
+    settings = json.loads((workdir / "pipeline_settings.json").read_text())
+    settings["spectre functions"] = {"skip": False}
+    with caplog.at_level(logging.WARNING, logger="fava_tpu.pipeline.pipeline"):
+        validate_settings(settings)
+    assert any("spectre functions" in r.message for r in caplog.records)
+
+
 def test_pipeline_survives_skipped_stage_one(pipeline_dir):
     """Skipping the reynolds-stress stage must not crash stage 2/3 on
     missing window scalars (graceful skip instead of OSError between
