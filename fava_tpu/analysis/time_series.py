@@ -16,6 +16,7 @@ import numpy as np
 from fava_tpu.io.ingest import Snapshot, SnapshotPrefetcher
 from fava_tpu.models.model import Model
 from fava_tpu.ops import profiles as profile_ops
+from fava_tpu.parallel import runtime as prt
 
 
 def _geometry_from_snapshot(snap: Snapshot, raxis: int) -> profile_ops.ProfileGeometry:
@@ -73,7 +74,11 @@ def favre_series(
     stacked: Dict[str, list] = {}
     span = None
 
-    for snap in SnapshotPrefetcher(paths, fields, depth=prefetch_depth):
+    # Prefetch straight into the mesh sharding (one host-link crossing;
+    # block stacks shard over "space" when divisible).
+    for snap in SnapshotPrefetcher(
+        paths, fields, depth=prefetch_depth, sharding=prt.ingest_sharding_fn()
+    ):
         geom = _geometry_from_snapshot(snap, raxis)
         ndim = geom.ndim
         data = _ensure_block_axis(snap.fields)
@@ -134,7 +139,9 @@ def reynolds_series(
     stacked: Dict[str, list] = {}
     radius = None
 
-    for snap in SnapshotPrefetcher(paths, fields, depth=prefetch_depth):
+    for snap in SnapshotPrefetcher(
+        paths, fields, depth=prefetch_depth, sharding=prt.ingest_sharding_fn()
+    ):
         geom = _geometry_from_snapshot(snap, raxis)
         data = _ensure_block_axis(snap.fields)
         radius, stress, means = profile_ops.reynolds_stress(data, geom)
@@ -161,15 +168,29 @@ def flagship_series(
     """Flagship spectra + Reynolds/Favre profiles over a uniform series,
     ``batch`` snapshots per device dispatch.
 
-    ``flagship.series_analysis_step`` scans each batch on device in ONE
-    dispatch (the per-dispatch host round trip is paid once per batch,
-    not once per snapshot — measured 92 ms/snapshot at batch 3 vs
-    104 ms single at 512^3, SERIES_512.json). ``batch=0`` sizes the
-    batch from the snapshot footprint against a conservative HBM input
-    budget; a short final batch runs through the same scan (one extra
-    cached compile). Outputs carry a leading snapshot axis.
+    Single chip: ``flagship.series_analysis_step`` scans each batch on
+    device in ONE dispatch (the per-dispatch host round trip is paid
+    once per batch, not once per snapshot — measured 92 ms/snapshot at
+    batch 3 vs 104 ms single at 512^3, SERIES_512.json).
+
+    With an active snap x space pod mesh (``parallel.use_mesh`` with
+    axes ("snap", "space")), batches additionally shard over the
+    "snap" axis and every volume slab-shards over "space":
+    ``flagship.sharded_series_analysis_step`` — the production
+    BASELINE config #5 path. Prefetch then device_puts each snapshot
+    straight into the mesh (x split over all devices; ONE host-link
+    crossing), and a tiny jitted stack redistributes to the
+    ``P("snap", "space")`` batch over ICI.
+
+    ``batch=0`` sizes the batch from the snapshot footprint against a
+    conservative per-device HBM input budget (scaled by the snap rows
+    on a pod); a short final batch runs through the same scan shape
+    (padded by repeating the last snapshot on a pod — outputs are
+    trimmed). Outputs carry a leading snapshot axis.
     """
+    import jax
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from fava_tpu import flagship
 
@@ -191,25 +212,55 @@ def flagship_series(
             return v[0]
         return v
 
-    step = flagship.jitted_series_step()
+    active_mesh = prt.get_mesh()
+    pod = prt.is_pod_mesh(active_mesh)
+    n_snap = prt.snap_axis_size(active_mesh)
+    if pod:
+        step = flagship.jitted_sharded_series_step(active_mesh)
+        batch_sharding = NamedSharding(
+            active_mesh, P(prt.SNAP_AXIS, prt.SPACE_AXIS, None, None)
+        )
+        stack_fns: Dict[int, object] = {}
+
+        def stack(vols):
+            # On-device stack + redistribution to the snap x space batch
+            # (rides ICI; prefetch already paid the one host crossing).
+            fn = stack_fns.get(len(vols))
+            if fn is None:
+                fn = jax.jit(lambda *v: jnp.stack(v), out_shardings=batch_sharding)
+                stack_fns[len(vols)] = fn
+            return fn(*vols)
+    else:
+        step = flagship.jitted_series_step()
+
+        def stack(vols):
+            return jnp.stack(vols)
+
     times: list = []
     chunks: Dict[str, list] = {}
     pending: list = []
 
     def flush(group):
-        stacked = [jnp.stack([vol(s, f) for s in group]) for f in fields]
+        npad = (-len(group)) % n_snap if pod else 0
+        group = list(group) + [group[-1]] * npad
+        stacked = [stack([vol(s, f) for s in group]) for f in fields]
         out = step(*stacked)
         for k, v in out.items():
-            chunks.setdefault(k, []).append(np.asarray(v))
+            arr = np.asarray(v)
+            chunks.setdefault(k, []).append(arr[: len(group) - npad] if npad else arr)
 
-    for snap in SnapshotPrefetcher(paths, fields, depth=prefetch_depth):
+    for snap in SnapshotPrefetcher(
+        paths, fields, depth=prefetch_depth, sharding=prt.ingest_sharding_fn(active_mesh)
+    ):
         if batch <= 0:
             # Inputs budget: keep the resident batch under ~7 GB so the
             # scan's per-iteration temporaries (~8 GB at 512^3 f32) fit
             # 16 GB-class HBM; yields the measured-safe batch 3 at 512^3
             # (SERIES_512.json; batch 4 OOMs). Small grids cap at 8.
+            # On a pod each snap row holds batch/n_snap snapshots, so
+            # the budgeted batch scales by the snap rows.
             per_snap = sum(vol(snap, f).nbytes for f in fields)
-            batch = int(np.clip(7e9 // max(per_snap, 1), 1, 8))
+            batch = int(np.clip(7e9 // max(per_snap, 1), 1, 8)) * n_snap
         times.append(snap.time)
         pending.append(snap)
         if len(pending) >= batch:

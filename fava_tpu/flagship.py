@@ -194,6 +194,117 @@ def jitted_series_step():
     return _jitted_series_step(_path_key())
 
 
+def sharded_series_analysis_step(dens, velx, vely, velz, mesh):
+    """Flagship step over a snapshot batch on a snap x space pod mesh.
+
+    Inputs are (B, nx, ny, nz) stacked snapshots sharded
+    ``P("snap", "space", None, None)``: the batch splits over the
+    "snap" axis (snapshot data parallelism) while every volume is
+    slab-sharded along x over "space". ONE shard_map over both axes;
+    inside, each device row lax.scans its local snapshots so the
+    working set stays one snapshot wide, running per snapshot:
+
+      * the local pencil-FFT spectra body (all_to_all + psum over
+        "space" only — snap rows never talk to each other;
+        ops/spectra.py local_spectra_fn)
+      * the centered two-pass profile moments on the local x-slab
+        (every profile row lives whole on one device; one tiny
+        all_gather over "space" assembles the (nx,) rows)
+
+    This is the production driver for BASELINE config #5 (the
+    multi-snapshot pod pipeline) — the thing the reference cannot do
+    at all: it recomputes np.fft.fftn per rank on ONE snapshot at a
+    time (reference: fava/mesh/FLASH/FlashUniform.py:268). Outputs
+    carry a leading snapshot axis, exactly like series_analysis_step.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from fava_tpu.ops import pallas_kernels as pk
+    from fava_tpu.ops import spectra as spectra_ops
+    from fava_tpu.ops.profiles import VEL_PAIRS, assemble_profile_stats
+    from fava_tpu.parallel import runtime as prt
+
+    shape = tuple(int(s) for s in dens.shape[1:])
+    nx, ny, nz = shape
+    nbins = max(shape) // 2 - 1
+    adt = accum_dtype()
+    n_space = mesh.shape[prt.SPACE_AXIS]
+    use_kernel_binning = spectra_ops.use_kernel_shell_binning(nx)
+    spec_local = spectra_ops.local_spectra_fn(
+        shape, nbins, n_space, prt.SPACE_AXIS, use_kernel_binning
+    )
+    layer = jnp.asarray(ny * nz, dtype=adt)
+    pairs = [(i, j) for (i, j) in VEL_PAIRS]
+
+    def one_snapshot(_, args):
+        d, a, b, c = args  # local (nx/n_space, ny, nz) slabs
+        counts, sums3 = spec_local(d, a, b, c)
+
+        def lrows(x):
+            return jnp.sum(x.astype(adt), axis=(1, 2))
+
+        def gather(x):
+            return jax.lax.all_gather(x, prt.SPACE_AXIS, axis=0, tiled=True)
+
+        # Same centered two-pass as uniform_analysis_step's mesh branch
+        # (float32 cancellation rationale there); every row is local.
+        vels = (a, b, c)
+        d_row_l = lrows(d)
+        means_l = [lrows(v) / layer for v in vels]
+        cvels = [v - m[:, None, None].astype(v.dtype) for v, m in zip(vels, means_l)]
+        c1_l = [lrows(d * cv) for cv in cvels]
+        cov_l = [lrows(d * cvels[i] * cvels[j]) for (i, j) in pairs]
+
+        d_row = gather(d_row_l)
+        means = jnp.stack([gather(m) for m in means_l])
+        c1 = jnp.stack([gather(x) for x in c1_l])
+        cov = jnp.stack([gather(x) for x in cov_l])
+        stress, favre_mean, favre_rms = assemble_profile_stats(d_row, means, c1, cov, layer)
+
+        out = {
+            "spectra_counts": counts,
+            "spectra_total": sums3[0],
+            "spectra_longitudinal": sums3[1],
+            "spectra_transverse": sums3[2],
+            "mean_dens": d_row / layer,
+            "reynolds_stress": stress,
+            "favre_mean": favre_mean,
+            "favre_rms": favre_rms,
+            "total_mass": jax.lax.psum(jnp.sum(d.astype(adt)), prt.SPACE_AXIS),
+        }
+        return None, out
+
+    def body(d4, a4, b4, c4):
+        _, outs = jax.lax.scan(one_snapshot, None, (d4, a4, b4, c4))
+        return outs
+
+    spec = P(prt.SNAP_AXIS, prt.SPACE_AXIS, None, None)
+    outs = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec,) * 4,
+        out_specs=P(prt.SNAP_AXIS),
+        check_vma=False,
+    )(dens, velx, vely, velz)
+    if use_kernel_binning:
+        counts = jnp.asarray(
+            pk.rfft_shell_counts((nx, ny, nz), int(nbins), str(jnp.dtype(adt)))
+        )
+        outs["spectra_counts"] = jnp.broadcast_to(
+            counts[None], (dens.shape[0],) + counts.shape
+        )
+    return outs
+
+
+@lru_cache(maxsize=4)
+def _jitted_sharded_series_step(mesh, path_key):
+    return jax.jit(lambda d, a, b, c: sharded_series_analysis_step(d, a, b, c, mesh=mesh))
+
+
+def jitted_sharded_series_step(mesh):
+    return _jitted_sharded_series_step(mesh, _path_key())
+
+
 @lru_cache(maxsize=4)
 def _example_fields_fn(n: int, dtype_name: str, seed: int):
     dtype = jnp.dtype(dtype_name)

@@ -59,8 +59,12 @@ def _read_snapshot(path: Path, fields: Sequence[str], sharding=None, strict: boo
             host = flash_file.read_field(f, name, dtype=dtype)
             nbytes += host.nbytes
             # device_put is async: the transfer overlaps the next read.
+            # ``sharding`` may be a callback (name, shape) -> sharding so
+            # shape-dependent placement (divisibility) is decided here
+            # (see parallel.runtime.ingest_sharding_fn).
+            s = sharding(name, host.shape) if callable(sharding) else sharding
             device_fields[name] = (
-                jax.device_put(host, sharding) if sharding is not None else jax.device_put(host)
+                jax.device_put(host, s) if s is not None else jax.device_put(host)
             )
     return Snapshot(
         path=Path(path),

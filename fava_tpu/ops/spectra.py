@@ -119,29 +119,39 @@ def rfft_power_volumes(ffts, full_shape: Tuple[int, int, int], jy=None, ky=None,
     return total, longi, total - longi, k_abs
 
 
-def sharded_power_spectra(dens, vels, mesh, nbins: int, axis_name: str = None):
-    """(counts, sums[3]) of shell-binned spectral powers over a device mesh.
+def use_kernel_shell_binning(nx: int) -> bool:
+    """One definition of the sharded binning-path choice (Pallas chunk
+    kernel on TPU/interpret vs jnp scatter-add) for every consumer, so
+    the decision — which is baked into cached traces — can be folded
+    into cache keys consistently."""
+    from fava_tpu.ops import pallas_kernels as pk
 
-    One shard_map: per-device local 2D FFT -> all_to_all shard transpose
-    -> local 1D FFT -> local k-slab powers and scatter binning -> one
-    psum of the (4, nbins) accumulators. Everything rides ICI once; no
-    global reshapes or partitioner-inserted gathers.
+    return bool((pk.on_tpu() or pk.FORCE_INTERPRET) and pk._pick_gy(nx))
+
+
+def local_spectra_fn(full_shape, nbins: int, nd: int, axis_name: str, use_kernel_binning: bool):
+    """Device-local spectra body for use INSIDE a shard_map over ``axis_name``.
+
+    Returns ``local(d_loc, *v_loc) -> (counts, sums[3])`` where the
+    inputs are x-slab shards of one snapshot: local 2D FFT ->
+    all_to_all shard transpose -> local 1D FFT -> local k-slab powers
+    and shell binning -> psum of the accumulators. Shared by the
+    single-snapshot shard_map below and the snap x space pod series
+    step (flagship.sharded_series_analysis_step), which calls it from
+    inside a lax.scan over the local snapshot batch.
+
+    With ``use_kernel_binning`` the returned counts are a placeholder
+    (zeros): shard counts psum to a pure shape function, precomputed on
+    host via ``pallas_kernels.rfft_shell_counts`` — the CALLER
+    substitutes them (see sharded_power_spectra).
     """
-    from fava_tpu.parallel import runtime as prt
-
-    axis_name = axis_name or prt.SPACE_AXIS
-    shape = tuple(int(s) for s in dens.shape)
-    nx, ny, nz = shape
+    nx, ny, nz = (int(s) for s in full_shape)
     ntot = nx * ny * nz
-    nd = mesh.shape[axis_name]
-    adt = accum_dtype()
-
     nzr = nz // 2 + 1
+    adt = accum_dtype()
 
     from fava_tpu.ops import dft as dftops
     from fava_tpu.ops import pallas_kernels as pk
-
-    use_kernel_binning = bool((pk.on_tpu() or pk.FORCE_INTERPRET) and pk._pick_gy(nx))
 
     def local(d_loc, *v_loc):
         sd = jnp.sqrt(d_loc)
@@ -199,6 +209,30 @@ def sharded_power_spectra(dens, vels, mesh, nbins: int, axis_name: str = None):
             stacked = jnp.stack([total.ravel(), longi.ravel(), trans.ravel()]).astype(adt)
             sums = jnp.zeros((3, nbins), dtype=adt).at[:, bidx].add(stacked * w_flat)
         return jax.lax.psum(counts, axis_name), jax.lax.psum(sums, axis_name)
+
+    return local
+
+
+def sharded_power_spectra(dens, vels, mesh, nbins: int, axis_name: str = None):
+    """(counts, sums[3]) of shell-binned spectral powers over a device mesh.
+
+    One shard_map: per-device local 2D FFT -> all_to_all shard transpose
+    -> local 1D FFT -> local k-slab powers and scatter binning -> one
+    psum of the (4, nbins) accumulators. Everything rides ICI once; no
+    global reshapes or partitioner-inserted gathers.
+    """
+    from fava_tpu.parallel import runtime as prt
+
+    axis_name = axis_name or prt.SPACE_AXIS
+    shape = tuple(int(s) for s in dens.shape)
+    nx, ny, nz = shape
+    nd = mesh.shape[axis_name]
+    adt = accum_dtype()
+
+    from fava_tpu.ops import pallas_kernels as pk
+
+    use_kernel_binning = use_kernel_shell_binning(nx)
+    local = local_spectra_fn(shape, nbins, nd, axis_name, use_kernel_binning)
 
     from jax.sharding import PartitionSpec as P
 

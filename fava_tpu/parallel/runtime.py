@@ -95,6 +95,74 @@ def block_sharding(mesh: Optional[Mesh] = None, ndim: int = 4):
     return NamedSharding(mesh, PartitionSpec(*spec))
 
 
+def snap_axis_size(mesh: Optional[Mesh] = None) -> int:
+    mesh = mesh if mesh is not None else _MESH
+    if mesh is None or SNAP_AXIS not in mesh.axis_names:
+        return 1
+    return mesh.shape[SNAP_AXIS]
+
+
+def is_pod_mesh(mesh: Optional[Mesh] = None) -> bool:
+    """True for a 2-axis snap x space mesh (the pod series topology)."""
+    mesh = mesh if mesh is not None else _MESH
+    return (
+        mesh is not None
+        and SNAP_AXIS in mesh.axis_names
+        and SPACE_AXIS in mesh.axis_names
+    )
+
+
+def ingest_volume_sharding(mesh: Optional[Mesh] = None, ndim: int = 3):
+    """Sharding for PREFETCHING one snapshot volume onto the whole mesh.
+
+    The leading axis splits over ALL mesh axes (snap and space alike),
+    so each volume crosses the host link exactly once — on a snap x
+    space pod, sharding only over "space" would replicate the transfer
+    per snap row. The pod series step then redistributes on-device to
+    ``P("snap", "space")`` batches (ICI, not host link).
+    """
+    mesh = mesh if mesh is not None else _MESH
+    if mesh is None:
+        return None
+    spec = [None] * ndim
+    names = tuple(mesh.axis_names)
+    spec[0] = names if len(names) > 1 else names[0]
+    return NamedSharding(mesh, PartitionSpec(*spec))
+
+
+def ingest_sharding_fn(mesh: Optional[Mesh] = None):
+    """Shape-aware sharding callback for SnapshotPrefetcher.
+
+    Returns ``fn(name, shape) -> sharding | None``: 3D volumes whose x
+    extent divides the full device count prefetch straight into the
+    mesh (one host-link crossing); 4D block stacks shard over "space"
+    when the block count divides it; anything else lands unsharded.
+    """
+    mesh = mesh if mesh is not None else _MESH
+    if mesh is None:
+        return None
+    total = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    vol = ingest_volume_sharding(mesh)
+    names = tuple(mesh.axis_names)
+    single_block = NamedSharding(
+        mesh, PartitionSpec(None, names if len(names) > 1 else names[0], None, None)
+    )
+    blocks = block_sharding(mesh)
+    n_space = space_axis_size(mesh)
+
+    def fn(name, shape):
+        if len(shape) == 3 and shape[0] % total == 0:
+            return vol
+        if len(shape) == 4 and shape[0] == 1 and shape[1] % total == 0:
+            # Single-block uniform volume stored (1, nx, ny, nz).
+            return single_block
+        if len(shape) == 4 and n_space > 1 and shape[0] % n_space == 0:
+            return blocks
+        return None
+
+    return fn
+
+
 def replicated(mesh: Optional[Mesh] = None):
     mesh = mesh if mesh is not None else _MESH
     if mesh is None:

@@ -102,6 +102,90 @@ def test_sharded_favre_match(uniform_file_32, eight_device_mesh):
         )
 
 
+@pytest.fixture(scope="session")
+def pod_mesh():
+    from fava_tpu.parallel import make_device_mesh
+
+    return make_device_mesh((2, 4), ("snap", "space"))
+
+
+def test_pod_series_driver_matches_per_snapshot(tmp_path, pod_mesh):
+    """flagship_series under a snap x space pod mesh (the PRODUCTION
+    config #5 path: sharded prefetch -> on-device stack -> one-shard_map
+    series step, incl. a padded short final batch) must equal the
+    per-snapshot single-chip analysis."""
+    from fava_tpu.io import synthetic
+
+    for i in (1, 2, 3):
+        synthetic.make_uniform_file(
+            tmp_path / f"rt_hdf5_uniform_000{i}", ncells=(16, 16, 16), seed=20 + i
+        )
+    m = fava_tpu.FLASH(tmp_path)
+
+    with use_mesh(pod_mesh):
+        series = m.flagship_series(batch=2)
+    assert series["times"].shape == (3,)
+
+    for j in (0, 1, 2):
+        m.load(file_type="uni", file_index=j)
+        single = m.flagship_analysis()
+        for key, val in single.items():
+            np.testing.assert_allclose(
+                series[key][j], np.asarray(val), rtol=1e-9, atol=1e-12, err_msg=key
+            )
+
+
+def test_pod_series_auto_batch_multiple_of_snap(tmp_path, pod_mesh):
+    """batch=0 sizing on a pod must produce a snap-divisible batch and
+    still cover every snapshot exactly once."""
+    from fava_tpu.io import synthetic
+
+    for i in (1, 2, 3):
+        synthetic.make_uniform_file(
+            tmp_path / f"rt_hdf5_uniform_000{i}", ncells=(16, 16, 16), seed=30 + i
+        )
+    m = fava_tpu.FLASH(tmp_path)
+    with use_mesh(pod_mesh):
+        series = m.flagship_series()  # auto batch
+    assert series["times"].shape == (3,)
+    assert series["spectra_total"].shape[0] == 3
+
+
+def test_ingest_prefetch_lands_sharded(tmp_path, pod_mesh):
+    """SnapshotPrefetcher with the runtime ingest callback must deliver
+    volumes already split over ALL mesh devices (one host crossing),
+    and leave non-divisible shapes unsharded."""
+    from fava_tpu.io import synthetic
+    from fava_tpu.io.ingest import SnapshotPrefetcher
+    from fava_tpu.parallel import runtime as prt
+
+    p16 = synthetic.make_uniform_file(
+        tmp_path / "rt_hdf5_uniform_0001", ncells=(16, 16, 16), seed=5
+    )
+    # 12 is divisible by space (4) but not by the full device count (8):
+    # the single-block volume rule must decline it.
+    p12 = synthetic.make_uniform_file(
+        tmp_path / "rt_hdf5_uniform_0002", ncells=(12, 12, 12), seed=6
+    )
+
+    fn = prt.ingest_sharding_fn(pod_mesh)
+    snaps = list(SnapshotPrefetcher([p16, p12], ["dens", "velx"], sharding=fn))
+    for name in ("dens", "velx"):
+        assert len(snaps[0].fields[name].sharding.device_set) == 8, name
+        assert len(snaps[1].fields[name].sharding.device_set) == 1, name
+
+
+def test_ingest_prefetch_block_stacks_sharded(amr_file, eight_device_mesh):
+    from fava_tpu.io.ingest import SnapshotPrefetcher
+    from fava_tpu.parallel import runtime as prt
+
+    fn = prt.ingest_sharding_fn(eight_device_mesh)
+    (snap,) = list(SnapshotPrefetcher([amr_file], ["dens"], sharding=fn))
+    nb = snap.fields["dens"].shape[0]
+    expect = 8 if nb % 8 == 0 else 1
+    assert len(snap.fields["dens"].sharding.device_set) == expect
+
+
 def test_sharded_spectra_pallas_binning_matches(uniform_file_32, eight_device_mesh):
     """The Pallas chunk-kernel binning inside shard_map (the TPU pod
     path, forced via interpret mode) must match the scatter-add path

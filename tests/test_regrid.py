@@ -101,6 +101,63 @@ def test_regrid_sharded_matches(amr_mesh, eight_device_mesh):
     np.testing.assert_allclose(np.asarray(amr_mesh._data["dens"]), expected["dens"], rtol=1e-12)
 
 
+def test_regrid_sharded_subdomain_matches_oracle(amr_mesh, eight_device_mesh):
+    """Sharded regrid with a subdomain crop: the output origin is
+    nonzero, the extent still divides the space axis (16/8), and values
+    match the per-cell oracle."""
+    from fava_tpu.parallel import use_mesh
+
+    sub = np.array([[0.25, 0.75], [0.25, 0.75], [0.25, 0.75]])
+    expected, total = _oracle(amr_mesh, subdomain_coords=sub)
+    assert total[0] % 8 == 0  # crop keeps the sharded path eligible
+
+    with use_mesh(eight_device_mesh):
+        amr_mesh.from_amr(subdomain_coords=sub, fields=["dens", "velx"], save_file=False)
+    for key in ("dens", "velx"):
+        got = amr_mesh._data[key]
+        assert len(got.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(got), expected[key], rtol=1e-12, err_msg=key)
+
+
+def test_regrid_nondivisible_falls_back_with_warning(
+    tmp_path, eight_device_mesh, caplog
+):
+    """Output x extent not divisible by the space axis: from_amr must
+    fall back to the replicated single-chip gather, SAY so in the log,
+    and still match the oracle."""
+    import logging
+
+    from fava_tpu.io import synthetic
+    from fava_tpu.parallel import use_mesh
+
+    path = tmp_path / "rt_hdf5_plt_cnt_0002"
+    # lmax=1, ncx=4, nbx=1 -> nx = 4, not divisible by 8 devices.
+    synthetic.make_amr_file(path, ncells=(4, 4, 4), nblks=(1, 1, 1))
+    mesh = FlashAMR(path)
+    mesh.load()
+    mesh.load_data(["dens"])
+    data = {"dens": mesh.host_data("dens")}
+    from tests.oracles.regrid import from_amr_oracle
+
+    expected, total = from_amr_oracle(
+        data,
+        block_bounds=np.asarray(mesh.block_bounds),
+        node_type=np.asarray(mesh.node_type),
+        refine_level=np.asarray(mesh.refine_level).astype(int),
+        ncells=mesh.nCellsVec,
+        nblks=mesh.nBlksVec,
+        ndim=3,
+        fields=["dens"],
+    )
+    assert total[0] % 8 != 0
+
+    with caplog.at_level(logging.WARNING, logger="fava_tpu.mesh.flash_amr"):
+        with use_mesh(eight_device_mesh):
+            mesh.from_amr(fields=["dens"], save_file=False)
+    assert any("falling back" in r.message for r in caplog.records)
+    np.testing.assert_allclose(np.asarray(mesh._data["dens"]), expected["dens"], rtol=1e-12)
+
+
 def test_regrid_mesh_active_distributes_input_blocks(amr_mesh, eight_device_mesh):
     """With an active mesh, from_amr must pool HBM: the source stack is
     distributed as per-device block subsets (each strictly smaller than
