@@ -142,8 +142,196 @@ def main() -> None:
                 print(f"  {key}: {err:.3e}", flush=True)
             report[sizes_key][str(n)] = {"wall_first_call_s": wall, "max_scaled_error": errs}
 
+    report["analyses"] = validate_analyses()
+
     (ROOT / "VALIDATION.json").write_text(json.dumps(report, indent=2))
     print(json.dumps(report), flush=True)
+
+
+def _scaled_err(got, exp, floor=0.0):
+    got = np.asarray(got, dtype=np.float64)
+    exp = np.asarray(exp, dtype=np.float64)
+    scale = max(np.abs(exp).max(), floor)
+    return float(np.abs(got - exp).max() / scale) if scale > 0 else float(np.abs(got).max())
+
+
+def validate_structure_functions() -> dict:
+    """On-chip f32 structure functions vs an f64 oracle fed the SAME
+    on-chip PRNG draws (isolates pipeline rounding from sampling noise)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fava_tpu.flagship import make_example_fields
+    from fava_tpu.ops import structure as st
+
+    n, num_seps, num_points, seed = 64, 16, 4096, 3
+    sep_bounds = (0.05, 0.45)
+    fields = make_example_fields(n=n)
+    vels_dev = fields[1:]
+    domain = np.array([[0.0, 1.0]] * 3)
+
+    out = st.structure_functions(
+        vels_dev,
+        domain_bounds=domain,
+        num_seps=num_seps,
+        num_points=num_points,
+        sep_bounds=sep_bounds,
+        seed=seed,
+    )
+
+    # Reproduce the exact on-chip uniforms (same key tree/shape/dtype).
+    @jax.jit
+    def draws(key):
+        keys = jax.random.split(key, 10)
+
+        def one(okey):
+            k1, k2, k3 = jax.random.split(okey, 3)
+            shape = (num_seps, num_points)
+            return (
+                jax.random.uniform(k1, shape + (3,), dtype=jnp.float32),
+                jax.random.uniform(k2, shape, dtype=jnp.float32),
+                jax.random.uniform(k3, shape, dtype=jnp.float32),
+            )
+
+        return jax.vmap(one)(keys)
+
+    u1, u2, u3 = (np.asarray(u, dtype=np.float64) for u in draws(jax.random.PRNGKey(seed)))
+    vels64 = [np.asarray(v, dtype=np.float64) for v in vels_dev]
+    seps = np.geomspace(sep_bounds[0], sep_bounds[1], num_seps)
+    lo, width = 0.0, 1.0
+    cell = width / n
+
+    errs = {"longitudinal": 0.0, "transverse": 0.0}
+    for o in range(1, 11):
+        p1 = lo + u1[o - 1] * width
+        phi = 2.0 * np.pi * u2[o - 1]
+        theta = np.arccos(2.0 * u3[o - 1] - 1.0)
+        direction = np.stack(
+            [np.sin(theta) * np.cos(phi), np.sin(theta) * np.sin(phi), np.cos(theta)], axis=-1
+        )
+        p2 = p1 + seps[:, None, None] * direction
+        p2 = lo + np.mod(p2 - lo, width)
+        i1 = np.clip(np.floor((p1 - lo) / cell).astype(int), 0, n - 1)
+        i2 = np.clip(np.floor((p2 - lo) / cell).astype(int), 0, n - 1)
+        dv = np.stack(
+            [
+                v[i2[..., 0], i2[..., 1], i2[..., 2]] - v[i1[..., 0], i1[..., 1], i1[..., 2]]
+                for v in vels64
+            ],
+            axis=-1,
+        )
+        sep_vec = p2 - p1
+        rhat = sep_vec / np.sqrt((sep_vec**2).sum(axis=-1, keepdims=True))
+        long_comp = np.abs((dv * rhat).sum(axis=-1))
+        trans_comp = np.sqrt(((dv - long_comp[..., None] * rhat) ** 2).sum(axis=-1))
+        ref_l = (long_comp**o).sum(axis=-1) / num_points
+        ref_t = (trans_comp**o).sum(axis=-1) / num_points
+        errs["longitudinal"] = max(errs["longitudinal"], _scaled_err(out["longitudinal"][str(o)], ref_l))
+        errs["transverse"] = max(errs["transverse"], _scaled_err(out["transverse"][str(o)], ref_t))
+    return {
+        "config": {"n": n, "num_seps": num_seps, "num_points": num_points, "orders": "1-10"},
+        "oracle": "f64 NumPy on the SAME on-chip PRNG draws",
+        "max_scaled_error": errs,
+    }
+
+
+def validate_analyses() -> dict:
+    """On-chip error record for every non-flagship public analysis
+    (VERDICT round-2 item 4: CPU-f64 tests do not imply TPU correctness)."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from fava_tpu.flagship import make_example_fields
+    from fava_tpu.ops import volume as volume_ops
+    from fava_tpu.ops.fractal import fractal_dimension
+    from tests.oracles.fractal import fractal_dimension_oracle
+    from tests.oracles.regrid import from_amr_oracle
+
+    out: dict = {}
+
+    # --- fractal dimension (deterministic box counting) ---------------
+    print("== analyses: fractal dimension ==", flush=True)
+    dens = make_example_fields(n=128)[0]
+    got = fractal_dimension(dens, contours=1.3)["1.3"]
+    ref = fractal_dimension_oracle(np.asarray(dens, dtype=np.float64), 1.3)
+    out["fractal_dimension"] = {
+        "config": {"n": 128, "contour": 1.3},
+        "max_scaled_error": {
+            "average_fractal_dimension": _scaled_err(
+                got["average fractal dimension"], ref["average fractal dimension"]
+            ),
+            "slope": _scaled_err(got["slope"], ref["slope"]),
+            "curve_counts": _scaled_err(got["curve"], ref["curve"]),
+        },
+    }
+
+    # --- PDFs (shared explicit range isolates binning rounding) -------
+    print("== analyses: pdf1d / pdf2d ==", flush=True)
+    d64 = np.asarray(dens, dtype=np.float64)
+    vr = (float(d64.min()), float(d64.max()))
+    got1 = volume_ops.pdf1d(dens, nbins=64, vrange=vr)
+    ref_counts, ref_edges = np.histogram(d64, bins=64, range=vr)
+    ref_pdf = ref_counts / (ref_counts.sum() * np.diff(ref_edges))
+    velx = make_example_fields(n=128)[1]
+    vx64 = np.asarray(velx, dtype=np.float64)
+    xr = vr
+    yr = (float(vx64.min()), float(vx64.max()))
+    got2 = volume_ops.pdf2d(dens, velx, nbins=(32, 32), xrange=xr, yrange=yr)
+    ref2_counts, _, _ = np.histogram2d(d64.ravel(), vx64.ravel(), bins=(32, 32), range=[xr, yr])
+    out["pdf"] = {
+        "config": {"n": 128, "nbins1d": 64, "nbins2d": 32},
+        "max_scaled_error": {
+            "pdf1d_counts": _scaled_err(got1["counts"], ref_counts),
+            "pdf1d_density": _scaled_err(got1["pdf"], ref_pdf),
+            "pdf2d_counts": _scaled_err(got2["counts"], ref2_counts),
+        },
+    }
+
+    # --- AMR mass + regrid round-trip on-chip --------------------------
+    print("== analyses: AMR mass_sum + regrid ==", flush=True)
+    from fava_tpu.io import synthetic
+    from fava_tpu.mesh import FLASH as FlashAMR
+
+    with tempfile.TemporaryDirectory() as td:
+        path = Path(td) / "rt_hdf5_plt_cnt_0001"
+        synthetic.make_amr_file(path, ncells=(8, 8, 8), nblks=(2, 2, 2), refine={0: 2, 3: 3})
+        mesh = FlashAMR(path)
+        mesh.load()
+        mesh.load_data(["dens", "velx"])
+
+        got_mass = mesh.mass_sum()["total"]
+        leaf = np.asarray(mesh.get_blocklist("LEAF"))
+        cv = np.asarray(mesh.get_cell_volumes("LEAF"), dtype=np.float64)
+        dh = np.asarray(mesh.host_data("dens"), dtype=np.float64)[leaf]
+        ref_mass = float((dh.sum(axis=(1, 2, 3)) * cv).sum())
+        mass_err = _scaled_err(got_mass, ref_mass)
+
+        data = {k: np.asarray(mesh.host_data(k), dtype=np.float64) for k in ("dens", "velx")}
+        expected, _total = from_amr_oracle(
+            data,
+            block_bounds=np.asarray(mesh.block_bounds),
+            node_type=np.asarray(mesh.node_type),
+            refine_level=np.asarray(mesh.refine_level).astype(int),
+            ncells=mesh.nCellsVec,
+            nblks=mesh.nBlksVec,
+            ndim=3,
+            fields=["dens", "velx"],
+        )
+        mesh.from_amr(fields=["dens", "velx"], save_file=False)
+        regrid_err = max(
+            _scaled_err(np.asarray(mesh._data[k]), expected[k]) for k in ("dens", "velx")
+        )
+    out["mass_sum"] = {"max_scaled_error": mass_err}
+    out["regrid_from_amr"] = {
+        "config": {"ncells": 8, "nblks": 2, "levels": "1-3"},
+        "max_scaled_error": regrid_err,
+    }
+
+    # --- structure functions (same-draw oracle) ------------------------
+    print("== analyses: structure functions ==", flush=True)
+    out["structure_functions"] = validate_structure_functions()
+    return out
 
 
 if __name__ == "__main__":
