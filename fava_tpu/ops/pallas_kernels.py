@@ -36,6 +36,14 @@ NMOM = 13
 # Tests set this to run the kernels in interpreter mode on CPU.
 FORCE_INTERPRET = False
 
+# In-program z segments for the folded v2 shell-binning kernel: each
+# 128-aligned segment runs its own reachable-shell bound loop. In the
+# v2 (x-unblocked) kernel splitting measured SLOWER (98.1 vs 95.0 ms
+# spectra path, zsplit_512.json — the kernel is iteration-overhead-
+# bound and segments add iterations), so v2 keeps 1; the production
+# x-blocked v3 kernel amortizes that overhead and uses 2 segments.
+Z_SPLITS_DEFAULT = 1
+
 
 def on_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
@@ -731,7 +739,8 @@ def _build_shell_folded_fn(
 
 
 def _shell_kernel_folded_v2(
-    t_ref, l_ref, out_ref, *, nbins, full_nx, full_ny, full_nz, nzr, rows_c, z_c, unroll
+    t_ref, l_ref, out_ref, *, nbins, full_nx, full_ny, full_nz, nzr, rows_c, z_c,
+    unroll, z_segments=((0, -1),)
 ):
     """Row-chunked, unrolled, VALUES-ONLY folded shell binning.
 
@@ -751,6 +760,14 @@ def _shell_kernel_folded_v2(
       per shape via this same kernel on the multiplicity volume
       (``_folded_counts``) and cached — cuts the per-iteration ALU work
       from mask+3mul+3reduce to mask+2mul+2reduce.
+
+    ``z_segments`` (static (start, end) pairs, 128-aligned starts)
+    split the z extent INSIDE the program: each segment runs its own
+    bound loop over sqrt(kx^2+ky^2+[z0,z1]^2)-reachable shells, so the
+    mask-loop work per point shrinks with the segment's kz spread —
+    without the extra grid programs that made the z-GRID-chunk variant
+    slower (docs/perf.md). The kernel stays mathematically identical:
+    segments partition the tile and the accumulator is shared.
     """
     i = pl.program_id(0)
     c = pl.program_id(1)
@@ -762,56 +779,209 @@ def _shell_kernel_folded_v2(
 
     f32 = jnp.float32
     row0 = c * rows_c
-    z0 = zc * z_c
-    jy = jax.lax.broadcasted_iota(jnp.int32, (rows_c, z_c), 0) + row0
-    jz = jax.lax.broadcasted_iota(jnp.int32, (rows_c, z_c), 1) + z0
+    zc0 = zc * z_c
     kx = i.astype(f32)
-    k_abs = jnp.sqrt(kx * kx + (jy * jy + jz * jz).astype(f32))
-    shell = jnp.floor(k_abs + 0.5).astype(jnp.int32)
-    zvalid = jz <= nzr - 1  # the last z chunk may overrun the array
-    in_range = (k_abs <= (nbins - 0.5)) & (jy <= full_ny // 2) & zvalid
-    shell = jnp.where(in_range, jnp.minimum(shell, nbins - 1), nbins)
-
-    if full_nz % 2 == 0:
-        wz = jnp.where((jz == 0) | (jz == full_nz // 2), 1.0, 2.0)
-    else:
-        wz = jnp.where(jz == 0, 1.0, 2.0)
-    # Overrun lanes hold undefined values (possibly NaN/Inf, which a
-    # 0-mask would NOT neutralize) — zero them via select.
-    t = jnp.where(zvalid, t_ref[0], 0.0) * wz
-    l = jnp.where(zvalid, l_ref[0], 0.0) * wz
-
-    # Reachable-shell bounds for this (slab, chunk): |k| is monotone in
-    # each index, so min at (kx, ky0, z0), max at (kx, ky1, kz1).
-    ky0 = row0.astype(f32)
-    kz0 = z0.astype(f32)
-    kmin = jnp.sqrt(kx * kx + ky0 * ky0 + kz0 * kz0)
-    b_lo = jnp.maximum(jnp.floor(kmin + 0.5).astype(jnp.int32), 0)
-    ky1 = jnp.minimum(row0 + rows_c - 1, full_ny // 2).astype(f32)
-    kz1 = jnp.minimum(z0 + z_c - 1, nzr - 1).astype(f32)
-    kmax = jnp.sqrt(kx * kx + ky1 * ky1 + kz1 * kz1)
-    b_hi = jnp.minimum(jnp.floor(kmax + 0.5).astype(jnp.int32) + 1, nbins)
-    # Chunks that are pure fold padding (row0 beyond the ny/2 quadrant)
-    # or pure z overrun bin nothing: collapse the loop to zero iterations.
-    empty = (row0 > full_ny // 2) | (z0 > nzr - 1)
-    b_hi = jnp.where(empty, b_lo, jnp.maximum(b_hi, b_lo))
-
     width = _bins_width(nbins)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    t_full = t_ref[0]
+    l_full = l_ref[0]
 
-    def body(it, acc):
-        b0 = b_lo + it * unroll
-        for j in range(unroll):
-            b = b0 + j
-            m = (shell == b).astype(t.dtype)
-            partial = jnp.stack([_sum2(t * m), _sum2(l * m)])
-            onehot = (lane == b).astype(acc.dtype)
-            acc = acc + partial[:, None] * onehot
-        return acc
+    acc = jnp.zeros((2, width), dtype=out_ref.dtype)
+    for (s0, s1) in z_segments:
+        s1 = z_c if s1 < 0 else s1
+        slen = s1 - s0
+        jy = jax.lax.broadcasted_iota(jnp.int32, (rows_c, slen), 0) + row0
+        jz = jax.lax.broadcasted_iota(jnp.int32, (rows_c, slen), 1) + zc0 + s0
+        k_abs = jnp.sqrt(kx * kx + (jy * jy + jz * jz).astype(f32))
+        shell = jnp.floor(k_abs + 0.5).astype(jnp.int32)
+        zvalid = jz <= nzr - 1  # the last z chunk may overrun the array
+        in_range = (k_abs <= (nbins - 0.5)) & (jy <= full_ny // 2) & zvalid
+        shell = jnp.where(in_range, jnp.minimum(shell, nbins - 1), nbins)
 
-    nit = (b_hi - b_lo + unroll - 1) // unroll
-    acc = jax.lax.fori_loop(0, nit, body, jnp.zeros((2, width), dtype=out_ref.dtype))
+        if full_nz % 2 == 0:
+            wz = jnp.where((jz == 0) | (jz == full_nz // 2), 1.0, 2.0)
+        else:
+            wz = jnp.where(jz == 0, 1.0, 2.0)
+        # Overrun lanes hold undefined values (possibly NaN/Inf, which a
+        # 0-mask would NOT neutralize) — zero them via select. Segment
+        # slices start 128-aligned (Mosaic lane constraint).
+        t_seg = jax.lax.slice(t_full, (0, s0), (rows_c, s1))
+        l_seg = jax.lax.slice(l_full, (0, s0), (rows_c, s1))
+        t = jnp.where(zvalid, t_seg, 0.0) * wz
+        l = jnp.where(zvalid, l_seg, 0.0) * wz
+
+        # Reachable-shell bounds for this (slab, chunk, segment): |k| is
+        # monotone in each index, so min at (kx, ky0, z0), max at
+        # (kx, ky1, kz1).
+        ky0 = row0.astype(f32)
+        kz0 = f32(zc0 + s0)
+        kmin = jnp.sqrt(kx * kx + ky0 * ky0 + kz0 * kz0)
+        b_lo = jnp.maximum(jnp.floor(kmin + 0.5).astype(jnp.int32), 0)
+        ky1 = jnp.minimum(row0 + rows_c - 1, full_ny // 2).astype(f32)
+        kz1 = jnp.minimum(zc0 + s1 - 1, nzr - 1).astype(f32)
+        kmax = jnp.sqrt(kx * kx + ky1 * ky1 + kz1 * kz1)
+        b_hi = jnp.minimum(jnp.floor(kmax + 0.5).astype(jnp.int32) + 1, nbins)
+        # Chunks that are pure fold padding (row0 beyond the ny/2
+        # quadrant) or pure z overrun bin nothing: collapse to zero
+        # iterations.
+        empty = (row0 > full_ny // 2) | (zc0 + s0 > nzr - 1)
+        b_hi = jnp.where(empty, b_lo, jnp.maximum(b_hi, b_lo))
+
+        def body(it, acc, b_lo=b_lo, shell=shell, t=t, l=l):
+            b0 = b_lo + it * unroll
+            for j in range(unroll):
+                b = b0 + j
+                m = (shell == b).astype(t.dtype)
+                partial = jnp.stack([_sum2(t * m), _sum2(l * m)])
+                onehot = (lane == b).astype(acc.dtype)
+                acc = acc + partial[:, None] * onehot
+            return acc
+
+        nit = (b_hi - b_lo + unroll - 1) // unroll
+        acc = jax.lax.fori_loop(0, nit, body, acc)
     out_ref[...] += acc
+
+
+def _shell_kernel_folded_v3(
+    t_ref, l_ref, out_ref, *, nbins, full_nx, full_ny, full_nz, nzr, xc, rows_c,
+    unroll, z_segments
+):
+    """x-BLOCKED values-only folded shell binning.
+
+    The v2 kernel is iteration-OVERHEAD-bound, not element-bound: at
+    512^3 its 16.7K mask-loop iterations cost ~1.3 us each (scalar
+    bookkeeping + vector->scalar reduction latency), ~23 ms total,
+    while the masked element work is ~2 ms of VPU throughput. Blocking
+    ``xc`` kx slabs per program shares one bound loop across the x
+    block: iterations drop ~xc-fold (the reachable-shell union over
+    [x0, x0+xc) is barely wider than one slab's) while per-iteration
+    element work grows xc-fold — amortizing the fixed overhead into
+    vector throughput. In-program 128-aligned z segments then cut the
+    masked element work itself (~1.5x at 512^3). Modeled + measured in
+    scripts/tpu_zsplit_probe.py / docs/perf.md; x is padded to an xc
+    multiple by the builder (padding rows carry zeros and k_abs beyond
+    the shell range, so they bin nothing).
+    """
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when((i == 0) & (c == 0))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    f32 = jnp.float32
+    x0 = i * xc
+    row0 = c * rows_c
+    width = _bins_width(nbins)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    jx = jax.lax.broadcasted_iota(jnp.int32, (xc, 1, 1), 0) + x0
+    kx2 = (jx * jx).astype(f32)
+
+    acc = jnp.zeros((2, width), dtype=out_ref.dtype)
+    for (s0, s1) in z_segments:
+        slen = s1 - s0
+        jy = jax.lax.broadcasted_iota(jnp.int32, (1, rows_c, slen), 1) + row0
+        jz = jax.lax.broadcasted_iota(jnp.int32, (1, rows_c, slen), 2) + s0
+        k_abs = jnp.sqrt(kx2 + (jy * jy + jz * jz).astype(f32))
+        shell = jnp.floor(k_abs + 0.5).astype(jnp.int32)
+        in_range = (k_abs <= (nbins - 0.5)) & (jy <= full_ny // 2)
+        shell = jnp.where(in_range, jnp.minimum(shell, nbins - 1), nbins)
+
+        if full_nz % 2 == 0:
+            wz = jnp.where((jz == 0) | (jz == full_nz // 2), 1.0, 2.0)
+        else:
+            wz = jnp.where(jz == 0, 1.0, 2.0)
+        t = jax.lax.slice(t_ref[...], (0, 0, s0), (xc, rows_c, s1)) * wz
+        l = jax.lax.slice(l_ref[...], (0, 0, s0), (xc, rows_c, s1)) * wz
+
+        # Reachable-shell bounds over the whole x block (min corner
+        # (x0, ky0, z0), max corner (x1, ky1, z1)).
+        ky0 = row0
+        ky1 = jnp.minimum(row0 + rows_c - 1, full_ny // 2)
+        x1 = x0 + xc - 1
+        kmin = jnp.sqrt((x0 * x0 + ky0 * ky0 + s0 * s0).astype(f32))
+        b_lo = jnp.maximum(jnp.floor(kmin + 0.5).astype(jnp.int32), 0)
+        kmax = jnp.sqrt((x1 * x1 + ky1 * ky1 + (s1 - 1) * (s1 - 1)).astype(f32))
+        b_hi = jnp.minimum(jnp.floor(kmax + 0.5).astype(jnp.int32) + 1, nbins)
+        # Pure fold-padding row chunks bin nothing.
+        b_hi = jnp.where(row0 > full_ny // 2, b_lo, jnp.maximum(b_hi, b_lo))
+
+        def body(it, acc, b_lo=b_lo, shell=shell, t=t, l=l):
+            b0 = b_lo + it * unroll
+            for j in range(unroll):
+                b = b0 + j
+                m = (shell == b).astype(t.dtype)
+                tm = jnp.sum(t * m, axis=0)
+                lm = jnp.sum(l * m, axis=0)
+                partial = jnp.stack([_sum2(tm), _sum2(lm)])
+                onehot = (lane == b).astype(acc.dtype)
+                acc = acc + partial[:, None] * onehot
+            return acc
+
+        nit = (b_hi - b_lo + unroll - 1) // unroll
+        acc = jax.lax.fori_loop(0, nit, body, acc)
+    out_ref[...] += acc
+
+
+@lru_cache(maxsize=8)
+def _build_shell_folded_v3_fn(
+    fshape: Tuple[int, int, int],
+    nbins: int,
+    dtype_name: str,
+    interpret: bool,
+    full_nx: int,
+    full_ny: int,
+    full_nz: int,
+    xc: int = 16,
+    z_splits: int = 2,
+):
+    nxh, rows_f, nzr = fshape
+    rows_c = _pick_row_chunk(rows_f)
+    nxb = -(-nxh // xc)  # builder pads x to nxb*xc
+    blk128 = max(1, nzr // 128)
+    nseg = max(1, min(int(z_splits), blk128))
+    per = blk128 // nseg
+    starts = [s * per * 128 for s in range(nseg)]
+    z_segments = tuple((s0, s1) for s0, s1 in zip(starts, starts[1:] + [nzr]))
+    dtype = jnp.dtype(dtype_name)
+    slab = pl.BlockSpec(
+        (xc, rows_c, nzr), lambda i, c: (i, c, 0), memory_space=pltpu.VMEM
+    )
+    kernel = partial(
+        _shell_kernel_folded_v3,
+        nbins=nbins,
+        full_nx=full_nx,
+        full_ny=full_ny,
+        full_nz=full_nz,
+        nzr=nzr,
+        xc=xc,
+        rows_c=rows_c,
+        unroll=4,
+        z_segments=z_segments,
+    )
+    width = _bins_width(nbins)
+    x_pad = nxb * xc - nxh
+
+    def run(total, longi):
+        if x_pad:
+            cfg = ((0, x_pad, 0), (0, 0, 0), (0, 0, 0))
+            zero = jnp.asarray(0, total.dtype)
+            total = jax.lax.pad(total, zero, cfg)
+            longi = jax.lax.pad(longi, zero, cfg)
+        out = pl.pallas_call(
+            kernel,
+            grid=(nxb, rows_f // rows_c),
+            in_specs=[slab, slab],
+            out_specs=pl.BlockSpec((2, width), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((2, width), dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(total, longi)
+        return out[0, :nbins], out[1, :nbins]
+
+    return jax.jit(run)
 
 
 def _pick_row_chunk(rows_f: int) -> int:
@@ -834,6 +1004,7 @@ def _build_shell_folded_v2_fn(
     full_nx: int,
     full_ny: int,
     full_nz: int,
+    z_splits: int = 0,
 ):
     nxh, rows_f, nzr = fshape
     rows_c = _pick_row_chunk(rows_f)
@@ -842,8 +1013,19 @@ def _build_shell_folded_v2_fn(
     # 1/2-size blocks cost more in per-program prologue than the 1.6x
     # fewer mask-loop ops save. Single z chunk; the masking/overrun
     # machinery stays for any future shape that wants chunking.
+    # IN-PROGRAM z segments recover the bound tightening without extra
+    # programs (see _shell_kernel_folded_v2 docstring); Z_SPLITS_DEFAULT
+    # holds the measured-best split count.
     z_c = nzr
     n_zc = -(-nzr // z_c)
+    z_splits = z_splits or Z_SPLITS_DEFAULT
+    blk128 = max(1, z_c // 128)
+    nseg = max(1, min(int(z_splits), blk128))
+    per = blk128 // nseg
+    starts = [s * per * 128 for s in range(nseg)]
+    z_segments = tuple(
+        (s0, s1) for s0, s1 in zip(starts, starts[1:] + [z_c])
+    )
     dtype = jnp.dtype(dtype_name)
     slab = pl.BlockSpec(
         (1, rows_c, z_c), lambda i, c, z: (i, c, z), memory_space=pltpu.VMEM
@@ -858,6 +1040,7 @@ def _build_shell_folded_v2_fn(
         rows_c=rows_c,
         z_c=z_c,
         unroll=4,
+        z_segments=z_segments,
     )
     width = _bins_width(nbins)
 
@@ -931,11 +1114,17 @@ def _folded_counts(
 def shell_bin_values_folded_v2(total: jax.Array, longi: jax.Array, nbins: int,
                                full_nx: int, full_ny: int, full_nz: int):
     """(counts, sums[3]) from FOLDED quadrant power volumes via the
-    chunked values-only kernel + cached static counts."""
+    x-blocked values-only kernel (v3) + cached static counts.
+
+    v3 (xc=32, 2 z segments) measured 87.4 ms on the 512^3 spectra
+    path vs 95.0 ms for the row-chunk-only v2 (zsplit_512.json): the
+    v2 kernel was iteration-OVERHEAD-bound, and blocking 32 kx slabs
+    per program amortizes the ~1.3 us/iteration fixed cost 32-fold.
+    """
     fshape = tuple(int(s) for s in total.shape)
     dname = str(total.dtype)
-    t_sum, l_sum = _build_shell_folded_v2_fn(
-        fshape, int(nbins), dname, FORCE_INTERPRET, full_nx, full_ny, full_nz
+    t_sum, l_sum = _build_shell_folded_v3_fn(
+        fshape, int(nbins), dname, FORCE_INTERPRET, full_nx, full_ny, full_nz, 32, 2
     )(total, longi)
     counts = jnp.asarray(_folded_counts(fshape, int(nbins), dname, full_nx, full_ny, full_nz))
     return counts, jnp.stack([t_sum, l_sum, t_sum - l_sum])
@@ -943,16 +1132,24 @@ def shell_bin_values_folded_v2(total: jax.Array, longi: jax.Array, nbins: int,
 
 def _shell_kernel_chunkx(
     kx0_ref, t_ref, l_ref, out_ref, *, full_nx, full_ny, gy, nbins, full_nz, nzr,
-    with_counts=True,
+    rows_x, xc, z_segments, with_counts=True,
 ):
     """rfft shell binning of an x-chunk of k-space (rows kx0..kx0+rows).
 
     Used by the out-of-core 1024^3 path, where the x-axis DFT is
-    applied in chunks and each chunk is binned as it is produced.
+    applied in chunks and each chunk is binned as it is produced, and
+    by the pod shard_map spectra (on the transposed local y-slab).
     ``kx0`` arrives via scalar prefetch so one compiled kernel serves
     every chunk. The ky axis is tiled (``gy`` rows per step): full-ny
     blocks at 1024^3 blow the 16 MB scoped-VMEM stack with the kernel's
     full-size temporaries.
+
+    x-BLOCKED like _shell_kernel_folded_v3: ``xc`` kx rows share one
+    bound loop (the kernel is iteration-overhead-bound, ~1.3 us fixed
+    per mask-loop iteration — see the v3 docstring), with 128-aligned
+    in-program ``z_segments`` cutting the masked element work. Rows
+    beyond ``rows_x`` (x padding to an xc multiple) are masked out of
+    range.
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -961,69 +1158,90 @@ def _shell_kernel_chunkx(
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    jxg = i + kx0_ref[0]
-    kx = jnp.where(jxg <= (full_nx - 1) // 2, jxg, jxg - full_nx).astype(jnp.float32)
+    f32 = jnp.float32
+    r0 = i * xc  # first chunk-local row of this block
+    jx_loc = jax.lax.broadcasted_iota(jnp.int32, (xc, 1, 1), 0)
+    jxg = jx_loc + r0 + kx0_ref[0]
+    kx = jnp.where(jxg <= (full_nx - 1) // 2, jxg, jxg - full_nx).astype(f32)
+    kx2 = kx * kx
+    row_valid = (jx_loc + r0) < rows_x
 
-    jy = j * gy + jax.lax.broadcasted_iota(jnp.int32, (gy, nzr), 0)
-    jz = jax.lax.broadcasted_iota(jnp.int32, (gy, nzr), 1)
-    ky = jnp.where(jy <= (full_ny - 1) // 2, jy, jy - full_ny).astype(jnp.float32)
-    kzf = jz.astype(jnp.float32)
-    if full_nz % 2 == 0:
-        weight = jnp.where((jz == 0) | (jz == full_nz // 2), 1.0, 2.0)
-    else:
-        weight = jnp.where(jz == 0, 1.0, 2.0)
-
-    k_abs = jnp.sqrt(kx * kx + ky * ky + kzf * kzf)
-    shell = jnp.floor(k_abs + 0.5).astype(jnp.int32)
-    valid = k_abs <= (nbins - 0.5)
-    shell = jnp.where(valid, jnp.minimum(shell, nbins - 1), nbins)
-
-    t = t_ref[0]
-    l = l_ref[0]
     width = _bins_width(nbins)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    nrows = 3 if with_counts else 2
 
-    # Two-sided reachable-shell bounds (the v2-kernel trick): |ky| =
-    # min(jy, ny-jy) is unimodal over the y tile, so its extrema sit at
-    # the tile endpoints (min) / the ny//2 peak if inside (max).
-    f32 = jnp.float32
+    # |kx| extrema over the block's VALID rows (|kx| as a function of
+    # jxg rises to full_nx//2 then falls, so min is at an endpoint and
+    # max is the peak if covered, else an endpoint).
+    e0 = r0 + kx0_ref[0]
+    e1 = jnp.minimum(r0 + xc - 1, rows_x - 1) + kx0_ref[0]
+    a0 = jnp.minimum(e0, full_nx - e0)
+    a1 = jnp.minimum(e1, full_nx - e1)
+    akx_min = jnp.minimum(a0, a1).astype(f32)
+    x_has_peak = (e0 <= full_nx // 2) & (full_nx // 2 <= e1)
+    akx_max = jnp.where(x_has_peak, full_nx // 2, jnp.maximum(a0, a1)).astype(f32)
+
+    # |ky| extrema over the y tile (same unimodal argument).
     y0 = j * gy
     y1 = y0 + gy - 1
     aky0 = jnp.minimum(y0, full_ny - y0)
     aky1 = jnp.minimum(y1, full_ny - y1)
     ky_min = jnp.minimum(aky0, aky1).astype(f32)
     has_peak = (y0 <= full_ny // 2) & (full_ny // 2 <= y1)
-    ky_max = jnp.where(
-        has_peak, full_ny // 2, jnp.maximum(aky0, aky1)
-    ).astype(f32)
-    kmin = jnp.sqrt(kx * kx + ky_min * ky_min)
-    kmax = jnp.sqrt(kx * kx + ky_max * ky_max + f32(nzr - 1) ** 2)
-    b_lo = jnp.maximum(jnp.floor(kmin + 0.5).astype(jnp.int32), 0)
-    b_hi = jnp.minimum(jnp.floor(kmax + 0.5).astype(jnp.int32) + 1, nbins)
-    b_hi = jnp.maximum(b_hi, b_lo)
+    ky_max = jnp.where(has_peak, full_ny // 2, jnp.maximum(aky0, aky1)).astype(f32)
 
-    unroll = 4
+    jy2 = j * gy + jax.lax.broadcasted_iota(jnp.int32, (1, gy, 1), 1)
+    ky = jnp.where(jy2 <= (full_ny - 1) // 2, jy2, jy2 - full_ny).astype(f32)
+    ky2 = ky * ky
 
-    nrows = 3 if with_counts else 2
+    acc = jnp.zeros((nrows, width), dtype=out_ref.dtype)
+    for (s0, s1) in z_segments:
+        slen = s1 - s0
+        jz = jax.lax.broadcasted_iota(jnp.int32, (1, 1, slen), 2) + s0
+        kzf = jz.astype(f32)
+        if full_nz % 2 == 0:
+            weight = jnp.where((jz == 0) | (jz == full_nz // 2), 1.0, 2.0)
+        else:
+            weight = jnp.where(jz == 0, 1.0, 2.0)
 
-    def body(it, acc):
-        b0 = b_lo + it * unroll
-        for u in range(unroll):
-            b = b0 + u
-            m = (shell == b).astype(t.dtype) * weight
-            if with_counts:
-                partial = jnp.stack([_sum2(m), _sum2(t * m), _sum2(l * m)])
-            else:
-                # Counts are a pure shape function (chunks/shards sum to
-                # the same totals _folded_counts precomputes) — skip the
-                # count accumulation entirely.
-                partial = jnp.stack([_sum2(t * m), _sum2(l * m)])
-            onehot = (lane == b).astype(acc.dtype)
-            acc = acc + partial[:, None] * onehot
-        return acc
+        k_abs = jnp.sqrt(kx2 + ky2 + kzf * kzf)
+        shell = jnp.floor(k_abs + 0.5).astype(jnp.int32)
+        valid = (k_abs <= (nbins - 0.5)) & row_valid
+        shell = jnp.where(valid, jnp.minimum(shell, nbins - 1), nbins)
 
-    nit = (b_hi - b_lo + unroll - 1) // unroll
-    acc = jax.lax.fori_loop(0, nit, body, jnp.zeros((nrows, width), dtype=out_ref.dtype))
+        t = jax.lax.slice(t_ref[...], (0, 0, s0), (xc, gy, s1)) * weight
+        l = jax.lax.slice(l_ref[...], (0, 0, s0), (xc, gy, s1)) * weight
+        wc = weight  # counts weight, broadcast against the mask
+
+        kmin = jnp.sqrt(akx_min * akx_min + ky_min * ky_min + f32(s0) * s0)
+        kmax = jnp.sqrt(akx_max * akx_max + ky_max * ky_max + f32(s1 - 1) * (s1 - 1))
+        b_lo = jnp.maximum(jnp.floor(kmin + 0.5).astype(jnp.int32), 0)
+        b_hi = jnp.minimum(jnp.floor(kmax + 0.5).astype(jnp.int32) + 1, nbins)
+        b_hi = jnp.maximum(b_hi, b_lo)
+
+        unroll = 4
+
+        def body(it, acc, b_lo=b_lo, shell=shell, t=t, l=l, wc=wc):
+            b0 = b_lo + it * unroll
+            for u in range(unroll):
+                b = b0 + u
+                m = (shell == b).astype(t.dtype)
+                tm = jnp.sum(t * m, axis=0)
+                lm = jnp.sum(l * m, axis=0)
+                if with_counts:
+                    cm = jnp.sum(wc * m, axis=0)
+                    partial = jnp.stack([_sum2(cm), _sum2(tm), _sum2(lm)])
+                else:
+                    # Counts are a pure shape function (chunks/shards
+                    # sum to the same totals _folded_counts precomputes)
+                    # — skip the count accumulation entirely.
+                    partial = jnp.stack([_sum2(tm), _sum2(lm)])
+                onehot = (lane == b).astype(acc.dtype)
+                acc = acc + partial[:, None] * onehot
+            return acc
+
+        nit = (b_hi - b_lo + unroll - 1) // unroll
+        acc = jax.lax.fori_loop(0, nit, body, acc)
     out_ref[...] += acc
 
 
@@ -1048,8 +1266,17 @@ def _build_shell_chunk_fn(
 ):
     rows_x, ny, nzr = chunk_shape
     gy = _pick_gy(ny)
+    # x block: amortize the per-iteration fixed cost (v3 rationale);
+    # small chunks keep one block.
+    xc = 32 if rows_x >= 32 else (8 if rows_x >= 8 else rows_x)
+    nxb = -(-rows_x // xc)
+    blk128 = max(1, nzr // 128)
+    nseg = max(1, min(2, blk128))
+    per = blk128 // nseg
+    starts = [s * per * 128 for s in range(nseg)]
+    z_segments = tuple((s0, s1) for s0, s1 in zip(starts, starts[1:] + [nzr]))
     dtype = jnp.dtype(dtype_name)
-    slab = pl.BlockSpec((1, gy, nzr), lambda i, j, s: (i, j, 0), memory_space=pltpu.VMEM)
+    slab = pl.BlockSpec((xc, gy, nzr), lambda i, j, s: (i, j, 0), memory_space=pltpu.VMEM)
     kernel = partial(
         _shell_kernel_chunkx,
         full_nx=full_nx,
@@ -1058,15 +1285,24 @@ def _build_shell_chunk_fn(
         nbins=nbins,
         full_nz=full_nz,
         nzr=nzr,
+        rows_x=rows_x,
+        xc=xc,
+        z_segments=z_segments,
         with_counts=with_counts,
     )
     width = _bins_width(nbins)
     nrows = 3 if with_counts else 2
+    x_pad = nxb * xc - rows_x
 
     def run(kx0, total, longi):
+        if x_pad:
+            cfg = ((0, x_pad, 0), (0, 0, 0), (0, 0, 0))
+            zero = jnp.asarray(0, total.dtype)
+            total = jax.lax.pad(total, zero, cfg)
+            longi = jax.lax.pad(longi, zero, cfg)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(rows_x, ny // gy),
+            grid=(nxb, ny // gy),
             in_specs=[slab, slab],
             out_specs=pl.BlockSpec((nrows, width), lambda i, j, s: (0, 0), memory_space=pltpu.VMEM),
         )
@@ -1074,6 +1310,9 @@ def _build_shell_chunk_fn(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nrows, width), dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
             interpret=interpret,
         )(kx0, total, longi)
         if with_counts:

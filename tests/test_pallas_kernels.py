@@ -482,3 +482,27 @@ def test_chunk_kernel_multi_tile_bounds(force_interpret):
         np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref), rtol=1e-5, atol=1e-7)
         s_val = pk.shell_bin_values_rfft_chunk(total, longi, nbins, 8, nz, jnp.asarray(kx0))
         np.testing.assert_allclose(np.asarray(s_val), np.asarray(s_ref), rtol=1e-5, atol=1e-7)
+
+
+def test_chunk_kernel_x_padding(force_interpret):
+    """x-blocked chunk kernel with rows_x NOT a multiple of the x block
+    (12 rows -> xc=8, one padded block): padded rows must contribute
+    nothing to counts or sums, and the signed-kx wrap inside a block
+    must bound correctly."""
+    nx, ny, nz = 12, 32, 16
+    nzr = nz // 2 + 1
+    full_nx = 16
+    nbins = 15
+    rng = np.random.default_rng(7)
+    total = jnp.asarray(np.abs(rng.standard_normal((nx, ny, nzr))))
+    longi = 0.25 * total
+    trans = total - longi
+    for kx0 in (0, 3):
+        c_ref, s_ref = pk._shell_bin_jnp_rfft_chunk(
+            total, longi, trans, nbins, full_nx, nz, jnp.asarray(kx0)
+        )
+        c_got, s_got = pk.shell_bin_sums_rfft_chunk(
+            total, longi, trans, nbins, full_nx, nz, jnp.asarray(kx0)
+        )
+        np.testing.assert_allclose(np.asarray(c_got), np.asarray(c_ref))
+        np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref), rtol=1e-5, atol=1e-7)

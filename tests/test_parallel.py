@@ -186,6 +186,39 @@ def test_ingest_prefetch_block_stacks_sharded(amr_file, eight_device_mesh):
     assert len(snap.fields["dens"].sharding.device_set) == expect
 
 
+def test_pod_series_step_pallas_binning_matches(pod_mesh):
+    """The pod series step with the Pallas chunk-kernel binning (TPU
+    path, forced via interpret mode) must match its scatter-path self
+    and the unsharded flagship step."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fava_tpu import flagship
+    from fava_tpu.ops import pallas_kernels as pk
+
+    fields = flagship.make_example_fields(n=32, dtype=jnp.float64)
+    ref = flagship.jitted_analysis_step(None)(*fields)
+
+    batch_sharding = NamedSharding(pod_mesh, P("snap", "space", None, None))
+    stacked = [jax.device_put(jnp.stack([f, f]), batch_sharding) for f in fields]
+
+    pk.FORCE_INTERPRET = True
+    before = pk._build_shell_chunk_fn.cache_info().currsize
+    try:
+        out = flagship.jitted_sharded_series_step(pod_mesh)(*stacked)
+        out = {k: np.asarray(v) for k, v in out.items()}
+    finally:
+        pk.FORCE_INTERPRET = False
+    # Guard against trace-cache staleness making this vacuous.
+    assert pk._build_shell_chunk_fn.cache_info().currsize > before
+    for key, want in ref.items():
+        for i in (0, 1):
+            np.testing.assert_allclose(
+                out[key][i], np.asarray(want), rtol=1e-8, atol=1e-12, err_msg=key
+            )
+
+
 def test_sharded_spectra_pallas_binning_matches(uniform_file_32, eight_device_mesh):
     """The Pallas chunk-kernel binning inside shard_map (the TPU pod
     path, forced via interpret mode) must match the scatter-add path
