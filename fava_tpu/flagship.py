@@ -139,7 +139,11 @@ def uniform_analysis_step(
         "reynolds_stress": stress,
         "favre_mean": favre_mean,
         "favre_rms": favre_rms,
-        "total_mass": jnp.sum(dens.astype(adt)),
+        # Sum of the per-row density sums the moment pass already
+        # produced — exactly the total mass, without re-reading the
+        # 0.5 GB density volume (row-sum-then-sum only reorders the
+        # reduction).
+        "total_mass": jnp.sum(d_row),
     }
 
 
@@ -270,7 +274,8 @@ def sharded_series_analysis_step(dens, velx, vely, velz, mesh):
             "reynolds_stress": stress,
             "favre_mean": favre_mean,
             "favre_rms": favre_rms,
-            "total_mass": jax.lax.psum(jnp.sum(d.astype(adt)), prt.SPACE_AXIS),
+            # Gathered row sums already hold every cell exactly once.
+            "total_mass": jnp.sum(d_row),
         }
         return None, out
 
