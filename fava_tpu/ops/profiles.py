@@ -209,19 +209,20 @@ def _leaf_fields(data: Dict[str, jax.Array], geom: "ProfileGeometry") -> Tuple[j
         fields.append(jnp.take(data[f"vel{a}"], blk, axis=0))
 
     # Multi-device: zero-pad the leaf-block axis to the mesh size and
-    # shard blocks over "space" so the moment reductions run fully
-    # parallel. Padded rows are never referenced by the level groups.
+    # shard blocks over ALL mesh axes (blocks are independent) so the
+    # moment reductions run fully parallel — on a snap x space pod
+    # every device takes a share instead of snap rows replicating.
+    # Padded rows are never referenced by the level groups.
     from fava_tpu.parallel import runtime as prt
 
-    n_space = prt.space_axis_size()
-    if n_space > 1:
-        pad = (-fields[0].shape[0]) % n_space
+    sharding = prt.block_sharding(ndim=fields[0].ndim)
+    n_shards = prt.device_axis_total() if sharding is not None else 1
+    if n_shards > 1:
+        pad = (-fields[0].shape[0]) % n_shards
         if pad:
             widths = [(0, pad)] + [(0, 0)] * (fields[0].ndim - 1)
             fields = [jnp.pad(f, widths) for f in fields]
-        sharding = prt.block_sharding(ndim=fields[0].ndim)
-        if sharding is not None:
-            fields = [jax.device_put(f, sharding) for f in fields]
+        fields = [jax.device_put(f, sharding) for f in fields]
     return tuple(fields)
 
 

@@ -85,13 +85,27 @@ def volume_sharding(mesh: Optional[Mesh] = None, axis: int = 0, ndim: int = 3):
     return NamedSharding(mesh, PartitionSpec(*spec))
 
 
+def device_axis_total(mesh: Optional[Mesh] = None) -> int:
+    """Total device count of the active mesh (1 with no mesh)."""
+    mesh = mesh if mesh is not None else _MESH
+    if mesh is None:
+        return 1
+    return int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+
+
 def block_sharding(mesh: Optional[Mesh] = None, ndim: int = 4):
-    """NamedSharding sharding an (nblocks, nx, ny, nz) stack along blocks."""
+    """NamedSharding sharding an (nblocks, nx, ny, nz) stack along blocks.
+
+    Blocks are independent work items, so they split over ALL mesh
+    axes — on a snap x space pod, AMR profile reductions use every
+    device instead of replicating the stack across snap rows.
+    """
     mesh = mesh if mesh is not None else _MESH
     if mesh is None or SPACE_AXIS not in mesh.axis_names:
         return None
     spec = [None] * ndim
-    spec[0] = SPACE_AXIS
+    names = tuple(mesh.axis_names)
+    spec[0] = names if len(names) > 1 else names[0]
     return NamedSharding(mesh, PartitionSpec(*spec))
 
 
@@ -148,7 +162,6 @@ def ingest_sharding_fn(mesh: Optional[Mesh] = None):
         mesh, PartitionSpec(None, names if len(names) > 1 else names[0], None, None)
     )
     blocks = block_sharding(mesh)
-    n_space = space_axis_size(mesh)
 
     def fn(name, shape):
         if len(shape) == 3 and shape[0] % total == 0:
@@ -156,7 +169,7 @@ def ingest_sharding_fn(mesh: Optional[Mesh] = None):
         if len(shape) == 4 and shape[0] == 1 and shape[1] % total == 0:
             # Single-block uniform volume stored (1, nx, ny, nz).
             return single_block
-        if len(shape) == 4 and n_space > 1 and shape[0] % n_space == 0:
+        if len(shape) == 4 and total > 1 and shape[0] % total == 0:
             return blocks
         return None
 

@@ -151,6 +151,30 @@ def test_pod_series_auto_batch_multiple_of_snap(tmp_path, pod_mesh):
     assert series["spectra_total"].shape[0] == 3
 
 
+def test_pod_amr_profiles_shard_blocks_over_all_axes(amr_file, pod_mesh):
+    """AMR Reynolds stress under a snap x space pod mesh: block stacks
+    shard over ALL 8 devices (no snap-row replication) and results
+    equal the unsharded computation."""
+    from fava_tpu.mesh import FLASH as FlashAMR
+    from fava_tpu.parallel import runtime as prt
+
+    mesh0 = FlashAMR(amr_file)
+    mesh0.load()
+    _, stress0, means0 = mesh0.reynolds_stress()
+
+    with use_mesh(pod_mesh):
+        s = prt.block_sharding(ndim=4)
+        assert len(s.mesh.devices.ravel()) == 8
+        mesh1 = FlashAMR(amr_file)
+        mesh1.load()
+        _, stress1, means1 = mesh1.reynolds_stress()
+
+    for key in stress0:
+        np.testing.assert_allclose(stress1[key], stress0[key], rtol=1e-9, err_msg=key)
+    for key in means0:
+        np.testing.assert_allclose(means1[key], means0[key], rtol=1e-10, err_msg=key)
+
+
 def test_ingest_prefetch_lands_sharded(tmp_path, pod_mesh):
     """SnapshotPrefetcher with the runtime ingest callback must deliver
     volumes already split over ALL mesh devices (one host crossing),
