@@ -82,6 +82,21 @@ def main() -> None:
     model.load(file_type="prt")
     print("particle velx stats:", model.particles.statistics(["velx"])["velx"])
 
+    import jax
+
+    if len(jax.devices()) >= 8:
+        print("\n=== Pod series (snap x space mesh) ===")
+        from fava_tpu.parallel import make_device_mesh, use_mesh
+
+        for i in (2, 3):
+            synthetic.make_uniform_file(
+                data_dir / f"rt_hdf5_uniform_{i:04d}", ncells=(32, 32, 32), seed=i
+            )
+        model = fava_tpu.FLASH(data_dir)
+        with use_mesh(make_device_mesh((2, 4), ("snap", "space"))):
+            pod = model.flagship_series()
+        print("pod flagship series spectra shape:", pod["spectra_total"].shape)
+
 
 if __name__ == "__main__":
     main()
