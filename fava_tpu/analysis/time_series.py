@@ -9,6 +9,7 @@ snapshot N+1 with device compute on snapshot N.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Dict, Optional, Sequence
 
 import numpy as np
@@ -17,6 +18,21 @@ from fava_tpu.io.ingest import Snapshot, SnapshotPrefetcher
 from fava_tpu.models.model import Model
 from fava_tpu.ops import profiles as profile_ops
 from fava_tpu.parallel import runtime as prt
+
+
+@lru_cache(maxsize=4)
+def _pod_stack_fn(mesh):
+    """Cached jitted stack+reshard into the P(snap, space) batch.
+
+    Module-level cache: a fresh ``jax.jit`` per flagship_series call
+    would retrace/recompile the (tiny) stack step every series.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(prt.SNAP_AXIS, prt.SPACE_AXIS, None, None))
+    return jax.jit(lambda *v: jnp.stack(v), out_shardings=sharding)
 
 
 def _geometry_from_snapshot(snap: Snapshot, raxis: int) -> profile_ops.ProfileGeometry:
@@ -188,9 +204,7 @@ def flagship_series(
     (padded by repeating the last snapshot on a pod — outputs are
     trimmed). Outputs carry a leading snapshot axis.
     """
-    import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from fava_tpu import flagship
 
@@ -217,19 +231,11 @@ def flagship_series(
     n_snap = prt.snap_axis_size(active_mesh)
     if pod:
         step = flagship.jitted_sharded_series_step(active_mesh)
-        batch_sharding = NamedSharding(
-            active_mesh, P(prt.SNAP_AXIS, prt.SPACE_AXIS, None, None)
-        )
-        stack_fns: Dict[int, object] = {}
 
         def stack(vols):
             # On-device stack + redistribution to the snap x space batch
             # (rides ICI; prefetch already paid the one host crossing).
-            fn = stack_fns.get(len(vols))
-            if fn is None:
-                fn = jax.jit(lambda *v: jnp.stack(v), out_shardings=batch_sharding)
-                stack_fns[len(vols)] = fn
-            return fn(*vols)
+            return _pod_stack_fn(active_mesh)(*vols)
     else:
         step = flagship.jitted_series_step()
 
