@@ -611,7 +611,10 @@ def shell_bin_sums_rfft(
     shape = tuple(int(s) for s in total.shape)
     nx, ny, nzr = shape
     if (on_tpu() or FORCE_INTERPRET) and nx % 2 == 0 and ny % 2 == 0:
-        folded = [_fold_quadrants(v) for v in (total, longi)]
+        # One-pass Pallas fold (mirror-slab refs + fold-matrix matmul)
+        # instead of the XLA slice/flip/pad passes — the lax.rev
+        # relayouts cost ~3 ms per axis at 512^3.
+        folded = fold_quadrants_pair(total, longi)
         # v2: row-chunked values-only kernel + static counts — measured
         # 103.5 -> 96.3 ms on the full 512^3 spectra step vs the
         # one-pass folded kernel (shellbin_v2_512.json).
@@ -643,6 +646,86 @@ def _fold_quadrants(v: jax.Array) -> jax.Array:
     if ny_pad:
         v = jnp.pad(v, ((0, 0), (0, ny_pad), (0, 0)))
     return v
+
+
+def _fold_pair_kernel(tp_ref, tm_ref, lp_ref, lm_ref, to_ref, lo_ref, *, full_nx, full_ny, rows_f):
+    """One-pass quadrant fold: +-kx via mirror-slab refs, +-ky via an
+    exact 0/1 fold-matrix matmul (bf16x3 HIGHEST: products with 0/1 and
+    <=2-term f32 accumulation are exact, so the result is bit-identical
+    to the XLA slice/flip/pad/add fold).
+
+    Replaces ``_fold_quadrants``'s XLA passes on TPU: the lax.rev
+    relayouts there cost ~3 ms per axis at 512^3 (fold marginal 5.9 ms
+    measured) while this kernel reads each element once and writes the
+    quarter — ~2.5 ms (docs/perf.md round 3).
+    """
+    i = pl.program_id(0)
+    t = tp_ref[0]
+    l = lp_ref[0]
+    # Self-paired slabs (kx = 0 and, for even nx, the Nyquist slab)
+    # must not double-count: the mirror ref points at the same slab.
+    if full_nx % 2 == 0:
+        self_pair = (i == 0) | (i == full_nx // 2)
+    else:
+        self_pair = i == 0
+    pair = (~self_pair).astype(t.dtype)
+    t = t + pair * tm_ref[0]
+    l = l + pair * lm_ref[0]
+
+    # Fold matrix F (rows_f, ny): F[j, j] = 1 for j <= ny//2 and
+    # F[j, ny - j] += 1 for 1 <= j < ny//2 (+ny/2 parity for odd ny);
+    # rows past the quadrant (pad8) stay zero.
+    jf = jax.lax.broadcasted_iota(jnp.int32, (rows_f, full_ny), 0)
+    jc = jax.lax.broadcasted_iota(jnp.int32, (rows_f, full_ny), 1)
+    nyh_last = full_ny // 2
+    ident = (jc == jf) & (jf <= nyh_last)
+    mirror = (jc == full_ny - jf) & (jf >= 1)
+    if full_ny % 2 == 0:
+        mirror = mirror & (jf < nyh_last)
+    else:
+        mirror = mirror & (jf <= nyh_last)
+    fmat = (ident.astype(t.dtype) + mirror.astype(t.dtype))
+    to_ref[0] = jnp.dot(fmat, t, precision=jax.lax.Precision.HIGHEST)
+    lo_ref[0] = jnp.dot(fmat, l, precision=jax.lax.Precision.HIGHEST)
+
+
+@lru_cache(maxsize=8)
+def _build_fold_pair_fn(shape: Tuple[int, int, int], dtype_name: str, interpret: bool):
+    nx, ny, nzr = shape
+    nxh = nx // 2 + 1
+    nyh = ny // 2 + 1
+    rows_f = nyh + ((-nyh) % 8)
+    dtype = jnp.dtype(dtype_name)
+    pos = pl.BlockSpec((1, ny, nzr), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    mir = pl.BlockSpec(
+        (1, ny, nzr), lambda i: ((nx - i) % nx, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.BlockSpec((1, rows_f, nzr), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    kernel = partial(_fold_pair_kernel, full_nx=nx, full_ny=ny, rows_f=rows_f)
+
+    def run(total, longi):
+        return pl.pallas_call(
+            kernel,
+            grid=(nxh,),
+            in_specs=[pos, mir, pos, mir],
+            out_specs=[out, out],
+            out_shape=[
+                jax.ShapeDtypeStruct((nxh, rows_f, nzr), dtype),
+                jax.ShapeDtypeStruct((nxh, rows_f, nzr), dtype),
+            ],
+            interpret=interpret,
+        )(total, total, longi, longi)
+
+    return jax.jit(run)
+
+
+def fold_quadrants_pair(total: jax.Array, longi: jax.Array):
+    """(folded_total, folded_longi) via the one-pass Pallas fold on
+    TPU/interpret; XLA slice/flip/pad fold elsewhere."""
+    shape = tuple(int(s) for s in total.shape)
+    if (on_tpu() or FORCE_INTERPRET) and shape[0] % 2 == 0 and shape[1] % 2 == 0:
+        return _build_fold_pair_fn(shape, str(total.dtype), FORCE_INTERPRET)(total, longi)
+    return _fold_quadrants(total), _fold_quadrants(longi)
 
 
 def _shell_kernel_folded(

@@ -506,3 +506,20 @@ def test_chunk_kernel_x_padding(force_interpret):
         )
         np.testing.assert_allclose(np.asarray(c_got), np.asarray(c_ref))
         np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref), rtol=1e-5, atol=1e-7)
+
+
+def test_fold_pair_kernel_bit_identical(force_interpret):
+    """The one-pass Pallas quadrant fold (mirror-slab refs + 0/1
+    fold-matrix matmul) must be BIT-identical to the XLA
+    slice/flip/pad fold across shapes (0/1 products and <=2-term
+    sums are exact even under the bf16x3 dot)."""
+    rng = np.random.default_rng(12)
+    for full in [(32, 32, 32), (16, 64, 16), (8, 16, 64)]:
+        nzr = full[2] // 2 + 1
+        t = rng.standard_normal((full[0], full[1], nzr)).astype(np.float32) ** 2
+        l = rng.standard_normal((full[0], full[1], nzr)).astype(np.float32) ** 2
+        ft_ref = np.asarray(pk._fold_quadrants(jnp.asarray(t)))
+        fl_ref = np.asarray(pk._fold_quadrants(jnp.asarray(l)))
+        ft, fl = pk.fold_quadrants_pair(jnp.asarray(t), jnp.asarray(l))
+        np.testing.assert_array_equal(np.asarray(ft), ft_ref, err_msg=str(full))
+        np.testing.assert_array_equal(np.asarray(fl), fl_ref, err_msg=str(full))
