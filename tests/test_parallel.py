@@ -175,6 +175,46 @@ def test_pod_amr_profiles_shard_blocks_over_all_axes(amr_file, pod_mesh):
         np.testing.assert_allclose(means1[key], means0[key], rtol=1e-10, err_msg=key)
 
 
+def test_pod_full_series_pipeline_config5(tmp_path, pod_mesh):
+    """BASELINE config #5 in miniature: one data directory holding a
+    plt + uniform + particle series, analyzed end-to-end under the
+    snap x space pod mesh — AMR Favre profiles (block-sharded over all
+    axes), flagship uniform series (snap x space batches), and
+    particle statistics — with outputs matching the unsharded runs."""
+    from fava_tpu.io import synthetic
+
+    for i, t in enumerate([0.0, 0.1], start=1):
+        synthetic.make_amr_file(
+            tmp_path / f"rt_hdf5_plt_cnt_{i:04d}",
+            ncells=(4, 4, 4),
+            nblks=(2, 2, 2),
+            refine={0: 2},
+            time=t,
+        )
+        synthetic.make_uniform_file(
+            tmp_path / f"rt_hdf5_uniform_{i:04d}", ncells=(16, 16, 16), seed=40 + i
+        )
+        synthetic.make_particle_file(tmp_path / f"rt_hdf5_part_{i:04d}", nparticles=64, seed=i)
+
+    m = fava_tpu.FLASH(tmp_path)
+    ref_favre = m.favre_series(file_type="plt")
+    ref_flag = m.flagship_series()
+    ref_part = m.particle_series(fields=["velx"])
+
+    with use_mesh(pod_mesh):
+        m2 = fava_tpu.FLASH(tmp_path)
+        got_favre = m2.favre_series(file_type="plt")
+        got_flag = m2.flagship_series()
+        got_part = m2.particle_series(fields=["velx"])
+
+    for k in ref_favre:
+        np.testing.assert_allclose(got_favre[k], ref_favre[k], rtol=1e-9, err_msg=k)
+    for k in ref_flag:
+        np.testing.assert_allclose(got_flag[k], ref_flag[k], rtol=1e-9, atol=1e-12, err_msg=k)
+    for k in ref_part:
+        np.testing.assert_allclose(got_part[k], ref_part[k], rtol=1e-12, err_msg=k)
+
+
 def test_ingest_prefetch_lands_sharded(tmp_path, pod_mesh):
     """SnapshotPrefetcher with the runtime ingest callback must deliver
     volumes already split over ALL mesh devices (one host crossing),
