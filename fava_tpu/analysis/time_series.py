@@ -229,6 +229,15 @@ def flagship_series(
     active_mesh = prt.get_mesh()
     pod = prt.is_pod_mesh(active_mesh)
     n_snap = prt.snap_axis_size(active_mesh)
+
+    def pod_shapes_ok(shape) -> bool:
+        # The sharded series step slab-shards x and all_to_all-splits y
+        # over "space"; both must divide.
+        n_space = active_mesh.shape[prt.SPACE_AXIS]
+        return (
+            len(shape) == 3 and shape[0] % n_space == 0 and shape[1] % n_space == 0
+        )
+
     if pod:
         step = flagship.jitted_sharded_series_step(active_mesh)
 
@@ -258,6 +267,22 @@ def flagship_series(
     for snap in SnapshotPrefetcher(
         paths, fields, depth=prefetch_depth, sharding=prt.ingest_sharding_fn(active_mesh)
     ):
+        if pod and not pod_shapes_ok(tuple(vol(snap, fields[0]).shape)):
+            # A shard_map on non-divisible extents would fail with an
+            # opaque partitioning error mid-series; fall back loudly to
+            # the single-chip scan (mirrors from_amr's fallback).
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "flagship_series: volume extents %s do not divide the space axis "
+                "%d; falling back to the single-chip series scan",
+                tuple(vol(snap, fields[0]).shape),
+                active_mesh.shape[prt.SPACE_AXIS],
+            )
+            pod = False
+            n_snap = 1
+            step = flagship.jitted_series_step()
+            stack = jnp.stack
         if batch <= 0:
             # Inputs budget: keep the resident batch under ~7 GB so the
             # scan's per-iteration temporaries (~8 GB at 512^3 f32) fit

@@ -175,6 +175,28 @@ def test_pod_amr_profiles_shard_blocks_over_all_axes(amr_file, pod_mesh):
         np.testing.assert_allclose(means1[key], means0[key], rtol=1e-10, err_msg=key)
 
 
+def test_pod_series_nondivisible_falls_back(tmp_path, pod_mesh, caplog):
+    """Volume extents that don't divide the space axis must drop to the
+    single-chip series scan with a warning, not die in shard_map."""
+    import logging
+
+    from fava_tpu.io import synthetic
+
+    for i in (1, 2):
+        synthetic.make_uniform_file(
+            tmp_path / f"rt_hdf5_uniform_000{i}", ncells=(10, 10, 10), seed=50 + i
+        )
+    m = fava_tpu.FLASH(tmp_path)
+    ref = m.flagship_series()
+
+    with caplog.at_level(logging.WARNING, logger="fava_tpu.analysis.time_series"):
+        with use_mesh(pod_mesh):
+            got = m.flagship_series()
+    assert any("falling back" in r.message for r in caplog.records)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-12, atol=1e-15, err_msg=k)
+
+
 def test_pod_full_series_pipeline_config5(tmp_path, pod_mesh):
     """BASELINE config #5 in miniature: one data directory holding a
     plt + uniform + particle series, analyzed end-to-end under the
