@@ -927,7 +927,7 @@ def _shell_kernel_folded_v2(
 
 def _shell_kernel_folded_v3(
     t_ref, l_ref, out_ref, *, nbins, full_nx, full_ny, full_nz, nzr, xc, rows_c,
-    unroll, z_segments
+    unroll, z_segments, defer_rows=False
 ):
     """x-BLOCKED values-only folded shell binning.
 
@@ -989,20 +989,51 @@ def _shell_kernel_folded_v3(
         # Pure fold-padding row chunks bin nothing.
         b_hi = jnp.where(row0 > full_ny // 2, b_lo, jnp.maximum(b_hi, b_lo))
 
-        def body(it, acc, b_lo=b_lo, shell=shell, t=t, l=l):
-            b0 = b_lo + it * unroll
-            for j in range(unroll):
-                b = b0 + j
-                m = (shell == b).astype(t.dtype)
-                tm = jnp.sum(t * m, axis=0)
-                lm = jnp.sum(l * m, axis=0)
-                partial = jnp.stack([_sum2(tm), _sum2(lm)])
-                onehot = (lane == b).astype(acc.dtype)
-                acc = acc + partial[:, None] * onehot
-            return acc
+        if defer_rows:
+            # v4: accumulate per-ROW lane sums into (rows_c, width)
+            # outer-product accumulators — no vector->scalar reduction
+            # inside the loop (the v3 bottleneck was that round trip);
+            # one sublane reduction per segment closes them out.
+            acc2t = jnp.zeros((rows_c, width), dtype=out_ref.dtype)
+            acc2l = jnp.zeros((rows_c, width), dtype=out_ref.dtype)
 
-        nit = (b_hi - b_lo + unroll - 1) // unroll
-        acc = jax.lax.fori_loop(0, nit, body, acc)
+            def body4(it, carry, b_lo=b_lo, shell=shell, t=t, l=l):
+                a2t, a2l = carry
+                b0 = b_lo + it * unroll
+                for j in range(unroll):
+                    b = b0 + j
+                    m = (shell == b).astype(t.dtype)
+                    tm = jnp.sum(jnp.sum(t * m, axis=0), axis=-1, keepdims=True)
+                    lm = jnp.sum(jnp.sum(l * m, axis=0), axis=-1, keepdims=True)
+                    onehot = (lane == b).astype(a2t.dtype)
+                    a2t = a2t + tm * onehot
+                    a2l = a2l + lm * onehot
+                return a2t, a2l
+
+            nit = (b_hi - b_lo + unroll - 1) // unroll
+            acc2t, acc2l = jax.lax.fori_loop(0, nit, body4, (acc2t, acc2l))
+            seg = jnp.concatenate(
+                [
+                    jnp.sum(acc2t, axis=0, keepdims=True),
+                    jnp.sum(acc2l, axis=0, keepdims=True),
+                ]
+            )
+            acc = acc + seg
+        else:
+            def body(it, acc, b_lo=b_lo, shell=shell, t=t, l=l):
+                b0 = b_lo + it * unroll
+                for j in range(unroll):
+                    b = b0 + j
+                    m = (shell == b).astype(t.dtype)
+                    tm = jnp.sum(t * m, axis=0)
+                    lm = jnp.sum(l * m, axis=0)
+                    partial = jnp.stack([_sum2(tm), _sum2(lm)])
+                    onehot = (lane == b).astype(acc.dtype)
+                    acc = acc + partial[:, None] * onehot
+                return acc
+
+            nit = (b_hi - b_lo + unroll - 1) // unroll
+            acc = jax.lax.fori_loop(0, nit, body, acc)
     out_ref[...] += acc
 
 
@@ -1017,6 +1048,7 @@ def _build_shell_folded_v3_fn(
     full_nz: int,
     xc: int = 16,
     z_splits: int = 2,
+    defer_rows: bool = False,
 ):
     nxh, rows_f, nzr = fshape
     rows_c = _pick_row_chunk(rows_f)
@@ -1041,6 +1073,7 @@ def _build_shell_folded_v3_fn(
         rows_c=rows_c,
         unroll=4,
         z_segments=z_segments,
+        defer_rows=defer_rows,
     )
     width = _bins_width(nbins)
     x_pad = nxb * xc - nxh
@@ -1199,15 +1232,19 @@ def shell_bin_values_folded_v2(total: jax.Array, longi: jax.Array, nbins: int,
     """(counts, sums[3]) from FOLDED quadrant power volumes via the
     x-blocked values-only kernel (v3) + cached static counts.
 
-    v3 (xc=32, 2 z segments) measured 87.4 ms on the 512^3 spectra
-    path vs 95.0 ms for the row-chunk-only v2 (zsplit_512.json): the
-    v2 kernel was iteration-OVERHEAD-bound, and blocking 32 kx slabs
-    per program amortizes the ~1.3 us/iteration fixed cost 32-fold.
+    v3 (x-blocked) measured 87.4 ms on the 512^3 spectra path vs
+    95.0 ms for the row-chunk-only v2 (zsplit_512.json): the v2 kernel
+    was iteration-OVERHEAD-bound, and blocking kx slabs per program
+    amortizes the ~1.3 us/iteration fixed cost. v4 (defer_rows) also
+    removes the per-bin vector->scalar reduction round trip by
+    accumulating per-row lane sums into (rows, width) outer-product
+    accumulators: xc=16 + 2 z segments measured 84.4 vs 86.7 ms
+    (v4bin_512.json) — the production configuration.
     """
     fshape = tuple(int(s) for s in total.shape)
     dname = str(total.dtype)
     t_sum, l_sum = _build_shell_folded_v3_fn(
-        fshape, int(nbins), dname, FORCE_INTERPRET, full_nx, full_ny, full_nz, 32, 2
+        fshape, int(nbins), dname, FORCE_INTERPRET, full_nx, full_ny, full_nz, 16, 2, True
     )(total, longi)
     counts = jnp.asarray(_folded_counts(fshape, int(nbins), dname, full_nx, full_ny, full_nz))
     return counts, jnp.stack([t_sum, l_sum, t_sum - l_sum])
