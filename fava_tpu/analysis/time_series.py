@@ -264,8 +264,15 @@ def flagship_series(
             arr = np.asarray(v)
             chunks.setdefault(k, []).append(arr[: len(group) - npad] if npad else arr)
 
+    # Pre-sharded prefetch ONLY on the pod path: the single-chip series
+    # scan (plain jit + Pallas kernels) cannot consume mesh-sharded
+    # inputs, and a space-only mesh takes that scan. The callback's own
+    # divisibility rules match pod_shapes_ok, so any snapshot that would
+    # trigger the fallback below arrives unsharded.
+    ingest_sharding = prt.ingest_sharding_fn(active_mesh) if pod else None
+
     for snap in SnapshotPrefetcher(
-        paths, fields, depth=prefetch_depth, sharding=prt.ingest_sharding_fn(active_mesh)
+        paths, fields, depth=prefetch_depth, sharding=ingest_sharding
     ):
         if pod and not pod_shapes_ok(tuple(vol(snap, fields[0]).shape)):
             # A shard_map on non-divisible extents would fail with an

@@ -148,15 +148,11 @@ def uniform_analysis_step(
 
 
 def _path_key():
-    """Backend-dependent dispatch state baked into cached traces.
-
-    The binning-path choice (Pallas kernel vs scatter) depends on the
-    platform and the interpret flag; a trace cached under one state must
-    not be reused under another (mirrors ops.spectra._build_spectra_fn).
-    """
+    """Backend-dependent dispatch state baked into cached traces (one
+    shared definition: pallas_kernels.path_key)."""
     from fava_tpu.ops import pallas_kernels as pk
 
-    return (jax.devices()[0].platform, pk.FORCE_INTERPRET)
+    return pk.path_key()
 
 
 @lru_cache(maxsize=8)
@@ -238,7 +234,7 @@ def sharded_series_analysis_step(dens, velx, vely, velz, mesh):
         shape, nbins, n_space, prt.SPACE_AXIS, use_kernel_binning
     )
     layer = jnp.asarray(ny * nz, dtype=adt)
-    pairs = [(i, j) for (i, j) in VEL_PAIRS]
+    pairs = VEL_PAIRS
 
     def one_snapshot(_, args):
         d, a, b, c = args  # local (nx/n_space, ny, nz) slabs

@@ -45,6 +45,33 @@ FORCE_INTERPRET = False
 Z_SPLITS_DEFAULT = 1
 
 
+def path_key():
+    """Backend-dependent dispatch state that gets baked into cached
+    traces (the binning-path choice). ONE definition for every jit
+    cache key that must not serve a trace built under a different
+    state (ops.spectra._build_spectra_fn, flagship's jitted steps)."""
+    return (jax.devices()[0].platform, FORCE_INTERPRET)
+
+
+def _z_segments(nzr: int, z_splits: int):
+    """128-aligned in-program z segments partitioning [0, nzr) (shared
+    by the v2/v3 folded and chunk binning builders)."""
+    blk128 = max(1, nzr // 128)
+    nseg = max(1, min(int(z_splits), blk128))
+    per = blk128 // nseg
+    starts = [s * per * 128 for s in range(nseg)]
+    return tuple((s0, s1) for s0, s1 in zip(starts, starts[1:] + [nzr]))
+
+
+def _pad_x(arrays, x_pad: int):
+    """Zero-pad the leading (slab) axis (shared by the x-blocked
+    binning builders; padded rows carry zeros and bin nothing)."""
+    if not x_pad:
+        return arrays
+    cfg = ((0, x_pad, 0), (0, 0, 0), (0, 0, 0))
+    return [jax.lax.pad(a, jnp.asarray(0, a.dtype), cfg) for a in arrays]
+
+
 def on_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
 
@@ -1053,11 +1080,7 @@ def _build_shell_folded_v3_fn(
     nxh, rows_f, nzr = fshape
     rows_c = _pick_row_chunk(rows_f)
     nxb = -(-nxh // xc)  # builder pads x to nxb*xc
-    blk128 = max(1, nzr // 128)
-    nseg = max(1, min(int(z_splits), blk128))
-    per = blk128 // nseg
-    starts = [s * per * 128 for s in range(nseg)]
-    z_segments = tuple((s0, s1) for s0, s1 in zip(starts, starts[1:] + [nzr]))
+    z_segments = _z_segments(nzr, z_splits)
     dtype = jnp.dtype(dtype_name)
     slab = pl.BlockSpec(
         (xc, rows_c, nzr), lambda i, c: (i, c, 0), memory_space=pltpu.VMEM
@@ -1079,11 +1102,7 @@ def _build_shell_folded_v3_fn(
     x_pad = nxb * xc - nxh
 
     def run(total, longi):
-        if x_pad:
-            cfg = ((0, x_pad, 0), (0, 0, 0), (0, 0, 0))
-            zero = jnp.asarray(0, total.dtype)
-            total = jax.lax.pad(total, zero, cfg)
-            longi = jax.lax.pad(longi, zero, cfg)
+        total, longi = _pad_x([total, longi], x_pad)
         out = pl.pallas_call(
             kernel,
             grid=(nxb, rows_f // rows_c),
@@ -1134,14 +1153,7 @@ def _build_shell_folded_v2_fn(
     # holds the measured-best split count.
     z_c = nzr
     n_zc = -(-nzr // z_c)
-    z_splits = z_splits or Z_SPLITS_DEFAULT
-    blk128 = max(1, z_c // 128)
-    nseg = max(1, min(int(z_splits), blk128))
-    per = blk128 // nseg
-    starts = [s * per * 128 for s in range(nseg)]
-    z_segments = tuple(
-        (s0, s1) for s0, s1 in zip(starts, starts[1:] + [z_c])
-    )
+    z_segments = _z_segments(z_c, z_splits or Z_SPLITS_DEFAULT)
     dtype = jnp.dtype(dtype_name)
     slab = pl.BlockSpec(
         (1, rows_c, z_c), lambda i, c, z: (i, c, z), memory_space=pltpu.VMEM
@@ -1414,11 +1426,7 @@ def _build_shell_chunk_fn(
     # small chunks keep one block.
     xc = 32 if rows_x >= 32 else (8 if rows_x >= 8 else rows_x)
     nxb = -(-rows_x // xc)
-    blk128 = max(1, nzr // 128)
-    nseg = max(1, min(2, blk128))
-    per = blk128 // nseg
-    starts = [s * per * 128 for s in range(nseg)]
-    z_segments = tuple((s0, s1) for s0, s1 in zip(starts, starts[1:] + [nzr]))
+    z_segments = _z_segments(nzr, 2)
     dtype = jnp.dtype(dtype_name)
     slab = pl.BlockSpec((xc, gy, nzr), lambda i, j, s: (i, j, 0), memory_space=pltpu.VMEM)
     kernel = partial(
@@ -1439,11 +1447,7 @@ def _build_shell_chunk_fn(
     x_pad = nxb * xc - rows_x
 
     def run(kx0, total, longi):
-        if x_pad:
-            cfg = ((0, x_pad, 0), (0, 0, 0), (0, 0, 0))
-            zero = jnp.asarray(0, total.dtype)
-            total = jax.lax.pad(total, zero, cfg)
-            longi = jax.lax.pad(longi, zero, cfg)
+        total, longi = _pad_x([total, longi], x_pad)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nxb, ny // gy),
@@ -1668,7 +1672,7 @@ def shell_bin_powers_fused(re_stack: jax.Array, im_stack: jax.Array, nbins: int,
     """(counts, sums[3]) straight from stacked planar rfft transforms.
 
     ``re_stack``/``im_stack`` are (3, nx, ny, nz//2+1) from
-    ``dft.rfftn_mxu_planar_stacked`` (already 1/ntot-normalized). Fuses
+    ``experiments.planar_dft.rfftn_mxu_planar_stacked`` (already 1/ntot-normalized). Fuses
     the power computation, the +-kx pair fold (mirror-slab refs), the
     +-ky fold (anti-diagonal matmul) and the Hermitian-weighted shell
     binning into ONE kernel pass over the transforms — the power

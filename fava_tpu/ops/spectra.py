@@ -375,9 +375,7 @@ def kinetic_energy_spectra(
 
     from fava_tpu.ops import pallas_kernels as pk
 
-    fn = _build_spectra_fn(
-        shape, mesh, nbins, (jax.devices()[0].platform, pk.FORCE_INTERPRET)
-    )
+    fn = _build_spectra_fn(shape, mesh, nbins, pk.path_key())
     means = np.asarray(fn(dens, tuple(vels)), dtype=np.float64)
 
     k = np.arange(nbins, dtype=np.float64)

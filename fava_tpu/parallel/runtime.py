@@ -149,13 +149,21 @@ def ingest_sharding_fn(mesh: Optional[Mesh] = None):
 
     Returns ``fn(name, shape) -> sharding | None``: 3D volumes whose x
     extent divides the full device count prefetch straight into the
-    mesh (one host-link crossing); 4D block stacks shard over "space"
-    when the block count divides it; anything else lands unsharded.
+    mesh (one host-link crossing); 4D block stacks shard over all axes
+    when the block count divides the device count; anything else lands
+    unsharded.
+
+    Volume rules additionally require the y extent to divide the
+    "space" axis — exactly the eligibility of the sharded analysis
+    paths (slab FFT + all_to_all split y). A volume the analysis would
+    have to fall back to single-chip for must NOT arrive pre-sharded:
+    the single-chip Pallas step cannot consume mesh-sharded inputs.
     """
     mesh = mesh if mesh is not None else _MESH
     if mesh is None:
         return None
     total = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    n_space = space_axis_size(mesh)
     vol = ingest_volume_sharding(mesh)
     names = tuple(mesh.axis_names)
     single_block = NamedSharding(
@@ -164,9 +172,14 @@ def ingest_sharding_fn(mesh: Optional[Mesh] = None):
     blocks = block_sharding(mesh)
 
     def fn(name, shape):
-        if len(shape) == 3 and shape[0] % total == 0:
+        if len(shape) == 3 and shape[0] % total == 0 and shape[1] % max(n_space, 1) == 0:
             return vol
-        if len(shape) == 4 and shape[0] == 1 and shape[1] % total == 0:
+        if (
+            len(shape) == 4
+            and shape[0] == 1
+            and shape[1] % total == 0
+            and shape[2] % max(n_space, 1) == 0
+        ):
             # Single-block uniform volume stored (1, nx, ny, nz).
             return single_block
         if len(shape) == 4 and total > 1 and shape[0] % total == 0:

@@ -85,9 +85,14 @@ def validate_settings(settings: Dict[str, Any]) -> None:
                 f"pipeline setting {key!r}.settings must be an object, "
                 f"got {type(entry['settings']).__name__}"
             )
+    # Every analysis here runs inside stage 4; with the stage skipped
+    # none of them can execute, so their settings need not be complete
+    # (a present-but-stub entry alongside a skipped stage is valid).
     stage4_skipped = settings.get("analyze uniform data", {}).get("skip", False)
     for name, required in _ANALYSIS_KEYS.items():
-        enabled = name in settings or (name in _ALWAYS_RUN and not stage4_skipped)
+        if stage4_skipped:
+            continue
+        enabled = name in settings or name in _ALWAYS_RUN
         if not enabled or settings.get(name, {}).get("skip", False):
             continue
         analysis_settings = settings.get(name, {}).get("settings", {})
@@ -337,11 +342,16 @@ class Pipeline:
                 try:
                     result = analyses[name](**analysis_settings)
                 except TypeError as exc:
-                    # Name the analysis and the offending settings — a bare
-                    # TypeError from the call site is unactionable.
+                    # Name the analysis and the settings in play — a bare
+                    # TypeError from the call site is unactionable. The
+                    # original traceback is chained: this may also be a
+                    # genuine bug inside the analysis, not a settings
+                    # mismatch, so don't claim certainty either way.
                     raise PipelineSettingsError(
-                        f"analysis {name!r} rejected its settings "
-                        f"{sorted(analysis_settings)}: {exc}"
+                        f"analysis {name!r} raised TypeError with settings "
+                        f"{sorted(analysis_settings)} — check the settings keys "
+                        f"against the analysis signature (chained traceback has "
+                        f"the original error): {exc}"
                     ) from exc
                 self.model.save_to_hdf5(data={name: result}, filename=fn)
 

@@ -230,6 +230,20 @@ def test_settings_validation_pdf2d_and_shapes(pipeline_dir):
         validate_settings(bad3)
 
 
+def test_settings_validation_skipped_stage4_allows_stub_entries(pipeline_dir):
+    """A stub optional-analysis entry alongside a SKIPPED stage 4 must
+    validate: none of those analyses can run, so their settings need
+    not be complete (regression: over-strict rejection)."""
+    from fava_tpu.pipeline.pipeline import validate_settings
+
+    workdir, data, out = pipeline_dir
+    settings = json.loads((workdir / "pipeline_settings.json").read_text())
+    settings["analyze uniform data"] = {"skip": True}
+    settings["pdf1d"] = {"settings": {"nbins": 16}}  # missing 'field' — ok, stage off
+    del settings["fractal dimension"]
+    validate_settings(settings)  # must not raise
+
+
 def test_settings_validation_unknown_key_warns(pipeline_dir, caplog):
     import logging
 
