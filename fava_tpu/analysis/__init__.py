@@ -14,6 +14,7 @@ from fava_tpu.analysis.auto_correlations import (
 )
 from fava_tpu.analysis.fractal_dimension import fractal_dimension
 from fava_tpu.analysis.kinetic_energy_spectra import kinetic_energy_spectra
+from fava_tpu.analysis.scalar_spectra import scalar_spectra
 from fava_tpu.analysis.structure_functions import structure_functions
 from fava_tpu.analysis.pdf1d import pdf1d
 from fava_tpu.analysis.pdf2d import pdf2d
@@ -38,6 +39,7 @@ __all__ = [
     "lagrangian_autocorrelation",
     "fractal_dimension",
     "kinetic_energy_spectra",
+    "scalar_spectra",
     "structure_functions",
     "pdf1d",
     "pdf2d",

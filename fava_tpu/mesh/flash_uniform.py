@@ -103,6 +103,15 @@ class FlashUniform(FLASH):
         return spectra_ops.kinetic_energy_spectra(self._volume("dens"), vels, ndim=self.ndim)
 
     @timer
+    def scalar_spectra(self, field: str) -> Dict[str, np.ndarray]:
+        """Power spectrum of one scalar field (density/flame/...).
+
+        Beyond the reference (KE-only): same transform, binning
+        convention, and integral factor as the KE spectra, so slopes
+        compare directly."""
+        return {field: spectra_ops.scalar_spectrum(self._volume(field), ndim=self.ndim)}
+
+    @timer
     def fractal_dimension(self, field: str, contours=0.5) -> Dict[str, Any]:
         """Box-counting dimension (reference: FlashUniform.py:85-227)."""
         result = fractal_ops.fractal_dimension(self._volume(field), contours)

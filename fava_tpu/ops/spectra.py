@@ -389,3 +389,69 @@ def kinetic_energy_spectra(
         "longitudinal": means[1] * integral_factor,
         "transverse": means[2] * integral_factor,
     }
+
+
+@lru_cache(maxsize=32)
+def _build_scalar_spectrum_fn(shape: Tuple[int, ...], nbins: int, path_key=None):
+    """Jitted scalar power-spectrum core (cached per shape/backend)."""
+    ndim = len(shape)
+    ntot = int(np.prod(shape))
+    adt = accum_dtype()
+
+    def core(field):
+        if ndim == 3:
+            from fava_tpu.ops.dft import rfftn_fast
+            from fava_tpu.ops.pallas_kernels import shell_bin_sums_rfft
+
+            fw = rfftn_fast(field) / ntot
+            p = (jnp.abs(fw) ** 2).astype(adt)
+            # Reuse the Hermitian-weighted rfft binning; the power is
+            # passed in every value slot and only slot 0 is consumed.
+            counts, sums = shell_bin_sums_rfft(p, p, p, nbins, shape[-1])
+            return jnp.where(counts > 0, sums[0] / jnp.maximum(counts, 1), jnp.nan)
+
+        fw = jnp.fft.fftn(field) / ntot
+        p = (jnp.abs(fw) ** 2).astype(adt)
+        ks = _wavenumber_grid(shape, p.dtype)
+        k_abs = jnp.sqrt(sum(k * k for k in ks)) if ndim > 1 else jnp.abs(ks[0])
+        idx = jnp.clip(jnp.floor(k_abs + 0.5).astype(jnp.int32), 0, nbins - 1).ravel()
+        mask = (k_abs <= (nbins - 0.5)).ravel()
+        counts = jnp.zeros(nbins, dtype=adt).at[idx].add(mask.astype(adt))
+        sums = jnp.zeros(nbins, dtype=adt).at[idx].add(jnp.where(mask, p.ravel(), 0))
+        return jnp.where(counts > 0, sums / jnp.maximum(counts, 1), jnp.nan)
+
+    return jax.jit(core)
+
+
+def scalar_spectrum(
+    field: jax.Array,
+    ndim: int = None,
+) -> Dict[str, np.ndarray]:
+    """Shell-binned power spectrum of ONE scalar field.
+
+    Beyond the reference (which only computes KE spectra of
+    sqrt(rho)*v): density / flame-progress / temperature power spectra
+    are standard turbulence diagnostics and reuse the same forward-norm
+    transform and scipy-convention shell binning (mean over the shell,
+    edges arange(max(n)//2) - 0.5), with the same k^(d-1)*2*pi*(d-1)
+    integral factor so slopes are directly comparable with the KE
+    spectra. Returns {"k", "power"}.
+    """
+    ndim = int(ndim) if ndim is not None else field.ndim
+    if field.ndim > ndim:
+        squeeze = tuple(range(ndim, field.ndim))
+        assert all(field.shape[a] == 1 for a in squeeze), "non-singleton trailing axes"
+        field = field.reshape(field.shape[:ndim])
+    shape = tuple(int(s) for s in field.shape)
+    nbins = max(shape) // 2 - 1
+
+    from fava_tpu.ops import pallas_kernels as pk
+
+    fn = _build_scalar_spectrum_fn(shape, nbins, pk.path_key())
+    mean = np.asarray(fn(field), dtype=np.float64)
+
+    k = np.arange(nbins, dtype=np.float64)
+    integral_factor = k ** (ndim - 1)
+    if ndim > 1:
+        integral_factor = integral_factor * (2.0 * np.pi * (ndim - 1))
+    return {"k": k, "power": mean * integral_factor}

@@ -130,3 +130,48 @@ def test_reference_transpose_quirk_documented():
     np.testing.assert_allclose(correct["total"], quirk["total"])
     assert not np.allclose(correct["longitudinal"], quirk["longitudinal"])
 
+
+
+def test_scalar_spectrum_matches_numpy_oracle(uniform_file):
+    """Scalar-field power spectrum (beyond reference): forward-norm
+    FFT power, mean per shell with the scipy binning convention, and
+    the same integral factor as the KE spectra."""
+    import scipy.stats
+
+    from fava_tpu.mesh import FlashUniform
+
+    mesh = FlashUniform(uniform_file)
+    mesh.load()
+    out = mesh.scalar_spectra("dens")["dens"]
+
+    d = np.asarray(mesh.data("dens"))
+    if d.ndim == 4:
+        d = d[0]
+    n = d.shape[0]
+    fw = np.fft.fftn(d, norm="forward")
+    p = np.abs(fw) ** 2
+
+    def wn(m):
+        k = np.arange(m)
+        return np.where(k <= (m - 1) // 2, k, k - m).astype(float)
+
+    k_abs = np.sqrt(
+        wn(n)[:, None, None] ** 2 + wn(n)[None, :, None] ** 2 + wn(n)[None, None, :] ** 2
+    )
+    bins = np.arange(n // 2) - 0.5
+    mean, _, _ = scipy.stats.binned_statistic(k_abs.ravel(), p.ravel(), "mean", bins=bins)
+    k = np.arange(n // 2 - 1, dtype=float)
+    expected = mean * k**2 * (2.0 * np.pi * 2)
+
+    np.testing.assert_allclose(out["power"], expected, rtol=1e-9, atol=1e-20)
+    np.testing.assert_array_equal(out["k"], k)
+
+
+def test_scalar_spectra_registered_on_model(uniform_file):
+    import fava_tpu
+
+    m = fava_tpu.FLASH(uniform_file.parent)
+    m.load(file_type="uni")
+    out = m.scalar_spectra("flam")
+    assert set(out["flam"].keys()) == {"k", "power"}
+    assert np.isfinite(out["flam"]["power"][1:]).all()
