@@ -328,6 +328,61 @@ def validate_analyses() -> dict:
         "max_scaled_error": regrid_err,
     }
 
+    # --- scalar power spectrum -----------------------------------------
+    print("== analyses: scalar spectrum ==", flush=True)
+    from fava_tpu.ops.spectra import scalar_spectrum
+
+    got_sp = scalar_spectrum(dens)["power"]
+    d64 = np.asarray(dens, dtype=np.float64)
+    nn = d64.shape[0]
+    fw = np.fft.fftn(d64, norm="forward")
+    p = np.abs(fw) ** 2
+
+    def wn(m):
+        k = np.arange(m)
+        return np.where(k <= (m - 1) // 2, k, k - m).astype(np.float64)
+
+    k_abs = np.sqrt(
+        wn(nn)[:, None, None] ** 2 + wn(nn)[None, :, None] ** 2 + wn(nn)[None, None, :] ** 2
+    )
+    nb = nn // 2 - 1
+    idx = np.clip(np.floor(k_abs + 0.5).astype(int), 0, nb - 1).ravel()
+    mask = (k_abs <= nb - 0.5).ravel()
+    counts = np.bincount(idx, weights=mask, minlength=nb)[:nb]
+    sums = np.bincount(idx, weights=np.where(mask, p.ravel(), 0), minlength=nb)[:nb]
+    kk = np.arange(nb, dtype=np.float64)
+    ref_sp = (sums / np.maximum(counts, 1)) * kk**2 * (4.0 * np.pi)
+    out["scalar_spectrum"] = {
+        "config": {"n": 128, "field": "dens"},
+        "max_scaled_error": _scaled_err(got_sp[1:], ref_sp[1:]),
+    }
+
+    # --- eulerian autocorrelation (device point sampling) ---------------
+    # A static AMR series must correlate to exactly 1 at every time:
+    # the recorded error isolates the on-chip sample_fields gather path.
+    # (Lagrangian/cross correlations are host-side NumPy over particle
+    # tables — no device math to validate.)
+    print("== analyses: eulerian autocorrelation ==", flush=True)
+    import fava_tpu
+
+    with tempfile.TemporaryDirectory() as td:
+        for i, t in enumerate([0.0, 0.1, 0.2], start=1):
+            synthetic.make_amr_file(
+                Path(td) / f"rt_hdf5_plt_cnt_{i:04d}",
+                ncells=(8, 8, 8),
+                nblks=(2, 2, 2),
+                refine={0: 2},
+                time=t,
+            )
+        model = fava_tpu.FLASH(Path(td))
+        _times, res = model.eulerian_autocorrelation(nsamples=64, fields=["dens"], seed=2)
+    out["eulerian_autocorrelation"] = {
+        "config": {"series": "3 static snapshots", "nsamples": 64},
+        "oracle": "static field => rho == 1 exactly",
+        "max_scaled_error": float(np.abs(np.asarray(res["dens"]) - 1.0).max()),
+        "note": "lagrangian/cross correlations are host-side NumPy (no device math)",
+    }
+
     # --- structure functions (same-draw oracle) ------------------------
     print("== analyses: structure functions ==", flush=True)
     out["structure_functions"] = validate_structure_functions()
