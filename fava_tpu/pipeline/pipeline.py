@@ -47,6 +47,7 @@ _ANALYSIS_KEYS = {
     "reynolds stresses uniform": (),
     "pdf1d": ("field",),
     "pdf2d": ("field1", "field2"),
+    "scalar spectra": ("field",),
 }
 # Stage 4 runs these whether or not they appear in settings (the
 # reference's fixed three) — their required keys are validated even
@@ -326,6 +327,7 @@ class Pipeline:
             ),
             "pdf1d": lambda **kw: self.model.pdf1d(**kw),
             "pdf2d": lambda **kw: self.model.pdf2d(**kw),
+            "scalar spectra": lambda **kw: self.model.scalar_spectra(**kw),
         }
         for key, opt_fn in optional.items():
             if key in self.settings:
