@@ -76,3 +76,64 @@ def test_debug_toggles():
     assert jax.config.jax_debug_nans
     debug.disable_checks()
     assert not jax.config.jax_debug_nans
+
+
+@pytest.mark.parametrize("shape", [(12, 10, 14), (9, 11, 7)])
+def test_flagship_noncubic_and_odd_extents_match_oracle(shape):
+    """The fused flagship step on non-cubic and fully ODD extents (the
+    binning kernels' fold/Nyquist special cases all differ there) must
+    match a direct f64 NumPy implementation of the reference algorithms."""
+    import jax.numpy as jnp
+
+    from fava_tpu.flagship import uniform_analysis_step
+
+    rng = np.random.default_rng(3)
+    dens = 1.0 + 0.2 * rng.random(shape)
+    vels = [rng.standard_normal(shape) for _ in range(3)]
+
+    out = uniform_analysis_step(
+        jnp.asarray(dens), *(jnp.asarray(v) for v in vels), mesh=None
+    )
+    out = {k: np.asarray(v, dtype=np.float64) for k, v in out.items()}
+
+    # f64 oracle: full-grid FFT shell sums + centered x-profiles.
+    nbins = max(shape) // 2 - 1
+    ntot = dens.size
+
+    def wn(m):
+        k = np.arange(m)
+        return np.where(k <= (m - 1) // 2, k, k - m).astype(np.float64)
+
+    kx = wn(shape[0])[:, None, None]
+    ky = wn(shape[1])[None, :, None]
+    kz = wn(shape[2])[None, None, :]
+    k_abs = np.sqrt(kx**2 + ky**2 + kz**2)
+    sd = np.sqrt(dens)
+    total = np.zeros(shape)
+    longi = np.zeros(shape, dtype=np.complex128)
+    for k, v in zip((kx, ky, kz), vels):
+        f = np.fft.fftn(sd * v, norm="forward")
+        total += 0.5 * np.abs(f) ** 2
+        longi += k * f
+    longi_p = np.abs(longi / np.maximum(k_abs, 1e-99)) ** 2
+    idx = np.clip(np.floor(k_abs + 0.5).astype(int), 0, nbins - 1).ravel()
+    mask = (k_abs <= nbins - 0.5).ravel()
+    counts = np.bincount(idx, weights=mask.astype(float), minlength=nbins)[:nbins]
+    t_sum = np.bincount(idx, weights=np.where(mask, total.ravel(), 0), minlength=nbins)[:nbins]
+    l_sum = np.bincount(idx, weights=np.where(mask, longi_p.ravel(), 0), minlength=nbins)[:nbins]
+
+    np.testing.assert_allclose(out["spectra_counts"], counts)
+    np.testing.assert_allclose(out["spectra_total"], t_sum, rtol=1e-9, atol=1e-20)
+    np.testing.assert_allclose(out["spectra_longitudinal"], l_sum, rtol=1e-9, atol=1e-20)
+    np.testing.assert_allclose(
+        out["spectra_transverse"], t_sum - l_sum, rtol=1e-9, atol=1e-18
+    )
+
+    layer = shape[1] * shape[2]
+    d_row = dens.sum(axis=(1, 2))
+    means = [v.sum(axis=(1, 2)) / layer for v in vels]
+    pairs = [(i, j) for i in range(3) for j in range(i, 3)]
+    cv = [v - m[:, None, None] for v, m in zip(vels, means)]
+    stress = np.stack([(dens * cv[i] * cv[j]).sum(axis=(1, 2)) / layer for i, j in pairs])
+    np.testing.assert_allclose(out["reynolds_stress"], stress, rtol=1e-9)
+    np.testing.assert_allclose(out["total_mass"], dens.sum(), rtol=1e-12)
