@@ -219,7 +219,6 @@ def sharded_series_analysis_step(dens, velx, vely, velz, mesh):
     """
     from jax.sharding import PartitionSpec as P
 
-    from fava_tpu.ops import pallas_kernels as pk
     from fava_tpu.ops import spectra as spectra_ops
     from fava_tpu.ops.profiles import VEL_PAIRS, assemble_profile_stats
     from fava_tpu.parallel import runtime as prt
@@ -288,9 +287,7 @@ def sharded_series_analysis_step(dens, velx, vely, velz, mesh):
         check_vma=False,
     )(dens, velx, vely, velz)
     if use_kernel_binning:
-        counts = jnp.asarray(
-            pk.rfft_shell_counts((nx, ny, nz), int(nbins), str(jnp.dtype(adt)))
-        )
+        counts = spectra_ops.static_shell_counts((nx, ny, nz), nbins)
         outs["spectra_counts"] = jnp.broadcast_to(
             counts[None], (dens.shape[0],) + counts.shape
         )

@@ -641,7 +641,7 @@ class FLASH(Structured):
                 plan, host_stacks, _fields, active_mesh, axis_name=prt.SPACE_AXIS
             )
         else:
-            if active_mesh is not None and n_space > 1:
+            if sharding is None and active_mesh is not None and n_space > 1:
                 # At 1024^3-class trees this silently forfeits pooled
                 # multi-chip HBM — say so (crop/pad to a divisible
                 # extent to regain the sharded path).

@@ -954,7 +954,7 @@ def _shell_kernel_folded_v2(
 
 def _shell_kernel_folded_v3(
     t_ref, l_ref, out_ref, *, nbins, full_nx, full_ny, full_nz, nzr, xc, rows_c,
-    unroll, z_segments, defer_rows=False
+    unroll, z_segments, defer_rows=False, single_channel=False
 ):
     """x-BLOCKED values-only folded shell binning.
 
@@ -987,7 +987,8 @@ def _shell_kernel_folded_v3(
     jx = jax.lax.broadcasted_iota(jnp.int32, (xc, 1, 1), 0) + x0
     kx2 = (jx * jx).astype(f32)
 
-    acc = jnp.zeros((2, width), dtype=out_ref.dtype)
+    nchan = 1 if single_channel else 2
+    acc = jnp.zeros((nchan, width), dtype=out_ref.dtype)
     for (s0, s1) in z_segments:
         slen = s1 - s0
         jy = jax.lax.broadcasted_iota(jnp.int32, (1, rows_c, slen), 1) + row0
@@ -1002,7 +1003,11 @@ def _shell_kernel_folded_v3(
         else:
             wz = jnp.where(jz == 0, 1.0, 2.0)
         t = jax.lax.slice(t_ref[...], (0, 0, s0), (xc, rows_c, s1)) * wz
-        l = jax.lax.slice(l_ref[...], (0, 0, s0), (xc, rows_c, s1)) * wz
+        # single_channel: callers pass the same array for both refs and
+        # only the t channel is computed (scalar power spectra).
+        l = None if single_channel else (
+            jax.lax.slice(l_ref[...], (0, 0, s0), (xc, rows_c, s1)) * wz
+        )
 
         # Reachable-shell bounds over the whole x block (min corner
         # (x0, ky0, z0), max corner (x1, ky1, z1)).
@@ -1016,45 +1021,41 @@ def _shell_kernel_folded_v3(
         # Pure fold-padding row chunks bin nothing.
         b_hi = jnp.where(row0 > full_ny // 2, b_lo, jnp.maximum(b_hi, b_lo))
 
+        chans = (t,) if single_channel else (t, l)
         if defer_rows:
             # v4: accumulate per-ROW lane sums into (rows_c, width)
             # outer-product accumulators — no vector->scalar reduction
             # inside the loop (the v3 bottleneck was that round trip);
             # one sublane reduction per segment closes them out.
-            acc2t = jnp.zeros((rows_c, width), dtype=out_ref.dtype)
-            acc2l = jnp.zeros((rows_c, width), dtype=out_ref.dtype)
+            accs = tuple(jnp.zeros((rows_c, width), dtype=out_ref.dtype) for _ in chans)
 
-            def body4(it, carry, b_lo=b_lo, shell=shell, t=t, l=l):
-                a2t, a2l = carry
+            def body4(it, carry, b_lo=b_lo, shell=shell, chans=chans):
                 b0 = b_lo + it * unroll
                 for j in range(unroll):
                     b = b0 + j
-                    m = (shell == b).astype(t.dtype)
-                    tm = jnp.sum(jnp.sum(t * m, axis=0), axis=-1, keepdims=True)
-                    lm = jnp.sum(jnp.sum(l * m, axis=0), axis=-1, keepdims=True)
-                    onehot = (lane == b).astype(a2t.dtype)
-                    a2t = a2t + tm * onehot
-                    a2l = a2l + lm * onehot
-                return a2t, a2l
+                    m = (shell == b).astype(chans[0].dtype)
+                    onehot = (lane == b).astype(carry[0].dtype)
+                    parts = tuple(
+                        jnp.sum(jnp.sum(ch * m, axis=0), axis=-1, keepdims=True)
+                        for ch in chans
+                    )
+                    carry = tuple(a + p * onehot for a, p in zip(carry, parts))
+                return carry
 
             nit = (b_hi - b_lo + unroll - 1) // unroll
-            acc2t, acc2l = jax.lax.fori_loop(0, nit, body4, (acc2t, acc2l))
-            seg = jnp.concatenate(
-                [
-                    jnp.sum(acc2t, axis=0, keepdims=True),
-                    jnp.sum(acc2l, axis=0, keepdims=True),
-                ]
+            accs = jax.lax.fori_loop(0, nit, body4, accs)
+            acc = acc + jnp.concatenate(
+                [jnp.sum(a, axis=0, keepdims=True) for a in accs]
             )
-            acc = acc + seg
         else:
-            def body(it, acc, b_lo=b_lo, shell=shell, t=t, l=l):
+            def body(it, acc, b_lo=b_lo, shell=shell, chans=chans):
                 b0 = b_lo + it * unroll
                 for j in range(unroll):
                     b = b0 + j
-                    m = (shell == b).astype(t.dtype)
-                    tm = jnp.sum(t * m, axis=0)
-                    lm = jnp.sum(l * m, axis=0)
-                    partial = jnp.stack([_sum2(tm), _sum2(lm)])
+                    m = (shell == b).astype(chans[0].dtype)
+                    partial = jnp.stack(
+                        [_sum2(jnp.sum(ch * m, axis=0)) for ch in chans]
+                    )
                     onehot = (lane == b).astype(acc.dtype)
                     acc = acc + partial[:, None] * onehot
                 return acc
@@ -1076,6 +1077,7 @@ def _build_shell_folded_v3_fn(
     xc: int = 16,
     z_splits: int = 2,
     defer_rows: bool = False,
+    single_channel: bool = False,
 ):
     nxh, rows_f, nzr = fshape
     rows_c = _pick_row_chunk(rows_f)
@@ -1097,9 +1099,11 @@ def _build_shell_folded_v3_fn(
         unroll=4,
         z_segments=z_segments,
         defer_rows=defer_rows,
+        single_channel=single_channel,
     )
     width = _bins_width(nbins)
     x_pad = nxb * xc - nxh
+    nchan = 1 if single_channel else 2
 
     def run(total, longi):
         total, longi = _pad_x([total, longi], x_pad)
@@ -1107,13 +1111,15 @@ def _build_shell_folded_v3_fn(
             kernel,
             grid=(nxb, rows_f // rows_c),
             in_specs=[slab, slab],
-            out_specs=pl.BlockSpec((2, width), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((2, width), dtype),
+            out_specs=pl.BlockSpec((nchan, width), lambda i, c: (0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nchan, width), dtype),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
             interpret=interpret,
         )(total, longi)
+        if single_channel:
+            return out[0, :nbins], out[0, :nbins]
         return out[0, :nbins], out[1, :nbins]
 
     return jax.jit(run)
@@ -1260,6 +1266,26 @@ def shell_bin_values_folded_v2(total: jax.Array, longi: jax.Array, nbins: int,
     )(total, longi)
     counts = jnp.asarray(_folded_counts(fshape, int(nbins), dname, full_nx, full_ny, full_nz))
     return counts, jnp.stack([t_sum, l_sum, t_sum - l_sum])
+
+
+def shell_bin_sums_rfft_scalar(p: jax.Array, nbins: int, full_nz: int):
+    """(counts, sums) Hermitian-weighted shell binning of ONE power
+    volume (scalar spectra): the single-channel v3/v4 kernel skips the
+    second channel's mask/multiply/reduce work that binning a scalar
+    through the two-channel interface would waste."""
+    shape = tuple(int(s) for s in p.shape)
+    nx, ny, nzr = shape
+    if (on_tpu() or FORCE_INTERPRET) and nx % 2 == 0 and ny % 2 == 0:
+        folded, _ = fold_quadrants_pair(p, p)
+        fshape = tuple(int(s) for s in folded.shape)
+        dname = str(folded.dtype)
+        t_sum, _ = _build_shell_folded_v3_fn(
+            fshape, int(nbins), dname, FORCE_INTERPRET, nx, ny, full_nz, 16, 2, True, True
+        )(folded, folded)
+        counts = jnp.asarray(_folded_counts(fshape, int(nbins), dname, nx, ny, full_nz))
+        return counts, t_sum
+    counts, sums = _shell_bin_jnp_rfft(p, p, p, nbins, full_nz)
+    return counts, sums[0]
 
 
 def _shell_kernel_chunkx(

@@ -119,6 +119,19 @@ def rfft_power_volumes(ffts, full_shape: Tuple[int, int, int], jy=None, ky=None,
     return total, longi, total - longi, k_abs
 
 
+def static_shell_counts(full_shape, nbins: int):
+    """Static Hermitian shell counts as a device constant — the value
+    every consumer of ``local_spectra_fn`` MUST substitute for its
+    zero-placeholder counts under kernel binning (one helper so no
+    consumer forgets and silently NaNs the spectrum via counts == 0)."""
+    from fava_tpu.ops import pallas_kernels as pk
+
+    adt = accum_dtype()
+    return jnp.asarray(
+        pk.rfft_shell_counts(tuple(int(s) for s in full_shape), int(nbins), str(jnp.dtype(adt)))
+    )
+
+
 def use_kernel_shell_binning(nx: int) -> bool:
     """One definition of the sharded binning-path choice (Pallas chunk
     kernel on TPU/interpret vs jnp scatter-add) for every consumer, so
@@ -248,9 +261,7 @@ def sharded_power_spectra(dens, vels, mesh, nbins: int, axis_name: str = None):
         check_vma=False,
     )(dens, *vels)
     if use_kernel_binning:
-        counts = jnp.asarray(
-            pk.rfft_shell_counts((nx, ny, nz), int(nbins), str(jnp.dtype(adt)))
-        )
+        counts = static_shell_counts((nx, ny, nz), nbins)
     return counts, sums
 
 
@@ -392,25 +403,33 @@ def kinetic_energy_spectra(
 
 
 @lru_cache(maxsize=32)
-def _build_scalar_spectrum_fn(shape: Tuple[int, ...], nbins: int, path_key=None):
-    """Jitted scalar power-spectrum core (cached per shape/backend)."""
+def _build_scalar_spectrum_fn(shape: Tuple[int, ...], mesh_key, nbins: int, path_key=None):
+    """Jitted scalar power-spectrum core (cached per shape/mesh/backend)."""
+    mesh = mesh_key
     ndim = len(shape)
     ntot = int(np.prod(shape))
     adt = accum_dtype()
 
     def core(field):
-        if ndim == 3:
+        if mesh is not None and ndim == 3:
+            # Sharded inputs must NOT hit the single-chip Pallas path
+            # (it cannot consume mesh-sharded arrays): pod-sharded
+            # pencil FFT + GSPMD-partitioned scatter binning, like
+            # _build_spectra_fn's generic branch.
+            fw = pfft.pfft3(
+                field.astype(jnp.promote_types(field.dtype, jnp.float32)), mesh=mesh
+            ) / ntot
+        elif ndim == 3:
             from fava_tpu.ops.dft import rfftn_fast
-            from fava_tpu.ops.pallas_kernels import shell_bin_sums_rfft
+            from fava_tpu.ops.pallas_kernels import shell_bin_sums_rfft_scalar
 
             fw = rfftn_fast(field) / ntot
             p = (jnp.abs(fw) ** 2).astype(adt)
-            # Reuse the Hermitian-weighted rfft binning; the power is
-            # passed in every value slot and only slot 0 is consumed.
-            counts, sums = shell_bin_sums_rfft(p, p, p, nbins, shape[-1])
-            return jnp.where(counts > 0, sums[0] / jnp.maximum(counts, 1), jnp.nan)
+            counts, sums = shell_bin_sums_rfft_scalar(p, nbins, shape[-1])
+            return jnp.where(counts > 0, sums / jnp.maximum(counts, 1), jnp.nan)
+        else:
+            fw = jnp.fft.fftn(field) / ntot
 
-        fw = jnp.fft.fftn(field) / ntot
         p = (jnp.abs(fw) ** 2).astype(adt)
         ks = _wavenumber_grid(shape, p.dtype)
         k_abs = jnp.sqrt(sum(k * k for k in ks)) if ndim > 1 else jnp.abs(ks[0])
@@ -426,6 +445,7 @@ def _build_scalar_spectrum_fn(shape: Tuple[int, ...], nbins: int, path_key=None)
 def scalar_spectrum(
     field: jax.Array,
     ndim: int = None,
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
     """Shell-binned power spectrum of ONE scalar field.
 
@@ -437,6 +457,7 @@ def scalar_spectrum(
     integral factor so slopes are directly comparable with the KE
     spectra. Returns {"k", "power"}.
     """
+    mesh = mesh if mesh is not None else runtime.get_mesh()
     ndim = int(ndim) if ndim is not None else field.ndim
     if field.ndim > ndim:
         squeeze = tuple(range(ndim, field.ndim))
@@ -447,7 +468,7 @@ def scalar_spectrum(
 
     from fava_tpu.ops import pallas_kernels as pk
 
-    fn = _build_scalar_spectrum_fn(shape, nbins, pk.path_key())
+    fn = _build_scalar_spectrum_fn(shape, mesh, nbins, pk.path_key())
     mean = np.asarray(fn(field), dtype=np.float64)
 
     k = np.arange(nbins, dtype=np.float64)

@@ -523,3 +523,47 @@ def test_fold_pair_kernel_bit_identical(force_interpret):
         ft, fl = pk.fold_quadrants_pair(jnp.asarray(t), jnp.asarray(l))
         np.testing.assert_array_equal(np.asarray(ft), ft_ref, err_msg=str(full))
         np.testing.assert_array_equal(np.asarray(fl), fl_ref, err_msg=str(full))
+
+
+def test_multi_z_segment_paths(force_interpret):
+    """z extents >= 510 give the v3/chunk kernels TWO in-program
+    128-aligned z segments; nothing else in the CPU suite reaches that
+    path, so a broken second segment (e.g. a dropped +s0 offset) would
+    only surface on hardware (code-review finding). Compare against the
+    jnp references on an elongated-z shape."""
+    nx, ny, nz = 8, 16, 512
+    nzr = nz // 2 + 1
+    nbins = nz // 2 - 1
+    rng = np.random.default_rng(21)
+    total = jnp.asarray(np.abs(rng.standard_normal((nx, ny, nzr))), dtype=jnp.float32)
+    longi = 0.5 * total
+    trans = total - longi
+
+    # Folded v3/v4 path (via the production dispatcher).
+    c_got, s_got = pk.shell_bin_sums_rfft(total, longi, trans, nbins, nz)
+    c_ref, s_ref = pk._shell_bin_jnp_rfft(total, longi, trans, nbins, nz)
+    np.testing.assert_allclose(np.asarray(c_got), np.asarray(c_ref))
+    np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref), rtol=2e-5, atol=1e-6)
+
+    # Chunk kernel (pod/out-of-core path), counts + values variants.
+    c2, s2 = pk.shell_bin_sums_rfft_chunk(total, longi, trans, nbins, nx, nz, jnp.asarray(0))
+    c2r, s2r = pk._shell_bin_jnp_rfft_chunk(total, longi, trans, nbins, nx, nz, jnp.asarray(0))
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c2r))
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s2r), rtol=2e-5, atol=1e-6)
+
+    # Single-channel scalar variant.
+    c3, s3 = pk.shell_bin_sums_rfft_scalar(total, nbins, nz)
+    np.testing.assert_allclose(np.asarray(c3), np.asarray(c_ref))
+    np.testing.assert_allclose(np.asarray(s3), np.asarray(s_ref)[0], rtol=2e-5, atol=1e-6)
+
+
+def test_scalar_binning_single_channel(force_interpret):
+    """shell_bin_sums_rfft_scalar must equal the two-channel path's
+    total sums on ordinary shapes."""
+    rng = np.random.default_rng(8)
+    p = jnp.asarray(np.abs(rng.standard_normal((16, 16, 9))), dtype=jnp.float32)
+    nbins = 7
+    c_ref, s_ref = pk._shell_bin_jnp_rfft(p, p, p, nbins, 16)
+    c_got, s_got = pk.shell_bin_sums_rfft_scalar(p, nbins, 16)
+    np.testing.assert_allclose(np.asarray(c_got), np.asarray(c_ref))
+    np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref)[0], rtol=2e-5, atol=1e-6)

@@ -167,6 +167,26 @@ def test_scalar_spectrum_matches_numpy_oracle(uniform_file):
     np.testing.assert_array_equal(out["k"], k)
 
 
+def test_scalar_spectrum_sharded_matches_unsharded(uniform_file_32, eight_device_mesh):
+    """Under an active mesh the scalar spectrum must take the sharded
+    pencil-FFT path (not the single-chip Pallas path, which cannot
+    consume mesh-sharded inputs) and match the unsharded result."""
+    from fava_tpu.mesh import FlashUniform
+    from fava_tpu.parallel import use_mesh
+
+    mesh0 = FlashUniform(uniform_file_32)
+    mesh0.load()
+    ref = mesh0.scalar_spectra("dens")["dens"]
+
+    with use_mesh(eight_device_mesh):
+        mesh1 = FlashUniform(uniform_file_32)
+        mesh1.load()
+        assert len(mesh1.data("dens").sharding.device_set) == 8
+        got = mesh1.scalar_spectra("dens")["dens"]
+
+    np.testing.assert_allclose(got["power"], ref["power"], rtol=1e-9, atol=1e-20)
+
+
 def test_scalar_spectra_registered_on_model(uniform_file):
     import fava_tpu
 
