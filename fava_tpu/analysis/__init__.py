@@ -15,6 +15,13 @@ from fava_tpu.analysis.auto_correlations import (
 from fava_tpu.analysis.fractal_dimension import fractal_dimension
 from fava_tpu.analysis.kinetic_energy_spectra import kinetic_energy_spectra
 from fava_tpu.analysis.scalar_spectra import scalar_spectra
+from fava_tpu.analysis.velocity_diagnostics import (
+    dilatation,
+    enstrophy_spectra,
+    helicity_spectra,
+    helmholtz_decomposition,
+    vorticity,
+)
 from fava_tpu.analysis.structure_functions import structure_functions
 from fava_tpu.analysis.pdf1d import pdf1d
 from fava_tpu.analysis.pdf2d import pdf2d
@@ -40,6 +47,11 @@ __all__ = [
     "fractal_dimension",
     "kinetic_energy_spectra",
     "scalar_spectra",
+    "helmholtz_decomposition",
+    "vorticity",
+    "dilatation",
+    "enstrophy_spectra",
+    "helicity_spectra",
     "structure_functions",
     "pdf1d",
     "pdf2d",

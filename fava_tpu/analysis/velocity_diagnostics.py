@@ -1,0 +1,37 @@
+"""Registered spectral velocity diagnostics: forward to the active mesh.
+
+Beyond the reference (which registers only kinetic_energy_spectra,
+reference: fava/analysis/kinetic_energy_spectra.py): Helmholtz
+solenoidal/compressive decomposition, vorticity/dilatation derived
+fields, and enstrophy/helicity shell spectra — the standard
+compressible-turbulence companions of the KE spectrum, computed with
+the same MXU dense-DFT transforms and binning conventions
+(ops/velocity.py).
+"""
+
+from fava_tpu.models.model import Model
+
+
+@Model.register_analysis(use_timer=True)
+def helmholtz_decomposition(self, *args, **kwargs):
+    return self.mesh.helmholtz_decomposition(*args, **kwargs)
+
+
+@Model.register_analysis(use_timer=True)
+def vorticity(self, *args, **kwargs):
+    return self.mesh.vorticity(*args, **kwargs)
+
+
+@Model.register_analysis(use_timer=True)
+def dilatation(self, *args, **kwargs):
+    return self.mesh.dilatation(*args, **kwargs)
+
+
+@Model.register_analysis(use_timer=True)
+def enstrophy_spectra(self, *args, **kwargs):
+    return self.mesh.enstrophy_spectra(*args, **kwargs)
+
+
+@Model.register_analysis(use_timer=True)
+def helicity_spectra(self, *args, **kwargs):
+    return self.mesh.helicity_spectra(*args, **kwargs)

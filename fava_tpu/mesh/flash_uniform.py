@@ -111,6 +111,60 @@ class FlashUniform(FLASH):
         compare directly."""
         return {field: spectra_ops.scalar_spectrum(self._volume(field), ndim=self.ndim)}
 
+    def _vel_volumes(self):
+        if self.ndim != 3:
+            raise ValueError("spectral velocity diagnostics require a 3D dataset")
+        return [self._volume(f"vel{a}") for a in "xyz"]
+
+    def _domain_lengths(self):
+        b = np.asarray(self.domain_bounds, dtype=np.float64)
+        return tuple(float(b[i, 1] - b[i, 0]) for i in range(3))
+
+    @timer
+    def helmholtz_decomposition(self) -> Dict[str, Dict[str, np.ndarray]]:
+        """Solenoidal/compressive velocity split (beyond the reference).
+
+        Spectral projection on the physical wavenumber grid of this
+        domain; MXU dense forward+inverse DFTs on TPU (ops/velocity.py).
+        """
+        from fava_tpu.ops import velocity as vel_ops
+
+        out = vel_ops.helmholtz_decompose(*self._vel_volumes(), lengths=self._domain_lengths())
+        return {
+            part: {name: np.asarray(v) for name, v in comps.items()}
+            for part, comps in out.items()
+        }
+
+    @timer
+    def vorticity(self) -> Dict[str, np.ndarray]:
+        """Vorticity components via spectral differentiation."""
+        from fava_tpu.ops import velocity as vel_ops
+
+        wx, wy, wz = vel_ops.vorticity(*self._vel_volumes(), lengths=self._domain_lengths())
+        return {"vortx": np.asarray(wx), "vorty": np.asarray(wy), "vortz": np.asarray(wz)}
+
+    @timer
+    def dilatation(self) -> Dict[str, np.ndarray]:
+        """Dilatation (velocity divergence) via spectral differentiation."""
+        from fava_tpu.ops import velocity as vel_ops
+
+        d = vel_ops.dilatation(*self._vel_volumes(), lengths=self._domain_lengths())
+        return {"dilatation": np.asarray(d)}
+
+    @timer
+    def enstrophy_spectra(self) -> Dict[str, np.ndarray]:
+        """Shell-binned enstrophy spectrum (KE-spectra conventions)."""
+        from fava_tpu.ops import velocity as vel_ops
+
+        return vel_ops.enstrophy_spectrum(*self._vel_volumes(), lengths=self._domain_lengths())
+
+    @timer
+    def helicity_spectra(self) -> Dict[str, np.ndarray]:
+        """Shell-binned (signed) helicity spectrum."""
+        from fava_tpu.ops import velocity as vel_ops
+
+        return vel_ops.helicity_spectrum(*self._vel_volumes(), lengths=self._domain_lengths())
+
     @timer
     def fractal_dimension(self, field: str, contours=0.5) -> Dict[str, Any]:
         """Box-counting dimension (reference: FlashUniform.py:85-227)."""

@@ -141,6 +141,85 @@ def planar_complex_matmul(spec, dr, di, re, im, precision=None, karatsuba=False)
     return t(dr, re) - t(di, im), t(dr, im) + t(di, re)
 
 
+@lru_cache(maxsize=16)
+def _irdft_mats(n: int, dtype_name: str):
+    """Half-complex -> real inverse DFT matrices, each (n//2+1, n).
+
+    x[j] = sum_k w_k/n * (re_k cos(2 pi j k / n) - im_k sin(2 pi j k / n))
+    with Hermitian weights w_0 = w_{n/2} = 1 (self-conjugate modes) and
+    w_k = 2 otherwise — the imaginary parts of the self-conjugate modes
+    multiply sin(0)/sin(pi j) = 0, matching ``np.fft.irfft``'s behavior
+    of ignoring them.
+    """
+    k = np.arange(n // 2 + 1)[:, None]
+    j = np.arange(n)
+    ang = 2.0 * np.pi * j * k / n
+    w = np.full((n // 2 + 1, 1), 2.0)
+    w[0, 0] = 1.0
+    if n % 2 == 0:
+        w[n // 2, 0] = 1.0
+    dt = np.dtype(dtype_name)
+    return (w * np.cos(ang) / n).astype(dt), (-(w * np.sin(ang)) / n).astype(dt)
+
+
+@lru_cache(maxsize=16)
+def _idft_mat(n: int, dtype_name: str):
+    """Inverse complex DFT matrix exp(+2*pi*i*j*k/n)/n, (n, n)."""
+    j = np.arange(n)[:, None]
+    k = np.arange(n)
+    ang = 2.0 * np.pi * j * k / n
+    cdt = np.complex128 if np.dtype(dtype_name) == np.float64 else np.complex64
+    return (np.exp(1j * ang) / n).astype(cdt)
+
+
+def irfft_trailing(x: jax.Array, n: int = None, precision=None) -> jax.Array:
+    """Half-spectrum -> real inverse DFT along the trailing axis.
+
+    ``n`` is the real output length (default even: 2*(m-1) like
+    ``np.fft.irfft``); two real matmuls on the planar re/im parts.
+    """
+    precision = PRECISION if precision is None else precision
+    m = x.shape[-1]
+    n = 2 * (m - 1) if n is None else int(n)
+    if n // 2 + 1 != m:
+        raise ValueError(f"irfft_trailing: output length {n} incompatible with {m} modes")
+    rdt = x.real.dtype.name
+    cr, ci = _irdft_mats(n, rdt)
+    re = jnp.einsum("...k,kj->...j", x.real, cr, precision=precision)
+    im = jnp.einsum("...k,kj->...j", x.imag, ci, precision=precision)
+    return re + im
+
+
+def ifft_axis(x: jax.Array, axis: int, precision=None) -> jax.Array:
+    """Inverse complex DFT along ``axis`` as one dense matmul."""
+    precision = PRECISION if precision is None else precision
+    n = x.shape[axis]
+    d = _idft_mat(n, jnp.finfo(x.dtype).dtype.name)
+    moved = jnp.moveaxis(x, axis, -1)
+    out = jnp.einsum("...b,ab->...a", moved, d, precision=precision)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def irfftn_mxu(x: jax.Array, nz: int = None, precision=None) -> jax.Array:
+    """irfftn of a half-spectrum 3D volume via dense DFT matmuls.
+
+    Inverse of :func:`rfftn_mxu` (trailing axis holds nz//2+1 modes);
+    matches ``jnp.fft.irfftn(x, s=(nx, ny, nz))`` to matmul rounding.
+    """
+    w = ifft_axis(x, 0, precision)
+    w = ifft_axis(w, 1, precision)
+    return irfft_trailing(w, nz, precision)
+
+
+def irfftn_fast(x: jax.Array, nz: int = None) -> jax.Array:
+    """irfftn via the MXU dense-DFT path on TPU, jnp.fft elsewhere."""
+    nz = 2 * (x.shape[-1] - 1) if nz is None else int(nz)
+    shape = (x.shape[0], x.shape[1], nz)
+    if use_mxu_fft(shape):
+        return irfftn_mxu(x, nz)
+    return jnp.fft.irfftn(x, s=shape)
+
+
 def use_mxu_fft(shape) -> bool:
     """Dense-DFT path: on TPU, 3D, axes within the matmul-cheap regime."""
     if len(shape) != 3:

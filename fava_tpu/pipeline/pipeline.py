@@ -48,6 +48,8 @@ _ANALYSIS_KEYS = {
     "pdf1d": ("field",),
     "pdf2d": ("field1", "field2"),
     "scalar spectra": ("field",),
+    "enstrophy spectra": (),
+    "helicity spectra": (),
 }
 # Stage 4 runs these whether or not they appear in settings (the
 # reference's fixed three) — their required keys are validated even
@@ -328,6 +330,8 @@ class Pipeline:
             "pdf1d": lambda **kw: self.model.pdf1d(**kw),
             "pdf2d": lambda **kw: self.model.pdf2d(**kw),
             "scalar spectra": lambda **kw: self.model.scalar_spectra(**kw),
+            "enstrophy spectra": lambda **kw: self.model.enstrophy_spectra(**kw),
+            "helicity spectra": lambda **kw: self.model.helicity_spectra(**kw),
         }
         for key, opt_fn in optional.items():
             if key in self.settings:

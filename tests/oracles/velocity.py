@@ -1,0 +1,112 @@
+"""NumPy oracle for the spectral velocity diagnostics (ops/velocity.py).
+
+Independent full-grid np.fft implementation of the Helmholtz
+decomposition, spectral curl/divergence, and enstrophy/helicity shell
+spectra, sharing only the documented conventions: signed integer
+wavenumbers times 2*pi/L physical factors, Nyquist wavenumbers zeroed
+in odd (derivative) operators, k = 0 assigned to the solenoidal part,
+shell means on the integer-|k| grid with binned_statistic edges
+arange(max(n)//2) - 0.5 and the k^2 * 4*pi integral factor (d = 3).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+from scipy.stats import binned_statistic
+
+
+def _k_grids(shape, lengths, zero_nyquist: bool):
+    factors = (
+        (1.0, 1.0, 1.0)
+        if lengths is None
+        else tuple(2.0 * np.pi / float(L) for L in lengths)
+    )
+    ks = []
+    for axis, (n, f) in enumerate(zip(shape, factors)):
+        k = np.fft.fftfreq(n, d=1.0 / n) * f
+        if zero_nyquist and n % 2 == 0:
+            k[n // 2] = 0.0
+        kshape = [1, 1, 1]
+        kshape[axis] = n
+        ks.append(k.reshape(kshape))
+    return ks
+
+
+def helmholtz_oracle(vels: Sequence[np.ndarray], lengths=None):
+    """(solenoidal, compressive) component triples, full-grid np.fft.
+
+    Nyquist wavenumbers are zeroed like the derivative operators: the
+    k_i*k_j cross terms of the projection are even only under flipping
+    all components, so the aliased -n/2 planes are not Hermitian-safe.
+    """
+    shape = vels[0].shape
+    vhats = [np.fft.fftn(v) for v in vels]
+    kx, ky, kz = _k_grids(shape, lengths, zero_nyquist=True)
+    k2 = kx * kx + ky * ky + kz * kz
+    div = (kx * vhats[0] + ky * vhats[1] + kz * vhats[2]) / np.maximum(k2, 1e-300)
+    comp = [np.fft.ifftn(k * div).real for k in (kx, ky, kz)]
+    sol = [v - c for v, c in zip(vels, comp)]
+    return sol, comp
+
+
+def vorticity_oracle(vels: Sequence[np.ndarray], lengths=None):
+    shape = vels[0].shape
+    vhats = [np.fft.fftn(v) for v in vels]
+    kx, ky, kz = _k_grids(shape, lengths, zero_nyquist=True)
+    wx, wy, wz = vhats
+    curls = (
+        1j * (ky * wz - kz * wy),
+        1j * (kz * wx - kx * wz),
+        1j * (kx * wy - ky * wx),
+    )
+    return [np.fft.ifftn(c).real for c in curls]
+
+
+def dilatation_oracle(vels: Sequence[np.ndarray], lengths=None):
+    shape = vels[0].shape
+    vhats = [np.fft.fftn(v) for v in vels]
+    kx, ky, kz = _k_grids(shape, lengths, zero_nyquist=True)
+    return np.fft.ifftn(1j * (kx * vhats[0] + ky * vhats[1] + kz * vhats[2])).real
+
+
+def _shell_mean(p: np.ndarray, shape) -> Dict[str, np.ndarray]:
+    ks = _k_grids(shape, None, zero_nyquist=False)
+    k_abs = np.sqrt(sum(k * k for k in ks))
+    bins = np.arange(max(shape) // 2) - 0.5
+    mean, _, _ = binned_statistic(k_abs.ravel(), p.ravel(), statistic="mean", bins=bins)
+    k = np.arange(len(bins) - 1, dtype=np.float64)
+    return {"k": k, "power": mean * k**2 * (2.0 * np.pi * 2.0)}
+
+
+def enstrophy_spectrum_oracle(vels: Sequence[np.ndarray], lengths=None):
+    """Full-grid shell means of 0.5 |ω̂|² (forward-normalized FFT)."""
+    shape = vels[0].shape
+    ntot = np.prod(shape)
+    vhats = [np.fft.fftn(v) / ntot for v in vels]
+    kx, ky, kz = _k_grids(shape, lengths, zero_nyquist=True)
+    wx, wy, wz = vhats
+    curls = (
+        1j * (ky * wz - kz * wy),
+        1j * (kz * wx - kx * wz),
+        1j * (kx * wy - ky * wx),
+    )
+    p = 0.5 * sum(np.abs(c) ** 2 for c in curls)
+    return _shell_mean(p, shape)
+
+
+def helicity_spectrum_oracle(vels: Sequence[np.ndarray], lengths=None):
+    """Full-grid shell means of Re(v̂* . ω̂) (signed)."""
+    shape = vels[0].shape
+    ntot = np.prod(shape)
+    vhats = [np.fft.fftn(v) / ntot for v in vels]
+    kx, ky, kz = _k_grids(shape, lengths, zero_nyquist=True)
+    wx, wy, wz = vhats
+    curls = (
+        1j * (ky * wz - kz * wy),
+        1j * (kz * wx - kx * wz),
+        1j * (kx * wy - ky * wx),
+    )
+    p = sum((np.conj(v) * c).real for v, c in zip(vhats, curls))
+    return _shell_mean(p, shape)

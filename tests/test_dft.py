@@ -44,6 +44,56 @@ def test_axis_helpers_match_numpy():
         )
 
 
+@pytest.mark.parametrize("shape", [(8, 8, 8), (16, 12, 8), (8, 8, 9), (4, 16, 6)])
+def test_irfftn_mxu_roundtrip_and_numpy(shape):
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(shape)
+    spec = np.fft.rfftn(x)
+    got = np.asarray(dft.irfftn_mxu(jnp.asarray(spec), nz=shape[-1]))
+    ref = np.fft.irfftn(spec, s=shape, axes=(0, 1, 2))
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(got, x, rtol=1e-10, atol=1e-10)
+
+
+def test_irfft_trailing_ignores_self_conjugate_imag():
+    # np.fft.irfft drops the imaginary parts of the k=0 and Nyquist
+    # modes; the dense matrices must do the same.
+    rng = np.random.default_rng(13)
+    spec = rng.standard_normal((4, 5, 5)) + 1j * rng.standard_normal((4, 5, 5))
+    got = np.asarray(dft.irfft_trailing(jnp.asarray(spec), n=8))
+    np.testing.assert_allclose(got, np.fft.irfft(spec, n=8, axis=-1), rtol=1e-10, atol=1e-10)
+
+
+def test_irfft_trailing_odd_output():
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((4, 6, 9))
+    spec = np.fft.rfftn(x)
+    got = np.asarray(dft.irfft_trailing(jnp.asarray(np.fft.rfft(x, axis=-1)), n=9))
+    np.testing.assert_allclose(got, x, rtol=1e-10, atol=1e-10)
+    with pytest.raises(ValueError):
+        dft.irfft_trailing(jnp.asarray(spec), n=12)
+
+
+def test_ifft_axis_matches_numpy():
+    rng = np.random.default_rng(19)
+    xc = rng.standard_normal((6, 10, 8)) + 1j * rng.standard_normal((6, 10, 8))
+    for axis in (0, 1, 2):
+        np.testing.assert_allclose(
+            np.asarray(dft.ifft_axis(jnp.asarray(xc), axis)),
+            np.fft.ifft(xc, axis=axis),
+            rtol=1e-10,
+            atol=1e-10,
+        )
+
+
+def test_irfftn_fast_dispatches_off_tpu():
+    x = np.random.default_rng(23).standard_normal((8, 8, 8))
+    spec = np.fft.rfftn(x)
+    np.testing.assert_allclose(
+        np.asarray(dft.irfftn_fast(jnp.asarray(spec))), x, rtol=1e-12, atol=1e-12
+    )
+
+
 def test_use_mxu_fft_gates():
     assert not dft.use_mxu_fft((8, 8))  # 2D: no
     assert not dft.use_mxu_fft((2048, 8, 8))  # beyond dense regime

@@ -1,0 +1,191 @@
+"""Spectral velocity diagnostics vs the full-grid NumPy oracle.
+
+The device path works on the z-rfft half spectrum (dense MXU matmuls on
+TPU, jnp.fft here); the oracle is an independent full-grid np.fft
+implementation — exact agreement (f64 CPU) checks both the transforms
+and the Nyquist/Hermitian conventions.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fava_tpu.ops import velocity as vel_ops
+from tests.oracles import velocity as oracle
+
+
+def _fields(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.standard_normal(shape) for _ in range(3)]
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 16), (16, 12, 8), (8, 8, 9)])
+def test_helmholtz_matches_oracle_and_sums_exactly(shape):
+    vels = _fields(shape, 1)
+    out = vel_ops.helmholtz_decompose(*[jnp.asarray(v) for v in vels])
+    sol_ref, comp_ref = oracle.helmholtz_oracle(vels)
+    for i, name in enumerate(("velx", "vely", "velz")):
+        np.testing.assert_allclose(
+            np.asarray(out["compressive"][name]), comp_ref[i], rtol=1e-9, atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["solenoidal"][name]), sol_ref[i], rtol=1e-9, atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["solenoidal"][name]) + np.asarray(out["compressive"][name]),
+            vels[i],
+            rtol=1e-12,
+            atol=1e-12,
+        )
+
+
+def test_helmholtz_parts_are_curl_and_divergence_free():
+    shape = (16, 16, 16)
+    vels = _fields(shape, 2)
+    out = vel_ops.helmholtz_decompose(*[jnp.asarray(v) for v in vels])
+    comp = [np.asarray(out["compressive"][n]) for n in ("velx", "vely", "velz")]
+    sol = [np.asarray(out["solenoidal"][n]) for n in ("velx", "vely", "velz")]
+    # Divergence of the solenoidal part vanishes (spectral check).
+    assert np.max(np.abs(oracle.dilatation_oracle(sol))) < 1e-10
+    # Curl of the compressive part vanishes.
+    for c in oracle.vorticity_oracle(comp):
+        assert np.max(np.abs(c)) < 1e-10
+
+
+def test_helmholtz_pure_modes():
+    # A single solenoidal mode passes through untouched; a pure gradient
+    # field is classified compressive (mean removed to solenoidal).
+    n = 16
+    x = np.arange(n) / n
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    sol_field = [np.sin(2 * np.pi * Y), np.zeros_like(X), np.zeros_like(X)]  # div-free
+    phi_grad = [np.sin(2 * np.pi * X), np.zeros_like(X), np.zeros_like(X)]  # = d/dx phi
+    out = vel_ops.helmholtz_decompose(*[jnp.asarray(v) for v in sol_field])
+    for name in ("velx", "vely", "velz"):
+        assert np.max(np.abs(np.asarray(out["compressive"][name]))) < 1e-12
+    out = vel_ops.helmholtz_decompose(*[jnp.asarray(v) for v in phi_grad])
+    np.testing.assert_allclose(
+        np.asarray(out["compressive"]["velx"]), phi_grad[0], rtol=1e-9, atol=1e-12
+    )
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 16), (16, 12, 8)])
+@pytest.mark.parametrize("lengths", [None, (1.0, 2.0, 0.5)])
+def test_vorticity_and_dilatation_match_oracle(shape, lengths):
+    vels = _fields(shape, 3)
+    got = vel_ops.vorticity(*[jnp.asarray(v) for v in vels], lengths=lengths)
+    ref = oracle.vorticity_oracle(vels, lengths)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), r, rtol=1e-9, atol=1e-9)
+    got_d = vel_ops.dilatation(*[jnp.asarray(v) for v in vels], lengths=lengths)
+    np.testing.assert_allclose(
+        np.asarray(got_d), oracle.dilatation_oracle(vels, lengths), rtol=1e-9, atol=1e-9
+    )
+
+
+def test_dilatation_of_solenoidal_field_is_zero():
+    n = 16
+    x = np.arange(n) / n
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    # v = curl of a potential -> exactly divergence-free
+    vels = [
+        np.sin(2 * np.pi * Y) + np.cos(2 * np.pi * Z),
+        np.sin(2 * np.pi * Z),
+        np.cos(2 * np.pi * X),
+    ]
+    d = np.asarray(vel_ops.dilatation(*[jnp.asarray(v) for v in vels]))
+    assert np.max(np.abs(d)) < 1e-12
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 16), (16, 12, 8), (8, 8, 9)])
+def test_enstrophy_spectrum_matches_oracle(shape):
+    vels = _fields(shape, 4)
+    got = vel_ops.enstrophy_spectrum(*[jnp.asarray(v) for v in vels])
+    ref = oracle.enstrophy_spectrum_oracle(vels)
+    np.testing.assert_allclose(got["k"], ref["k"])
+    np.testing.assert_allclose(got["power"], ref["power"], rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("lengths", [None, (2.0, 1.0, 1.5)])
+def test_helicity_spectrum_matches_oracle(lengths):
+    vels = _fields((16, 12, 8), 5)
+    got = vel_ops.helicity_spectrum(*[jnp.asarray(v) for v in vels], lengths=lengths)
+    ref = oracle.helicity_spectrum_oracle(vels, lengths)
+    np.testing.assert_allclose(got["power"], ref["power"], rtol=1e-9, atol=1e-12)
+    # Helicity is signed: a generic random field must produce both signs.
+    finite = got["power"][np.isfinite(got["power"])]
+    assert (finite > 0).any() and (finite < 0).any()
+
+
+def test_beltrami_field_maximal_helicity():
+    # ABC (Beltrami) flow on the 2*pi box: curl v = v, so shell by
+    # shell H(k) = Re(v̂*.v̂) = |v̂|² = 2 * (0.5 |ω̂|²) — the helicity
+    # spectrum is exactly twice the enstrophy spectrum.
+    n = 16
+    x = 2 * np.pi * np.arange(n) / n
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    A = B = C = 1.0
+    vels = [
+        A * np.sin(Z) + C * np.cos(Y),
+        B * np.sin(X) + A * np.cos(Z),
+        C * np.sin(Y) + B * np.cos(X),
+    ]
+    hel = vel_ops.helicity_spectrum(*[jnp.asarray(v) for v in vels])
+    ens = vel_ops.enstrophy_spectrum(*[jnp.asarray(v) for v in vels])
+    mask = np.isfinite(hel["power"]) & (ens["power"] > 1e-20)
+    np.testing.assert_allclose(hel["power"][mask], 2.0 * ens["power"][mask], rtol=1e-9)
+
+
+def test_mesh_methods_and_registration(uniform_file):
+    """Mesh-level wrappers pass the PHYSICAL domain lengths and are
+    registered as model analyses."""
+    import fava_tpu
+    from fava_tpu.mesh import FlashUniform
+
+    mesh = FlashUniform(uniform_file)
+    mesh.load()
+    lengths = mesh._domain_lengths()
+    vels = [np.asarray(mesh.data(f"vel{a}")) for a in "xyz"]
+    vels = [v[0] if v.ndim == 4 else v for v in vels]
+
+    out = mesh.helmholtz_decomposition()
+    sol_ref, comp_ref = oracle.helmholtz_oracle(vels, lengths)
+    for i, name in enumerate(("velx", "vely", "velz")):
+        np.testing.assert_allclose(out["compressive"][name], comp_ref[i], rtol=1e-9, atol=1e-10)
+
+    vort = mesh.vorticity()
+    vort_ref = oracle.vorticity_oracle(vels, lengths)
+    np.testing.assert_allclose(vort["vorty"], vort_ref[1], rtol=1e-9, atol=1e-9)
+
+    dil = mesh.dilatation()["dilatation"]
+    np.testing.assert_allclose(dil, oracle.dilatation_oracle(vels, lengths), rtol=1e-9, atol=1e-9)
+
+    ens = mesh.enstrophy_spectra()
+    np.testing.assert_allclose(
+        ens["power"], oracle.enstrophy_spectrum_oracle(vels, lengths)["power"], rtol=1e-9
+    )
+    hel = mesh.helicity_spectra()
+    np.testing.assert_allclose(
+        hel["power"], oracle.helicity_spectrum_oracle(vels, lengths)["power"], rtol=1e-9, atol=1e-12
+    )
+
+    # Registered on the model (analysis registry).
+    m = fava_tpu.FLASH(uniform_file.parent)
+    m.load(file_type="uni")
+    out2 = m.enstrophy_spectra()
+    np.testing.assert_allclose(out2["power"], ens["power"], rtol=1e-12, atol=1e-30)
+    for name in ("helmholtz_decomposition", "vorticity", "dilatation", "helicity_spectra"):
+        assert hasattr(m, name)
+
+
+def test_shape_validation():
+    v2 = jnp.zeros((8, 8))
+    with pytest.raises(ValueError):
+        vel_ops.helmholtz_decompose(v2, v2, v2)
+    with pytest.raises(ValueError):
+        vel_ops.vorticity(v2, v2, v2)
+    with pytest.raises(ValueError):
+        vel_ops.enstrophy_spectrum(v2, v2, v2)
+    v3 = jnp.zeros((4, 4, 4))
+    with pytest.raises(ValueError):
+        vel_ops.dilatation(v3, v3, v3, lengths=(1.0, 2.0))
