@@ -178,6 +178,36 @@ def test_mesh_methods_and_registration(uniform_file):
         assert hasattr(m, name)
 
 
+def test_diagnostics_sharded_inputs_match_unsharded(uniform_file_32, eight_device_mesh):
+    """Under an active device mesh the uniform volumes arrive
+    slab-sharded; the diagnostics run the same jitted programs and
+    GSPMD must partition them without changing the numbers."""
+    from fava_tpu.mesh import FlashUniform
+    from fava_tpu.parallel import use_mesh
+
+    mesh0 = FlashUniform(uniform_file_32)
+    mesh0.load()
+    ref_ens = mesh0.enstrophy_spectra()
+    ref_hel = mesh0.helicity_spectra()
+    ref_hd = mesh0.helmholtz_decomposition()
+
+    with use_mesh(eight_device_mesh):
+        mesh1 = FlashUniform(uniform_file_32)
+        mesh1.load()
+        assert len(mesh1.data("velx").sharding.device_set) == 8
+        got_ens = mesh1.enstrophy_spectra()
+        got_hel = mesh1.helicity_spectra()
+        got_hd = mesh1.helmholtz_decomposition()
+
+    np.testing.assert_allclose(got_ens["power"], ref_ens["power"], rtol=1e-9, atol=1e-20)
+    np.testing.assert_allclose(got_hel["power"], ref_hel["power"], rtol=1e-9, atol=1e-20)
+    for part in ("solenoidal", "compressive"):
+        for name in ("velx", "vely", "velz"):
+            np.testing.assert_allclose(
+                got_hd[part][name], ref_hd[part][name], rtol=1e-9, atol=1e-12
+            )
+
+
 def test_shape_validation():
     v2 = jnp.zeros((8, 8))
     with pytest.raises(ValueError):
