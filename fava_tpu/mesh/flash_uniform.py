@@ -112,13 +112,23 @@ class FlashUniform(FLASH):
         return {field: spectra_ops.scalar_spectrum(self._volume(field), ndim=self.ndim)}
 
     def _vel_volumes(self):
-        if self.ndim != 3:
-            raise ValueError("spectral velocity diagnostics require a 3D dataset")
-        return [self._volume(f"vel{a}") for a in "xyz"]
+        """In-plane velocity volumes, singleton trailing axes squeezed
+        (2D datasets carry (nx, ny, 1) volumes and 2 components)."""
+        nd = self.ndim
+        if nd not in (2, 3):
+            raise ValueError("spectral velocity diagnostics require a 2D or 3D dataset")
+        vols = [self._volume(f"vel{a}") for a in "xyz"[:nd]]
+        if nd < 3:
+            squeezed = []
+            for v in vols:
+                assert all(s == 1 for s in v.shape[nd:]), "non-singleton trailing axes"
+                squeezed.append(v.reshape(v.shape[:nd]))
+            vols = squeezed
+        return vols
 
     def _domain_lengths(self):
         b = np.asarray(self.domain_bounds, dtype=np.float64)
-        return tuple(float(b[i, 1] - b[i, 0]) for i in range(3))
+        return tuple(float(b[i, 1] - b[i, 0]) for i in range(self.ndim))
 
     @timer
     def helmholtz_decomposition(self) -> Dict[str, Dict[str, np.ndarray]]:
@@ -137,11 +147,14 @@ class FlashUniform(FLASH):
 
     @timer
     def vorticity(self) -> Dict[str, np.ndarray]:
-        """Vorticity components via spectral differentiation."""
+        """Vorticity via spectral differentiation (2D: the scalar
+        out-of-plane component only)."""
         from fava_tpu.ops import velocity as vel_ops
 
-        wx, wy, wz = vel_ops.vorticity(*self._vel_volumes(), lengths=self._domain_lengths())
-        return {"vortx": np.asarray(wx), "vorty": np.asarray(wy), "vortz": np.asarray(wz)}
+        out = vel_ops.vorticity(*self._vel_volumes(), lengths=self._domain_lengths())
+        if self.ndim == 2:
+            return {"vortz": np.asarray(out)}
+        return {k: np.asarray(v) for k, v in zip(("vortx", "vorty", "vortz"), out)}
 
     @timer
     def dilatation(self) -> Dict[str, np.ndarray]:
@@ -160,9 +173,12 @@ class FlashUniform(FLASH):
 
     @timer
     def helicity_spectra(self) -> Dict[str, np.ndarray]:
-        """Shell-binned (signed) helicity spectrum."""
+        """Shell-binned (signed) helicity spectrum (3D only: helicity
+        vanishes identically for in-plane 2D flows)."""
         from fava_tpu.ops import velocity as vel_ops
 
+        if self.ndim != 3:
+            raise ValueError("helicity vanishes identically in 2D flows (3D datasets only)")
         return vel_ops.helicity_spectrum(*self._vel_volumes(), lengths=self._domain_lengths())
 
     @timer

@@ -212,12 +212,22 @@ def irfftn_mxu(x: jax.Array, nz: int = None, precision=None) -> jax.Array:
 
 
 def irfftn_fast(x: jax.Array, nz: int = None) -> jax.Array:
-    """irfftn via the MXU dense-DFT path on TPU, jnp.fft elsewhere."""
+    """irfftn via the MXU dense-DFT path on TPU, jnp.fft elsewhere.
+
+    Accepts 2D (nx, nz//2+1) or 3D (nx, ny, nz//2+1) half-spectra.
+    """
     nz = 2 * (x.shape[-1] - 1) if nz is None else int(nz)
-    shape = (x.shape[0], x.shape[1], nz)
+    shape = (*(int(s) for s in x.shape[:-1]), nz)
+    if x.ndim == 2:
+        if (
+            all(2 <= int(s) <= MAX_DENSE_AXIS for s in shape)
+            and jax.devices()[0].platform == "tpu"
+        ):
+            return irfft_trailing(ifft_axis(x, 0), nz)
+        return jnp.fft.irfftn(x, s=shape, axes=(0, 1))
     if use_mxu_fft(shape):
         return irfftn_mxu(x, nz)
-    return jnp.fft.irfftn(x, s=shape)
+    return jnp.fft.irfftn(x, s=shape, axes=(0, 1, 2))
 
 
 def use_mxu_fft(shape) -> bool:

@@ -45,24 +45,25 @@ import numpy as np
 from fava_tpu.utils import accum_dtype
 
 
-def _phys_factors(lengths: Optional[Sequence[float]]) -> Tuple[float, float, float]:
+def _phys_factors(lengths: Optional[Sequence[float]], nd: int):
     """Per-axis 2*pi/L factors turning integer wavenumbers into physical
     ones (unit factors when no domain lengths are given)."""
     if lengths is None:
-        return (1.0, 1.0, 1.0)
-    if len(lengths) != 3:
-        raise ValueError(f"lengths must have 3 entries, got {len(lengths)}")
+        return (1.0,) * nd
+    if len(lengths) != nd:
+        raise ValueError(f"lengths must have {nd} entries, got {len(lengths)}")
     return tuple(2.0 * np.pi / float(L) for L in lengths)
 
 
-def _k_grids(shape: Tuple[int, int, int], dtype, lengths, zero_nyquist: bool):
-    """Broadcastable (kx, ky, kz) grids on the z-rfft half-spectrum.
+def _k_grids(shape: Tuple[int, ...], dtype, lengths, zero_nyquist: bool):
+    """Broadcastable wavenumber grids on the trailing-axis rfft
+    half-spectrum (2D or 3D volume shape).
 
     ``zero_nyquist`` is required for odd (derivative) operators — see
     the module docstring.
     """
-    nx, ny, nz = shape
-    fx, fy, fz = _phys_factors(lengths)
+    nd = len(shape)
+    factors = _phys_factors(lengths, nd)
 
     def signed(n, f):
         # Host-side twin of pfft._wavenumbers (these grids are trace-time
@@ -73,13 +74,18 @@ def _k_grids(shape: Tuple[int, int, int], dtype, lengths, zero_nyquist: bool):
             k[n // 2] = 0.0
         return k
 
-    kx = jnp.asarray(signed(nx, fx))[:, None, None]
-    ky = jnp.asarray(signed(ny, fy))[None, :, None]
-    kzv = np.arange(nz // 2 + 1, dtype=dtype) * fz
-    if zero_nyquist and nz % 2 == 0:
-        kzv[nz // 2] = 0.0
-    kz = jnp.asarray(kzv)[None, None, :]
-    return kx, ky, kz
+    grids = []
+    for axis, (n, f) in enumerate(zip(shape, factors)):
+        if axis == nd - 1:  # half (rfft) axis: non-negative modes only
+            kv = np.arange(n // 2 + 1, dtype=dtype) * f
+            if zero_nyquist and n % 2 == 0:
+                kv[n // 2] = 0.0
+        else:
+            kv = signed(n, f)
+        kshape = [1] * nd
+        kshape[axis] = len(kv)
+        grids.append(jnp.asarray(kv).reshape(kshape))
+    return grids
 
 
 def _rfft3(v: jax.Array) -> jax.Array:
@@ -108,20 +114,34 @@ def _vorticity_hats(vhats, shape, lengths):
     )
 
 
-@lru_cache(maxsize=16)
-def _helmholtz_fn(shape: Tuple[int, int, int], lengths):
-    nx, ny, nz = shape
+def _check_vels(vels, lengths, what: str):
+    """Common validation; returns (shape, hashable lengths key)."""
+    shape = tuple(int(s) for s in vels[0].shape)
+    nd = len(shape)
+    if nd not in (2, 3):
+        raise ValueError(f"{what} requires 2D or 3D velocity volumes, got {nd}D")
+    if len(vels) != nd:
+        raise ValueError(f"{what}: {nd}D flow needs {nd} velocity components, got {len(vels)}")
+    if lengths is not None and len(lengths) != nd:
+        raise ValueError(f"lengths must have {nd} entries, got {len(lengths)}")
+    key = None if lengths is None else tuple(float(L) for L in lengths)
+    return shape, key
 
-    def core(velx, vely, velz):
-        vhats = [_rfft3(v) for v in (velx, vely, velz)]
+
+@lru_cache(maxsize=16)
+def _helmholtz_fn(shape: Tuple[int, ...], lengths):
+    n_last = shape[-1]
+
+    def core(*vels):
+        vhats = [_rfft3(v) for v in vels]
         rdt = vhats[0].real.dtype
-        kx, ky, kz = _k_grids(shape, rdt, lengths, zero_nyquist=True)
-        k2 = kx * kx + ky * ky + kz * kz
-        div = (kx * vhats[0] + ky * vhats[1] + kz * vhats[2]) / jnp.maximum(
+        ks = _k_grids(shape, rdt, lengths, zero_nyquist=True)
+        k2 = sum(k * k for k in ks)
+        div = sum(k * w for k, w in zip(ks, vhats)) / jnp.maximum(
             k2, jnp.asarray(1e-30, rdt)
         )
-        comp = [_irfft3(k * div, nz) for k in (kx, ky, kz)]
-        sol = [v - c for v, c in zip((velx, vely, velz), comp)]
+        comp = [_irfft3(k * div, n_last) for k in ks]
+        sol = [v - c for v, c in zip(vels, comp)]
         return tuple(sol), tuple(comp)
 
     return jax.jit(core)
@@ -130,10 +150,10 @@ def _helmholtz_fn(shape: Tuple[int, int, int], lengths):
 def helmholtz_decompose(
     velx: jax.Array,
     vely: jax.Array,
-    velz: jax.Array,
+    velz: Optional[jax.Array] = None,
     lengths: Optional[Sequence[float]] = None,
 ) -> Dict[str, Dict[str, jax.Array]]:
-    """Solenoidal/compressive split of a periodic 3D velocity field.
+    """Solenoidal/compressive split of a periodic velocity field.
 
     The compressive (curl-free) part is the spectral projection onto
     k̂; the solenoidal (divergence-free) part is the remainder — the
@@ -141,15 +161,13 @@ def helmholtz_decompose(
     set, not two). The k = 0 and Nyquist modes land in the solenoidal
     part (module docstring). ``lengths`` scales the projection
     direction for anisotropic physical domains; for a cubic box it
-    cancels. Returns {"solenoidal": {velx, vely, velz},
-    "compressive": {...}}.
+    cancels. 2D flows pass two (nx, ny) components and ``velz=None``.
+    Returns {"solenoidal": {velx, vely[, velz]}, "compressive": {...}}.
     """
-    shape = tuple(int(s) for s in velx.shape)
-    if len(shape) != 3:
-        raise ValueError("helmholtz_decompose requires 3D velocity volumes")
-    key = None if lengths is None else tuple(float(L) for L in lengths)
-    sol, comp = _helmholtz_fn(shape, key)(velx, vely, velz)
-    names = ("velx", "vely", "velz")
+    vels = (velx, vely) if velz is None else (velx, vely, velz)
+    shape, key = _check_vels(vels, lengths, "helmholtz_decompose")
+    sol, comp = _helmholtz_fn(shape, key)(*vels)
+    names = ("velx", "vely", "velz")[: len(vels)]
     return {
         "solenoidal": dict(zip(names, sol)),
         "compressive": dict(zip(names, comp)),
@@ -157,13 +175,18 @@ def helmholtz_decompose(
 
 
 @lru_cache(maxsize=16)
-def _vorticity_fn(shape: Tuple[int, int, int], lengths):
-    nz = shape[2]
+def _vorticity_fn(shape: Tuple[int, ...], lengths):
+    n_last = shape[-1]
 
-    def core(velx, vely, velz):
-        vhats = [_rfft3(v) for v in (velx, vely, velz)]
+    def core(*vels):
+        vhats = [_rfft3(v) for v in vels]
+        if len(shape) == 2:
+            # 2D vorticity is the scalar out-of-plane component.
+            kx, ky = _k_grids(shape, vhats[0].real.dtype, lengths, zero_nyquist=True)
+            i = jnp.asarray(1j, dtype=vhats[0].dtype)
+            return _irfft3(i * (kx * vhats[1] - ky * vhats[0]), n_last)
         whats = _vorticity_hats(vhats, shape, lengths)
-        return tuple(_irfft3(w, nz) for w in whats)
+        return tuple(_irfft3(w, n_last) for w in whats)
 
     return jax.jit(core)
 
@@ -171,27 +194,29 @@ def _vorticity_fn(shape: Tuple[int, int, int], lengths):
 def vorticity(
     velx: jax.Array,
     vely: jax.Array,
-    velz: jax.Array,
+    velz: Optional[jax.Array] = None,
     lengths: Optional[Sequence[float]] = None,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Vorticity ω = ∇ x v via spectral differentiation (periodic)."""
-    shape = tuple(int(s) for s in velx.shape)
-    if len(shape) != 3:
-        raise ValueError("vorticity requires 3D velocity volumes")
-    key = None if lengths is None else tuple(float(L) for L in lengths)
-    return _vorticity_fn(shape, key)(velx, vely, velz)
+):
+    """Vorticity ω = ∇ x v via spectral differentiation (periodic).
+
+    3D returns the (ωx, ωy, ωz) component tuple; 2D (``velz=None``)
+    returns the scalar out-of-plane vorticity ∂x vy - ∂y vx.
+    """
+    vels = (velx, vely) if velz is None else (velx, vely, velz)
+    shape, key = _check_vels(vels, lengths, "vorticity")
+    return _vorticity_fn(shape, key)(*vels)
 
 
 @lru_cache(maxsize=16)
-def _dilatation_fn(shape: Tuple[int, int, int], lengths):
-    nz = shape[2]
+def _dilatation_fn(shape: Tuple[int, ...], lengths):
+    n_last = shape[-1]
 
-    def core(velx, vely, velz):
-        vhats = [_rfft3(v) for v in (velx, vely, velz)]
-        kx, ky, kz = _k_grids(shape, vhats[0].real.dtype, lengths, zero_nyquist=True)
+    def core(*vels):
+        vhats = [_rfft3(v) for v in vels]
+        ks = _k_grids(shape, vhats[0].real.dtype, lengths, zero_nyquist=True)
         i = jnp.asarray(1j, dtype=vhats[0].dtype)
-        theta = i * (kx * vhats[0] + ky * vhats[1] + kz * vhats[2])
-        return _irfft3(theta, nz)
+        theta = i * sum(k * w for k, w in zip(ks, vhats))
+        return _irfft3(theta, n_last)
 
     return jax.jit(core)
 
@@ -199,34 +224,56 @@ def _dilatation_fn(shape: Tuple[int, int, int], lengths):
 def dilatation(
     velx: jax.Array,
     vely: jax.Array,
-    velz: jax.Array,
+    velz: Optional[jax.Array] = None,
     lengths: Optional[Sequence[float]] = None,
 ) -> jax.Array:
     """Dilatation θ = ∇ . v via spectral differentiation (periodic)."""
-    shape = tuple(int(s) for s in velx.shape)
-    if len(shape) != 3:
-        raise ValueError("dilatation requires 3D velocity volumes")
-    key = None if lengths is None else tuple(float(L) for L in lengths)
-    return _dilatation_fn(shape, key)(velx, vely, velz)
+    vels = (velx, vely) if velz is None else (velx, vely, velz)
+    shape, key = _check_vels(vels, lengths, "dilatation")
+    return _dilatation_fn(shape, key)(*vels)
 
 
 def _bin_rfft_power(p: jax.Array, full_shape, nbins: int):
-    """Shell-mean of one Hermitian power volume (kernel on TPU, scatter
-    fallback elsewhere) — the scalar-spectrum binning, shared."""
-    from fava_tpu.ops import pallas_kernels as pk
-
+    """Shell-mean of one Hermitian power volume on the trailing-axis
+    half-spectrum (Pallas kernel on TPU for 3D, Hermitian-weighted
+    scatter otherwise) — the scalar-spectrum binning, shared."""
     adt = accum_dtype()
-    counts, sums = pk.shell_bin_sums_rfft_scalar(p.astype(adt), nbins, full_shape[-1])
+    if len(full_shape) == 3:
+        from fava_tpu.ops import pallas_kernels as pk
+
+        counts, sums = pk.shell_bin_sums_rfft_scalar(p.astype(adt), nbins, full_shape[-1])
+        return jnp.where(counts > 0, sums / jnp.maximum(counts, 1), jnp.nan)
+
+    # 2D: Hermitian-weighted scatter-add on the half grid.
+    n_last = full_shape[-1]
+    ks = _k_grids(full_shape, np.dtype(adt), None, False)
+    k_abs = jnp.sqrt(sum(k * k for k in ks))
+    j_last = jnp.arange(n_last // 2 + 1)
+    self_conj = j_last == 0
+    if n_last % 2 == 0:
+        self_conj = self_conj | (j_last == n_last // 2)
+    weight = jnp.where(self_conj, 1.0, 2.0).astype(adt)
+    weight = jnp.broadcast_to(weight[None, :], k_abs.shape)
+    bidx = jnp.clip(jnp.floor(k_abs + 0.5).astype(jnp.int32), 0, nbins - 1).ravel()
+    mask = (k_abs <= (nbins - 0.5)).ravel()
+    w_flat = jnp.where(mask, weight.ravel(), 0)
+    counts = jnp.zeros(nbins, dtype=adt).at[bidx].add(w_flat)
+    sums = jnp.zeros(nbins, dtype=adt).at[bidx].add(p.astype(adt).ravel() * w_flat)
     return jnp.where(counts > 0, sums / jnp.maximum(counts, 1), jnp.nan)
 
 
 @lru_cache(maxsize=16)
-def _spectrum_fn(shape: Tuple[int, int, int], lengths, which: str, nbins: int, path_key):
+def _spectrum_fn(shape: Tuple[int, ...], lengths, which: str, nbins: int, path_key):
     ntot = int(np.prod(shape))
     adt = accum_dtype()
 
-    def core(velx, vely, velz):
-        vhats = [_rfft3(v) / ntot for v in (velx, vely, velz)]
+    def core(*vels):
+        vhats = [_rfft3(v) / ntot for v in vels]
+        if len(shape) == 2:  # enstrophy only (helicity vanishes in 2D)
+            kx, ky = _k_grids(shape, vhats[0].real.dtype, lengths, zero_nyquist=True)
+            wz = 1j * (kx * vhats[1] - ky * vhats[0])
+            p = (0.5 * jnp.abs(wz) ** 2).astype(adt)
+            return _bin_rfft_power(p, shape, nbins)
         whats = _vorticity_hats(vhats, shape, lengths)
         if which == "enstrophy":
             p = (0.5 * sum(jnp.abs(w) ** 2 for w in whats)).astype(adt)
@@ -238,11 +285,9 @@ def _spectrum_fn(shape: Tuple[int, int, int], lengths, which: str, nbins: int, p
 
 
 def _velocity_spectrum(vels, lengths, which: str) -> Dict[str, np.ndarray]:
-    shape = tuple(int(s) for s in vels[0].shape)
-    if len(shape) != 3:
-        raise ValueError(f"{which}_spectrum requires 3D velocity volumes")
+    shape, key = _check_vels(vels, lengths, f"{which}_spectrum")
+    nd = len(shape)
     nbins = max(shape) // 2 - 1
-    key = None if lengths is None else tuple(float(L) for L in lengths)
 
     from fava_tpu.ops import pallas_kernels as pk
 
@@ -250,19 +295,21 @@ def _velocity_spectrum(vels, lengths, which: str) -> Dict[str, np.ndarray]:
         _spectrum_fn(shape, key, which, nbins, pk.path_key())(*vels), dtype=np.float64
     )
     k = np.arange(nbins, dtype=np.float64)
-    integral_factor = k ** 2 * (2.0 * np.pi * 2.0)  # d = 3
+    integral_factor = k ** (nd - 1) * (2.0 * np.pi * (nd - 1))
     return {"k": k, "power": mean * integral_factor}
 
 
 def enstrophy_spectrum(
     velx: jax.Array,
     vely: jax.Array,
-    velz: jax.Array,
+    velz: Optional[jax.Array] = None,
     lengths: Optional[Sequence[float]] = None,
 ) -> Dict[str, np.ndarray]:
     """Shell-binned enstrophy spectrum 0.5 |ω̂|² (mean over shells,
-    KE-spectra binning convention and integral factor)."""
-    return _velocity_spectrum((velx, vely, velz), lengths, "enstrophy")
+    KE-spectra binning convention and integral factor). 2D flows pass
+    two components (ω is the scalar out-of-plane vorticity there)."""
+    vels = (velx, vely) if velz is None else (velx, vely, velz)
+    return _velocity_spectrum(vels, lengths, "enstrophy")
 
 
 def helicity_spectrum(
@@ -272,5 +319,7 @@ def helicity_spectrum(
     lengths: Optional[Sequence[float]] = None,
 ) -> Dict[str, np.ndarray]:
     """Shell-binned helicity spectrum Re(v̂* . ω̂) — signed, so shells
-    may be negative (helicity is a signed invariant)."""
+    may be negative (helicity is a signed invariant). 3D only: in 2D
+    the velocity lies in-plane while ω points out of it, so helicity
+    vanishes identically."""
     return _velocity_spectrum((velx, vely, velz), lengths, "helicity")

@@ -383,6 +383,76 @@ def validate_analyses() -> dict:
         "note": "lagrangian/cross correlations are host-side NumPy (no device math)",
     }
 
+    # --- spectral velocity diagnostics (MXU inverse DFT path) ----------
+    # Exercises irfftn_mxu on chip: the Helmholtz/vorticity fields are
+    # the only analyses with an INVERSE transform in the hot path.
+    print("== analyses: velocity diagnostics ==", flush=True)
+    from fava_tpu.ops import velocity as vel_ops
+    from tests.oracles import velocity as vel_oracle
+
+    fields = make_example_fields(n=128)
+    vels_dev = fields[1:]
+    vels64 = [np.asarray(v, dtype=np.float64) for v in vels_dev]
+
+    hd = vel_ops.helmholtz_decompose(*vels_dev)
+    sol_ref, comp_ref = vel_oracle.helmholtz_oracle(vels64)
+    helm_err = max(
+        max(
+            _scaled_err(np.asarray(hd["compressive"][n]), comp_ref[i])
+            for i, n in enumerate(("velx", "vely", "velz"))
+        ),
+        max(
+            _scaled_err(np.asarray(hd["solenoidal"][n]), sol_ref[i])
+            for i, n in enumerate(("velx", "vely", "velz"))
+        ),
+    )
+    vort = vel_ops.vorticity(*vels_dev)
+    vort_ref = vel_oracle.vorticity_oracle(vels64)
+    vort_err = max(_scaled_err(np.asarray(g), r) for g, r in zip(vort, vort_ref))
+    dil_err = _scaled_err(
+        np.asarray(vel_ops.dilatation(*vels_dev)), vel_oracle.dilatation_oracle(vels64)
+    )
+    ens = vel_ops.enstrophy_spectrum(*vels_dev)["power"]
+    ens_ref = vel_oracle.enstrophy_spectrum_oracle(vels64)["power"]
+
+    # Helicity needs a HELICAL validation field: the trig mix is
+    # near-helicity-free (measured max|H| ~ 1e-7 vs operand scale ~20),
+    # so normalizing by max|H| there measures pure cancellation noise.
+    # ABC (Beltrami) backbone (|H(k)| = 2 Z(k), maximal) + the trig mix
+    # at 0.1 amplitude to populate more shells.
+    import jax.numpy as jnp
+
+    nn = 128
+    xs = 2.0 * np.pi * jnp.arange(nn, dtype=jnp.float32) / nn
+    X = xs[:, None, None]
+    Y = xs[None, :, None]
+    Z = xs[None, None, :]
+    abc = (
+        jnp.sin(Z) + jnp.cos(Y),
+        jnp.sin(X) + jnp.cos(Z),
+        jnp.sin(Y) + jnp.cos(X),
+    )
+    vels_h = [a + 0.1 * p for a, p in zip(abc, vels_dev)]
+    vels_h64 = [np.asarray(v, dtype=np.float64) for v in vels_h]
+    hel = vel_ops.helicity_spectrum(*vels_h)["power"]
+    hel_ref = vel_oracle.helicity_spectrum_oracle(vels_h64)["power"]
+    fin = np.isfinite(hel_ref)
+    fin[:1] = False
+    out["velocity_diagnostics"] = {
+        "config": {
+            "n": 128,
+            "oracle": "full-grid np.fft f64 (tests/oracles/velocity.py)",
+            "helicity_field": "ABC Beltrami + 0.1x trig mix (the plain trig mix is near-helicity-free)",
+        },
+        "max_scaled_error": {
+            "helmholtz_fields": helm_err,
+            "vorticity_fields": vort_err,
+            "dilatation_field": dil_err,
+            "enstrophy_spectrum": _scaled_err(ens[1:], ens_ref[1:]),
+            "helicity_spectrum": _scaled_err(hel[fin], hel_ref[fin]),
+        },
+    }
+
     # --- structure functions (same-draw oracle) ------------------------
     print("== analyses: structure functions ==", flush=True)
     out["structure_functions"] = validate_structure_functions()

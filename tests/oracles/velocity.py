@@ -18,8 +18,9 @@ from scipy.stats import binned_statistic
 
 
 def _k_grids(shape, lengths, zero_nyquist: bool):
+    nd = len(shape)
     factors = (
-        (1.0, 1.0, 1.0)
+        (1.0,) * nd
         if lengths is None
         else tuple(2.0 * np.pi / float(L) for L in lengths)
     )
@@ -28,7 +29,7 @@ def _k_grids(shape, lengths, zero_nyquist: bool):
         k = np.fft.fftfreq(n, d=1.0 / n) * f
         if zero_nyquist and n % 2 == 0:
             k[n // 2] = 0.0
-        kshape = [1, 1, 1]
+        kshape = [1] * nd
         kshape[axis] = n
         ks.append(k.reshape(kshape))
     return ks
@@ -43,10 +44,10 @@ def helmholtz_oracle(vels: Sequence[np.ndarray], lengths=None):
     """
     shape = vels[0].shape
     vhats = [np.fft.fftn(v) for v in vels]
-    kx, ky, kz = _k_grids(shape, lengths, zero_nyquist=True)
-    k2 = kx * kx + ky * ky + kz * kz
-    div = (kx * vhats[0] + ky * vhats[1] + kz * vhats[2]) / np.maximum(k2, 1e-300)
-    comp = [np.fft.ifftn(k * div).real for k in (kx, ky, kz)]
+    ks = _k_grids(shape, lengths, zero_nyquist=True)
+    k2 = sum(k * k for k in ks)
+    div = sum(k * w for k, w in zip(ks, vhats)) / np.maximum(k2, 1e-300)
+    comp = [np.fft.ifftn(k * div).real for k in ks]
     sol = [v - c for v, c in zip(vels, comp)]
     return sol, comp
 
@@ -67,17 +68,36 @@ def vorticity_oracle(vels: Sequence[np.ndarray], lengths=None):
 def dilatation_oracle(vels: Sequence[np.ndarray], lengths=None):
     shape = vels[0].shape
     vhats = [np.fft.fftn(v) for v in vels]
-    kx, ky, kz = _k_grids(shape, lengths, zero_nyquist=True)
-    return np.fft.ifftn(1j * (kx * vhats[0] + ky * vhats[1] + kz * vhats[2])).real
+    ks = _k_grids(shape, lengths, zero_nyquist=True)
+    return np.fft.ifftn(1j * sum(k * w for k, w in zip(ks, vhats))).real
+
+
+def vorticity_2d_oracle(vels: Sequence[np.ndarray], lengths=None):
+    """Scalar out-of-plane vorticity of a 2D flow."""
+    shape = vels[0].shape
+    vhats = [np.fft.fftn(v) for v in vels]
+    kx, ky = _k_grids(shape, lengths, zero_nyquist=True)
+    return np.fft.ifftn(1j * (kx * vhats[1] - ky * vhats[0])).real
+
+
+def enstrophy_spectrum_2d_oracle(vels: Sequence[np.ndarray], lengths=None):
+    """Full-grid shell means of 0.5 |ω̂_z|² for a 2D flow."""
+    shape = vels[0].shape
+    ntot = np.prod(shape)
+    vhats = [np.fft.fftn(v) / ntot for v in vels]
+    kx, ky = _k_grids(shape, lengths, zero_nyquist=True)
+    wz = 1j * (kx * vhats[1] - ky * vhats[0])
+    return _shell_mean(0.5 * np.abs(wz) ** 2, shape)
 
 
 def _shell_mean(p: np.ndarray, shape) -> Dict[str, np.ndarray]:
+    nd = len(shape)
     ks = _k_grids(shape, None, zero_nyquist=False)
     k_abs = np.sqrt(sum(k * k for k in ks))
     bins = np.arange(max(shape) // 2) - 0.5
     mean, _, _ = binned_statistic(k_abs.ravel(), p.ravel(), statistic="mean", bins=bins)
     k = np.arange(len(bins) - 1, dtype=np.float64)
-    return {"k": k, "power": mean * k**2 * (2.0 * np.pi * 2.0)}
+    return {"k": k, "power": mean * k ** (nd - 1) * (2.0 * np.pi * (nd - 1))}
 
 
 def enstrophy_spectrum_oracle(vels: Sequence[np.ndarray], lengths=None):

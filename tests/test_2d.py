@@ -64,3 +64,35 @@ def test_2d_slice_average_constant(mesh2d):
 def test_2d_fractal_dimension(mesh2d):
     out = mesh2d.fractal_dimension(field="flam", contours=0.5)
     assert np.isfinite(out["flam"]["0.5"]["average fractal dimension"])
+
+
+def test_2d_velocity_diagnostics(mesh2d):
+    from tests.oracles import velocity as vel_oracle
+
+    vels = [np.asarray(mesh2d.data(f"vel{a}"), dtype=np.float64)[:, :, 0] for a in "xy"]
+    lengths = mesh2d._domain_lengths()
+    assert len(lengths) == 2
+
+    hd = mesh2d.helmholtz_decomposition()
+    sol_ref, comp_ref = vel_oracle.helmholtz_oracle(vels, lengths)
+    for i, name in enumerate(("velx", "vely")):
+        np.testing.assert_allclose(hd["compressive"][name], comp_ref[i], rtol=1e-9, atol=1e-10)
+    assert set(hd["solenoidal"]) == {"velx", "vely"}
+
+    vort = mesh2d.vorticity()
+    assert set(vort) == {"vortz"}
+    np.testing.assert_allclose(
+        vort["vortz"], vel_oracle.vorticity_2d_oracle(vels, lengths), rtol=1e-9, atol=1e-9
+    )
+
+    dil = mesh2d.dilatation()["dilatation"]
+    np.testing.assert_allclose(
+        dil, vel_oracle.dilatation_oracle(vels, lengths), rtol=1e-9, atol=1e-9
+    )
+
+    ens = mesh2d.enstrophy_spectra()
+    ref = vel_oracle.enstrophy_spectrum_2d_oracle(vels, lengths)
+    np.testing.assert_allclose(ens["power"], ref["power"], rtol=1e-9, atol=1e-15)
+
+    with pytest.raises(ValueError):
+        mesh2d.helicity_spectra()

@@ -178,6 +178,45 @@ def test_mesh_methods_and_registration(uniform_file):
         assert hasattr(m, name)
 
 
+@pytest.mark.parametrize("shape", [(16, 16), (16, 12), (8, 9)])
+def test_2d_diagnostics_match_oracle(shape):
+    rng = np.random.default_rng(31)
+    vels = [rng.standard_normal(shape) for _ in range(2)]
+    jv = [jnp.asarray(v) for v in vels]
+
+    out = vel_ops.helmholtz_decompose(*jv)
+    sol_ref, comp_ref = oracle.helmholtz_oracle(vels)
+    for i, name in enumerate(("velx", "vely")):
+        np.testing.assert_allclose(
+            np.asarray(out["compressive"][name]), comp_ref[i], rtol=1e-9, atol=1e-10
+        )
+    assert set(out["solenoidal"]) == {"velx", "vely"}
+
+    w = vel_ops.vorticity(*jv, lengths=(2.0, 3.0))
+    ref_w = oracle.vorticity_2d_oracle(vels, (2.0, 3.0))
+    np.testing.assert_allclose(np.asarray(w), ref_w, rtol=1e-9, atol=1e-9)
+
+    d = vel_ops.dilatation(*jv)
+    np.testing.assert_allclose(
+        np.asarray(d), oracle.dilatation_oracle(vels), rtol=1e-9, atol=1e-9
+    )
+
+    ens = vel_ops.enstrophy_spectrum(*jv)
+    ref = oracle.enstrophy_spectrum_2d_oracle(vels)
+    np.testing.assert_allclose(ens["power"], ref["power"], rtol=1e-9, atol=1e-12)
+
+
+def test_2d_component_count_validation():
+    v2 = jnp.zeros((8, 8))
+    v3 = jnp.zeros((8, 8, 8))
+    with pytest.raises(ValueError):
+        vel_ops.helmholtz_decompose(v2, v2, v2)  # 2D arrays, 3 components
+    with pytest.raises(ValueError):
+        vel_ops.vorticity(v3, v3)  # 3D arrays, 2 components
+    with pytest.raises(ValueError):
+        vel_ops.helicity_spectrum(v2, v2, v2)  # helicity vanishes in 2D
+
+
 def test_diagnostics_sharded_inputs_match_unsharded(uniform_file_32, eight_device_mesh):
     """Under an active device mesh the uniform volumes arrive
     slab-sharded; the diagnostics run the same jitted programs and
