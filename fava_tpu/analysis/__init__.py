@@ -22,6 +22,7 @@ from fava_tpu.analysis.velocity_diagnostics import (
     helmholtz_decomposition,
     vorticity,
 )
+from fava_tpu.analysis.dispersion import dispersion_statistics
 from fava_tpu.analysis.structure_functions import structure_functions
 from fava_tpu.analysis.pdf1d import pdf1d
 from fava_tpu.analysis.pdf2d import pdf2d
@@ -52,6 +53,7 @@ __all__ = [
     "dilatation",
     "enstrophy_spectra",
     "helicity_spectra",
+    "dispersion_statistics",
     "structure_functions",
     "pdf1d",
     "pdf2d",
