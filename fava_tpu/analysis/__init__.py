@@ -20,6 +20,7 @@ from fava_tpu.analysis.velocity_diagnostics import (
     enstrophy_spectra,
     helicity_spectra,
     helmholtz_decomposition,
+    transfer_spectra,
     vorticity,
 )
 from fava_tpu.analysis.dispersion import dispersion_statistics
@@ -53,6 +54,7 @@ __all__ = [
     "dilatation",
     "enstrophy_spectra",
     "helicity_spectra",
+    "transfer_spectra",
     "dispersion_statistics",
     "structure_functions",
     "pdf1d",

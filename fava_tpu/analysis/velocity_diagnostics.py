@@ -35,3 +35,8 @@ def enstrophy_spectra(self, *args, **kwargs):
 @Model.register_analysis(use_timer=True)
 def helicity_spectra(self, *args, **kwargs):
     return self.mesh.helicity_spectra(*args, **kwargs)
+
+
+@Model.register_analysis(use_timer=True)
+def transfer_spectra(self, *args, **kwargs):
+    return self.mesh.transfer_spectra(*args, **kwargs)

@@ -182,6 +182,17 @@ class FlashUniform(FLASH):
         return vel_ops.helicity_spectrum(*self._vel_volumes(), lengths=self._domain_lengths())
 
     @timer
+    def transfer_spectra(self, dealias: bool = False) -> Dict[str, np.ndarray]:
+        """Nonlinear kinetic-energy transfer T(k) + flux Π(k) (shell
+        sums — they telescope, unlike the mean-based power spectra;
+        ops/velocity.transfer_spectrum)."""
+        from fava_tpu.ops import velocity as vel_ops
+
+        return vel_ops.transfer_spectrum(
+            *self._vel_volumes(), lengths=self._domain_lengths(), dealias=dealias
+        )
+
+    @timer
     def fractal_dimension(self, field: str, contours=0.5) -> Dict[str, Any]:
         """Box-counting dimension (reference: FlashUniform.py:85-227)."""
         result = fractal_ops.fractal_dimension(self._volume(field), contours)

@@ -233,16 +233,16 @@ def dilatation(
     return _dilatation_fn(shape, key)(*vels)
 
 
-def _bin_rfft_power(p: jax.Array, full_shape, nbins: int):
-    """Shell-mean of one Hermitian power volume on the trailing-axis
-    half-spectrum (Pallas kernel on TPU for 3D, Hermitian-weighted
-    scatter otherwise) — the scalar-spectrum binning, shared."""
+def _bin_rfft_stats(p: jax.Array, full_shape, nbins: int):
+    """(counts, sums) Hermitian-weighted shell stats of one power volume
+    on the trailing-axis half-spectrum (Pallas kernel on TPU for 3D,
+    Hermitian-weighted scatter otherwise) — the scalar-spectrum binning,
+    shared by the mean (spectra) and sum (transfer/flux) consumers."""
     adt = accum_dtype()
     if len(full_shape) == 3:
         from fava_tpu.ops import pallas_kernels as pk
 
-        counts, sums = pk.shell_bin_sums_rfft_scalar(p.astype(adt), nbins, full_shape[-1])
-        return jnp.where(counts > 0, sums / jnp.maximum(counts, 1), jnp.nan)
+        return pk.shell_bin_sums_rfft_scalar(p.astype(adt), nbins, full_shape[-1])
 
     # 2D: Hermitian-weighted scatter-add on the half grid.
     n_last = full_shape[-1]
@@ -259,6 +259,12 @@ def _bin_rfft_power(p: jax.Array, full_shape, nbins: int):
     w_flat = jnp.where(mask, weight.ravel(), 0)
     counts = jnp.zeros(nbins, dtype=adt).at[bidx].add(w_flat)
     sums = jnp.zeros(nbins, dtype=adt).at[bidx].add(p.astype(adt).ravel() * w_flat)
+    return counts, sums
+
+
+def _bin_rfft_power(p: jax.Array, full_shape, nbins: int):
+    """Shell-mean of one Hermitian power volume (NaN for empty shells)."""
+    counts, sums = _bin_rfft_stats(p, full_shape, nbins)
     return jnp.where(counts > 0, sums / jnp.maximum(counts, 1), jnp.nan)
 
 
@@ -310,6 +316,112 @@ def enstrophy_spectrum(
     two components (ω is the scalar out-of-plane vorticity there)."""
     vels = (velx, vely) if velz is None else (velx, vely, velz)
     return _velocity_spectrum(vels, lengths, "enstrophy")
+
+
+def _dealias_mask(shape: Tuple[int, ...], dtype):
+    """2/3-rule truncation mask on the rfft half grid: keep only modes
+    with |k_i| < n_i/3 on EVERY axis (host-side trace-time constant)."""
+    nd = len(shape)
+    keep = None
+    for axis, n in enumerate(shape):
+        if axis == nd - 1:
+            k = np.arange(n // 2 + 1, dtype=np.float64)
+        else:
+            j = np.arange(n)
+            k = np.abs(np.where(j <= (n - 1) // 2, j, j - n)).astype(np.float64)
+        m = k < (n / 3.0)
+        kshape = [1] * nd
+        kshape[axis] = len(k)
+        m = m.reshape(kshape)
+        keep = m if keep is None else (keep & m)
+    return jnp.asarray(keep.astype(dtype))
+
+
+@lru_cache(maxsize=16)
+def _transfer_fn(shape: Tuple[int, ...], lengths, dealias: bool, nbins: int, path_key):
+    ntot = int(np.prod(shape))
+    n_last = shape[-1]
+    nd = len(shape)
+    adt = accum_dtype()
+
+    def core(*vels):
+        raw = [_rfft3(v) for v in vels]  # unnormalized forward
+        rdt = raw[0].real.dtype
+        if dealias:
+            mask = _dealias_mask(shape, rdt)
+            raw = [mask * w for w in raw]
+            # Products must be formed from the FILTERED fields or the
+            # masked triads reappear through aliasing (irfftn_fast
+            # carries the full 1/N, matching the unnormalized forward).
+            vels = [_irfft3(w, n_last) for w in raw]
+        vhats = [w / ntot for w in raw]
+        ks = _k_grids(shape, rdt, lengths, zero_nyquist=True)
+        # Conservative (divergence) form: T(k) = -Re(v̂*_i · i k_j Q̂_ij),
+        # Q_ij = u_i u_j symmetric — 6 (3D) / 3 (2D) product transforms.
+        qhats = {}
+        for i in range(nd):
+            for j in range(i, nd):
+                qhats[(i, j)] = _rfft3(vels[i] * vels[j]) / ntot
+        t_density = None
+        i_unit = jnp.asarray(1j, dtype=vhats[0].dtype)
+        for i in range(nd):
+            adv = sum(
+                ks[j] * qhats[(min(i, j), max(i, j))] for j in range(nd)
+            )
+            term = -(jnp.conj(vhats[i]) * (i_unit * adv)).real
+            t_density = term if t_density is None else t_density + term
+        # Transfer/flux are shell SUMS — means cannot telescope.
+        _, sums = _bin_rfft_stats(t_density.astype(adt), shape, nbins)
+        flux = -jnp.cumsum(sums)
+        return sums, flux
+
+    return jax.jit(core)
+
+
+def transfer_spectrum(
+    velx: jax.Array,
+    vely: jax.Array,
+    velz: Optional[jax.Array] = None,
+    lengths: Optional[Sequence[float]] = None,
+    dealias: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Spectral kinetic-energy transfer T(k) and flux Π(k).
+
+    T(k) = -Σ_shell Re(v̂*_i · i k_j F[u_i u_j]) — the shell-SUMMED
+    (Hermitian-weighted) nonlinear energy transfer in conservative
+    (divergence) form, so for a divergence-free field the nonlinear
+    term only redistributes energy: Σ_k T(k) = 0 (exactly, in discrete
+    spectral arithmetic, when the field is band-limited below the
+    aliasing threshold or ``dealias=True``). Π(k) = -Σ_{k'≤k} T(k') is
+    the energy flux through wavenumber k (positive = forward cascade).
+
+    Unlike the package's power spectra these are shell sums with NO
+    k^(d-1) integral factor: transfer must telescope into flux, which a
+    shell-mean convention cannot do. ``dealias`` applies the 2/3-rule
+    isotropic truncation (|k_i| < n_i/3 per axis) to the velocity field
+    before forming products, removing aliased triads at the cost of
+    discarding the outer third of resolved modes (3 extra inverse
+    transforms). For compressible flows the divergence form is the
+    budget of ∂_t(|u|²/2) under ∂_t u_i = -∂_j(u_i u_j); the advective
+    and conservative forms differ by dilatation terms (documented, not
+    hidden). 2D flows pass two components and ``velz=None``.
+
+    Returns {"k", "transfer", "flux"} (k in integer shell units).
+    Beyond the reference (KE spectra only,
+    fava/mesh/FLASH/FlashUniform.py:229-304).
+    """
+    vels = (velx, vely) if velz is None else (velx, vely, velz)
+    shape, key = _check_vels(vels, lengths, "transfer_spectrum")
+    nbins = max(shape) // 2 - 1
+
+    from fava_tpu.ops import pallas_kernels as pk
+
+    transfer, flux = _transfer_fn(shape, key, bool(dealias), nbins, pk.path_key())(*vels)
+    return {
+        "k": np.arange(nbins, dtype=np.float64),
+        "transfer": np.asarray(transfer, dtype=np.float64),
+        "flux": np.asarray(flux, dtype=np.float64),
+    }
 
 
 def helicity_spectrum(

@@ -50,6 +50,7 @@ _ANALYSIS_KEYS = {
     "scalar spectra": ("field",),
     "enstrophy spectra": (),
     "helicity spectra": (),
+    "transfer spectra": (),
 }
 # Stage 4 runs these whether or not they appear in settings (the
 # reference's fixed three) — their required keys are validated even
@@ -332,6 +333,7 @@ class Pipeline:
             "scalar spectra": lambda **kw: self.model.scalar_spectra(**kw),
             "enstrophy spectra": lambda **kw: self.model.enstrophy_spectra(**kw),
             "helicity spectra": lambda **kw: self.model.helicity_spectra(**kw),
+            "transfer spectra": lambda **kw: self.model.transfer_spectra(**kw),
         }
         for key, opt_fn in optional.items():
             if key in self.settings:

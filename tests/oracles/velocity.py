@@ -116,6 +116,43 @@ def enstrophy_spectrum_oracle(vels: Sequence[np.ndarray], lengths=None):
     return _shell_mean(p, shape)
 
 
+def transfer_spectrum_oracle(vels: Sequence[np.ndarray], lengths=None, dealias=False):
+    """Full-grid shell SUMS of the conservative-form nonlinear energy
+    transfer T(k) = -Re(v̂*_i i k_j F[u_i u_j]) and flux -cumsum(T);
+    optional 2/3-rule truncation (|k_i| < n_i/3 per axis)."""
+    shape = vels[0].shape
+    nd = len(shape)
+    ntot = np.prod(shape)
+    raw = [np.fft.fftn(v) for v in vels]
+    if dealias:
+        keep = np.ones(shape, dtype=bool)
+        for axis, n in enumerate(shape):
+            j = np.arange(n)
+            k = np.abs(np.where(j <= (n - 1) // 2, j, j - n))
+            kshape = [1] * nd
+            kshape[axis] = n
+            keep &= (k < n / 3.0).reshape(kshape)
+        raw = [w * keep for w in raw]
+        vels = [np.fft.ifftn(w).real for w in raw]
+    vhats = [w / ntot for w in raw]
+    ks = _k_grids(shape, lengths, zero_nyquist=True)
+    t_density = np.zeros(shape)
+    for i in range(nd):
+        adv = sum(
+            ks[j] * np.fft.fftn(vels[i] * vels[j]) / ntot for j in range(nd)
+        )
+        t_density += -(np.conj(vhats[i]) * (1j * adv)).real
+    ks_int = _k_grids(shape, None, zero_nyquist=False)
+    k_abs = np.sqrt(sum(k * k for k in ks_int))
+    bins = np.arange(max(shape) // 2) - 0.5
+    sums, _, _ = binned_statistic(k_abs.ravel(), t_density.ravel(), statistic="sum", bins=bins)
+    return {
+        "k": np.arange(len(bins) - 1, dtype=np.float64),
+        "transfer": sums,
+        "flux": -np.cumsum(sums),
+    }
+
+
 def helicity_spectrum_oracle(vels: Sequence[np.ndarray], lengths=None):
     """Full-grid shell means of Re(v̂* . ω̂) (signed)."""
     shape = vels[0].shape

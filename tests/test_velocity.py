@@ -117,6 +117,58 @@ def test_helicity_spectrum_matches_oracle(lengths):
     assert (finite > 0).any() and (finite < 0).any()
 
 
+@pytest.mark.parametrize("shape", [(16, 16, 16), (16, 12, 8)])
+@pytest.mark.parametrize("lengths", [None, (2.0, 1.0, 1.5)])
+@pytest.mark.parametrize("dealias", [False, True])
+def test_transfer_spectrum_matches_oracle(shape, lengths, dealias):
+    vels = _fields(shape, 6)
+    got = vel_ops.transfer_spectrum(
+        *[jnp.asarray(v) for v in vels], lengths=lengths, dealias=dealias
+    )
+    ref = oracle.transfer_spectrum_oracle(vels, lengths, dealias=dealias)
+    np.testing.assert_allclose(got["k"], ref["k"])
+    np.testing.assert_allclose(got["transfer"], ref["transfer"], rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(got["flux"], ref["flux"], rtol=1e-9, atol=1e-11)
+
+
+def test_transfer_conserves_energy_for_band_limited_solenoidal_flow():
+    """ABC (Beltrami) flow: divergence-free and band-limited at |k| = 1,
+    so products reach |k| <= 2 — no aliasing, no truncated shells — and
+    the conservative-form transfer must sum to ZERO (the nonlinear term
+    only redistributes energy). The discrete spectral identities make
+    this exact to f64 roundoff, not just to truncation error."""
+    n = 16
+    x = 2 * np.pi * np.arange(n) / n
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    vels = [
+        np.sin(Z) + np.cos(Y),
+        np.sin(X) + np.cos(Z),
+        np.sin(Y) + np.cos(X),
+    ]
+    out = vel_ops.transfer_spectrum(*[jnp.asarray(v) for v in vels])
+    assert abs(out["transfer"].sum()) < 1e-13
+    # Flux telescopes: the final cumulative flux is the (zero) total.
+    assert abs(out["flux"][-1]) < 1e-13
+    np.testing.assert_allclose(out["flux"], -np.cumsum(out["transfer"]), rtol=1e-12)
+
+
+def test_transfer_2d_matches_oracle_and_conserves():
+    rng = np.random.default_rng(33)
+    vels = [rng.standard_normal((16, 12)) for _ in range(2)]
+    got = vel_ops.transfer_spectrum(*[jnp.asarray(v) for v in vels], dealias=True)
+    ref = oracle.transfer_spectrum_oracle(vels, dealias=True)
+    np.testing.assert_allclose(got["transfer"], ref["transfer"], rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(got["flux"], ref["flux"], rtol=1e-9, atol=1e-11)
+
+    # 2D Taylor-Green: band-limited solenoidal -> zero total transfer.
+    n = 16
+    x = 2 * np.pi * np.arange(n) / n
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    tg = [np.cos(X) * np.sin(Y), -np.sin(X) * np.cos(Y)]
+    out = vel_ops.transfer_spectrum(*[jnp.asarray(v) for v in tg])
+    assert abs(out["transfer"].sum()) < 1e-13
+
+
 def test_beltrami_field_maximal_helicity():
     # ABC (Beltrami) flow on the 2*pi box: curl v = v, so shell by
     # shell H(k) = Re(v̂*.v̂) = |v̂|² = 2 * (0.5 |ω̂|²) — the helicity
@@ -169,12 +221,23 @@ def test_mesh_methods_and_registration(uniform_file):
         hel["power"], oracle.helicity_spectrum_oracle(vels, lengths)["power"], rtol=1e-9, atol=1e-12
     )
 
+    tr = mesh.transfer_spectra()
+    tr_ref = oracle.transfer_spectrum_oracle(vels, lengths)
+    np.testing.assert_allclose(tr["transfer"], tr_ref["transfer"], rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(tr["flux"], tr_ref["flux"], rtol=1e-9, atol=1e-11)
+
     # Registered on the model (analysis registry).
     m = fava_tpu.FLASH(uniform_file.parent)
     m.load(file_type="uni")
     out2 = m.enstrophy_spectra()
     np.testing.assert_allclose(out2["power"], ens["power"], rtol=1e-12, atol=1e-30)
-    for name in ("helmholtz_decomposition", "vorticity", "dilatation", "helicity_spectra"):
+    for name in (
+        "helmholtz_decomposition",
+        "vorticity",
+        "dilatation",
+        "helicity_spectra",
+        "transfer_spectra",
+    ):
         assert hasattr(m, name)
 
 
@@ -229,6 +292,7 @@ def test_diagnostics_sharded_inputs_match_unsharded(uniform_file_32, eight_devic
     ref_ens = mesh0.enstrophy_spectra()
     ref_hel = mesh0.helicity_spectra()
     ref_hd = mesh0.helmholtz_decomposition()
+    ref_tr = mesh0.transfer_spectra()
 
     with use_mesh(eight_device_mesh):
         mesh1 = FlashUniform(uniform_file_32)
@@ -237,8 +301,10 @@ def test_diagnostics_sharded_inputs_match_unsharded(uniform_file_32, eight_devic
         got_ens = mesh1.enstrophy_spectra()
         got_hel = mesh1.helicity_spectra()
         got_hd = mesh1.helmholtz_decomposition()
+        got_tr = mesh1.transfer_spectra()
 
     np.testing.assert_allclose(got_ens["power"], ref_ens["power"], rtol=1e-9, atol=1e-20)
+    np.testing.assert_allclose(got_tr["transfer"], ref_tr["transfer"], rtol=1e-9, atol=1e-14)
     np.testing.assert_allclose(got_hel["power"], ref_hel["power"], rtol=1e-9, atol=1e-20)
     for part in ("solenoidal", "compressive"):
         for name in ("velx", "vely", "velz"):
