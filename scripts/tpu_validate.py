@@ -453,6 +453,36 @@ def validate_analyses() -> dict:
         },
     }
 
+    # --- kinetic-energy transfer spectrum ------------------------------
+    # Adds the product-transform path (9 forward + optional 3 inverse
+    # MXU DFTs) on chip; the ABC run also checks the zero-sum
+    # conservation identity in f32 (band-limited solenoidal field).
+    print("== analyses: transfer spectrum ==", flush=True)
+    tr = vel_ops.transfer_spectrum(*vels_dev, dealias=True)
+    tr_ref = vel_oracle.transfer_spectrum_oracle(vels64, dealias=True)
+    # Conservation field: random solenoidal band-limited to |k| <= 8 at
+    # n=128 — alias-free products, no truncated shells, ACTIVE triads
+    # (Taylor-Green/ABC fields transfer nothing instantaneously), so
+    # sum(T) = 0 up to f32 rounding against a genuinely nonzero T(k).
+    from tests.test_velocity import _band_limited_solenoidal
+
+    bl = _band_limited_solenoidal(n=nn, kmax=8.0, seed=5)
+    tr_bl = vel_ops.transfer_spectrum(*[jnp.asarray(v, dtype=jnp.float32) for v in bl])
+    out["transfer_spectrum"] = {
+        "config": {
+            "n": 128,
+            "dealias": True,
+            "conservation_field": "random solenoidal, |k| <= 8",
+        },
+        "max_scaled_error": {
+            "transfer": _scaled_err(tr["transfer"], tr_ref["transfer"]),
+            "flux": _scaled_err(tr["flux"], tr_ref["flux"]),
+        },
+        "conservation_residual": float(
+            abs(tr_bl["transfer"].sum()) / max(np.abs(tr_bl["transfer"]).max(), 1e-30)
+        ),
+    }
+
     # --- structure functions (same-draw oracle) ------------------------
     print("== analyses: structure functions ==", flush=True)
     out["structure_functions"] = validate_structure_functions()

@@ -131,12 +131,45 @@ def test_transfer_spectrum_matches_oracle(shape, lengths, dealias):
     np.testing.assert_allclose(got["flux"], ref["flux"], rtol=1e-9, atol=1e-11)
 
 
+def _band_limited_solenoidal(n=16, kmax=2.0, seed=5):
+    """Random solenoidal field with modes only inside |k| <= kmax:
+    alias-free products, no shells beyond the binning range, and ACTIVE
+    triads (e.g. (1,0,0)+(0,1,0)=(1,1,0) all in support) — unlike
+    Taylor-Green, whose t=0 advection term is disjoint from the
+    velocity support and transfers nothing instantaneously."""
+    rng = np.random.default_rng(seed)
+    k1 = np.fft.fftfreq(n, 1.0 / n)
+    KX, KY, KZ = np.meshgrid(k1, k1, k1, indexing="ij")
+    k2 = KX**2 + KY**2 + KZ**2
+    mask = np.sqrt(k2) <= kmax
+    vh = [np.fft.fftn(rng.standard_normal((n, n, n))) * mask for _ in range(3)]
+    div = (KX * vh[0] + KY * vh[1] + KZ * vh[2]) / np.maximum(k2, 1e-300)
+    vh = [w - k * div for w, k in zip(vh, (KX, KY, KZ))]
+    return [np.fft.ifftn(w).real for w in vh]
+
+
 def test_transfer_conserves_energy_for_band_limited_solenoidal_flow():
-    """ABC (Beltrami) flow: divergence-free and band-limited at |k| = 1,
-    so products reach |k| <= 2 — no aliasing, no truncated shells — and
-    the conservative-form transfer must sum to ZERO (the nonlinear term
+    """Band-limited (|k| <= 2) solenoidal field on n=16: products reach
+    |k| <= 4 — no aliasing, no truncated shells — so the
+    conservative-form transfer must sum to ZERO (the nonlinear term
     only redistributes energy). The discrete spectral identities make
-    this exact to f64 roundoff, not just to truncation error."""
+    this exact to f64 roundoff, not just truncation error — and the
+    per-shell transfer is genuinely NONZERO, so the zero sum is a
+    cancellation, not an absence."""
+    vels = _band_limited_solenoidal()
+    out = vel_ops.transfer_spectrum(*[jnp.asarray(v) for v in vels])
+    tmax = np.abs(out["transfer"]).max()
+    assert tmax > 1e-6  # real inter-shell exchange
+    assert abs(out["transfer"].sum()) < 1e-12 * tmax
+    # Flux telescopes: the final cumulative flux is the (zero) total.
+    assert abs(out["flux"][-1]) < 1e-12 * tmax
+    np.testing.assert_allclose(out["flux"], -np.cumsum(out["transfer"]), rtol=1e-12)
+
+
+def test_transfer_of_beltrami_flow_vanishes_shell_by_shell():
+    """ABC flow: omega = v, so (u.grad)u = grad(|u|^2/2) - u x omega is
+    a PURE gradient — its projection onto the solenoidal v-hat vanishes
+    for every k, making T(k) = 0 shell by shell (not just in sum)."""
     n = 16
     x = 2 * np.pi * np.arange(n) / n
     X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
@@ -146,10 +179,8 @@ def test_transfer_conserves_energy_for_band_limited_solenoidal_flow():
         np.sin(Y) + np.cos(X),
     ]
     out = vel_ops.transfer_spectrum(*[jnp.asarray(v) for v in vels])
-    assert abs(out["transfer"].sum()) < 1e-13
-    # Flux telescopes: the final cumulative flux is the (zero) total.
-    assert abs(out["flux"][-1]) < 1e-13
-    np.testing.assert_allclose(out["flux"], -np.cumsum(out["transfer"]), rtol=1e-12)
+    assert np.abs(out["transfer"]).max() < 1e-13
+    assert np.abs(out["flux"]).max() < 1e-13
 
 
 def test_transfer_2d_matches_oracle_and_conserves():
