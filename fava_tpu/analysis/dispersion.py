@@ -46,12 +46,16 @@ _POS_FIELDS = ("posx", "posy", "posz")
 
 
 def _nearest_neighbor_pairs(coords: np.ndarray, anchors: np.ndarray) -> np.ndarray:
-    """Index of each anchor's nearest OTHER particle (chunked O(A*N))."""
-    n = coords.shape[0]
+    """Index of each anchor's nearest OTHER particle (chunked O(A*N)).
+
+    |a-b|^2 = |a|^2 + |b|^2 - 2 a.b: the only chunk*N temporary is the
+    matmul output itself (a (256, N, 3) broadcast difference would be
+    ~6 GB at a million tracers)."""
+    sq = (coords**2).sum(axis=1)
     partners = np.empty(anchors.size, dtype=np.int64)
     for s in range(0, anchors.size, 256):
         a = anchors[s : s + 256]
-        d2 = ((coords[a, None, :] - coords[None, :, :]) ** 2).sum(axis=-1)
+        d2 = sq[a, None] + sq[None, :] - 2.0 * coords[a] @ coords.T
         d2[np.arange(a.size), a] = np.inf  # exclude self
         partners[s : s + 256] = np.argmin(d2, axis=1)
     return partners
@@ -98,8 +102,6 @@ def dispersion_statistics(
     rng = np.random.default_rng(seed)
     anchors = rng.choice(nparticles, size=npairs_eff, replace=False)
     partners = _nearest_neighbor_pairs(x0, anchors)
-    anchor_tags = tags0[anchors]
-    partner_tags = tags0[partners]
 
     delta0 = x0[anchors] - x0[partners]
     out: Dict[str, np.ndarray] = {
@@ -118,8 +120,8 @@ def dispersion_statistics(
         xt = x[rows]  # aligned with the t=0 tag order
         out["time"][j] = self.particles.time
         out["single_msd"][j] = (((xt - x0) ** 2).sum(axis=1)).mean()
-        a_rows = rows_for_tags(tags, anchor_tags, label="tag")
-        p_rows = rows_for_tags(tags, partner_tags, label="tag")
-        delta = x[a_rows] - x[p_rows]
+        # rows is aligned with the tags0 order, so the anchor/partner
+        # rows are plain gathers — no second/third per-snapshot sort.
+        delta = xt[anchors] - xt[partners]
         out["pair_msd"][j] = ((delta**2).sum(axis=1)).mean()
     return out

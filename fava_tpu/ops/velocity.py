@@ -337,6 +337,20 @@ def _dealias_mask(shape: Tuple[int, ...], dtype):
     return jnp.asarray(keep.astype(dtype))
 
 
+def dealiased_nbins(shape: Tuple[int, ...]) -> int:
+    """Shell count covering EVERY mode the 2/3-rule mask keeps.
+
+    The kept corner modes reach radial |k| = sqrt(sum_i m_i^2) with
+    m_i = (n_i - 1) // 3 (the largest integer < n_i/3) — beyond the
+    default max(n)//2 - 1 shells, whose cutoff would silently drop
+    their transfer and fake a flux sink at high k. Used by
+    ``transfer_spectrum(dealias=True)`` so the zero-sum conservation
+    identity holds over the BINNED record, not just the full grid.
+    """
+    kmax = float(np.sqrt(sum(((n - 1) // 3) ** 2 for n in shape)))
+    return int(np.floor(kmax + 0.5)) + 1
+
+
 @lru_cache(maxsize=16)
 def _transfer_fn(shape: Tuple[int, ...], lengths, dealias: bool, nbins: int, path_key):
     ntot = int(np.prod(shape))
@@ -390,10 +404,15 @@ def transfer_spectrum(
     T(k) = -Σ_shell Re(v̂*_i · i k_j F[u_i u_j]) — the shell-SUMMED
     (Hermitian-weighted) nonlinear energy transfer in conservative
     (divergence) form, so for a divergence-free field the nonlinear
-    term only redistributes energy: Σ_k T(k) = 0 (exactly, in discrete
-    spectral arithmetic, when the field is band-limited below the
-    aliasing threshold or ``dealias=True``). Π(k) = -Σ_{k'≤k} T(k') is
-    the energy flux through wavenumber k (positive = forward cascade).
+    term only redistributes energy across the binned shells:
+    Σ_k T(k) = 0, exact in discrete spectral arithmetic whenever every
+    active mode is both alias-free and inside the binned range — i.e.
+    with ``dealias=True`` (any solenoidal field: the shell count is
+    extended to cover the kept corner modes, ``dealiased_nbins``), or
+    with ``dealias=False`` for fields band-limited below both the
+    aliasing threshold and max(n)//2 - 1.5 radial. Π(k) = -Σ_{k'≤k}
+    T(k') is the energy flux through wavenumber k (positive = forward
+    cascade).
 
     Unlike the package's power spectra these are shell sums with NO
     k^(d-1) integral factor: transfer must telescope into flux, which a
@@ -412,7 +431,7 @@ def transfer_spectrum(
     """
     vels = (velx, vely) if velz is None else (velx, vely, velz)
     shape, key = _check_vels(vels, lengths, "transfer_spectrum")
-    nbins = max(shape) // 2 - 1
+    nbins = dealiased_nbins(shape) if dealias else max(shape) // 2 - 1
 
     from fava_tpu.ops import pallas_kernels as pk
 

@@ -144,10 +144,17 @@ def transfer_spectrum_oracle(vels: Sequence[np.ndarray], lengths=None, dealias=F
         t_density += -(np.conj(vhats[i]) * (1j * adv)).real
     ks_int = _k_grids(shape, None, zero_nyquist=False)
     k_abs = np.sqrt(sum(k * k for k in ks_int))
-    bins = np.arange(max(shape) // 2) - 0.5
+    if dealias:
+        # Shell range extended over the kept corner modes (same rule as
+        # ops/velocity.dealiased_nbins) so conservation holds binned.
+        kmax = np.sqrt(sum(((n - 1) // 3) ** 2 for n in shape))
+        nbins = int(np.floor(kmax + 0.5)) + 1
+    else:
+        nbins = max(shape) // 2 - 1
+    bins = np.arange(nbins + 1) - 0.5
     sums, _, _ = binned_statistic(k_abs.ravel(), t_density.ravel(), statistic="sum", bins=bins)
     return {
-        "k": np.arange(len(bins) - 1, dtype=np.float64),
+        "k": np.arange(nbins, dtype=np.float64),
         "transfer": sums,
         "flux": -np.cumsum(sums),
     }

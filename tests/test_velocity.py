@@ -166,6 +166,24 @@ def test_transfer_conserves_energy_for_band_limited_solenoidal_flow():
     np.testing.assert_allclose(out["flux"], -np.cumsum(out["transfer"]), rtol=1e-12)
 
 
+def test_transfer_dealiased_conserves_for_full_spectrum_solenoidal_field():
+    """A solenoidal field with energy at ALL wavenumbers (not band
+    limited): dealias=True must (a) remove the aliased triads and
+    (b) extend the shell range over the kept corner modes
+    (|k| up to ~0.577 n > n/2 - 1.5) — dropping them would fake a flux
+    sink of order max|T| at high k. With both, Σ T(k) = 0 to roundoff."""
+    n = 16
+    vels = _band_limited_solenoidal(n=n, kmax=100.0, seed=9)  # full spectrum
+    out = vel_ops.transfer_spectrum(*[jnp.asarray(v) for v in vels], dealias=True)
+    from fava_tpu.ops.velocity import dealiased_nbins
+
+    assert out["transfer"].shape == (dealiased_nbins((n, n, n)),)
+    tmax = np.abs(out["transfer"]).max()
+    assert tmax > 1e-6
+    assert abs(out["transfer"].sum()) < 1e-11 * tmax
+    assert abs(out["flux"][-1]) < 1e-11 * tmax
+
+
 def test_transfer_of_beltrami_flow_vanishes_shell_by_shell():
     """ABC flow: omega = v, so (u.grad)u = grad(|u|^2/2) - u x omega is
     a PURE gradient — its projection onto the solenoidal v-hat vanishes
