@@ -193,6 +193,37 @@ class FlashUniform(FLASH):
         )
 
     @timer
+    def filtered_kinetic_energy_flux(
+        self,
+        cutoffs: Sequence[float] = (4.0, 8.0, 16.0),
+        kernel: str = "gaussian",
+        with_pressure: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        """Favre-filtered SGS kinetic-energy flux sweep Pi_l (beyond
+        the reference): mean/RMS deformation work across a list of
+        filter cutoffs, density-weighted, plus the baropycnal work when
+        ``with_pressure`` and a ``pres`` field is on file
+        (ops/coarse_grain.py — one scan dispatch for the whole sweep).
+        """
+        from fava_tpu.ops import coarse_grain as cg_ops
+
+        pres = None
+        if with_pressure:
+            if "pres" not in self.fields:
+                raise KeyError(
+                    "with_pressure=True but this file carries no 'pres' field"
+                )
+            pres = self._volume("pres")
+        return cg_ops.filtered_ke_flux(
+            *self._vel_volumes(),
+            dens=self._volume("dens"),
+            pres=pres,
+            cutoffs=tuple(float(k) for k in cutoffs),
+            kernel=kernel,
+            lengths=self._domain_lengths(),
+        )
+
+    @timer
     def fractal_dimension(self, field: str, contours=0.5) -> Dict[str, Any]:
         """Box-counting dimension (reference: FlashUniform.py:85-227)."""
         result = fractal_ops.fractal_dimension(self._volume(field), contours)

@@ -51,6 +51,7 @@ _ANALYSIS_KEYS = {
     "enstrophy spectra": (),
     "helicity spectra": (),
     "transfer spectra": (),
+    "filtered ke flux": (),
 }
 # Stage 4 runs these whether or not they appear in settings (the
 # reference's fixed three) — their required keys are validated even
@@ -334,6 +335,7 @@ class Pipeline:
             "enstrophy spectra": lambda **kw: self.model.enstrophy_spectra(**kw),
             "helicity spectra": lambda **kw: self.model.helicity_spectra(**kw),
             "transfer spectra": lambda **kw: self.model.transfer_spectra(**kw),
+            "filtered ke flux": lambda **kw: self.model.filtered_kinetic_energy_flux(**kw),
         }
         for key, opt_fn in optional.items():
             if key in self.settings:

@@ -98,12 +98,13 @@ def test_pipeline_optional_analyses(pipeline_dir):
     settings["enstrophy spectra"] = {"skip": False}
     settings["helicity spectra"] = {"skip": False}
     settings["transfer spectra"] = {"skip": False}
+    settings["filtered ke flux"] = {"skip": False, "settings": {"cutoffs": [2.0, 4.0]}}
     settings_path.write_text(json.dumps(settings))
 
     assert main(workdir) == 0
     anl = sorted(out.glob("*hdf5_analysis_*"))
     found_favre = found_pdf = found_sspec = False
-    found_ens = found_hel = found_tr = False
+    found_ens = found_hel = found_tr = found_cg = False
     for p in anl:
         with h5py.File(p, "r") as f:
             found_favre |= "favre profiles" in f
@@ -112,8 +113,9 @@ def test_pipeline_optional_analyses(pipeline_dir):
             found_ens |= "enstrophy spectra" in f
             found_hel |= "helicity spectra" in f
             found_tr |= "transfer spectra" in f
+            found_cg |= "filtered ke flux" in f
     assert found_favre and found_pdf and found_sspec
-    assert found_ens and found_hel and found_tr
+    assert found_ens and found_hel and found_tr and found_cg
 
 
 def test_shipped_settings_template_runs(pipeline_dir):
