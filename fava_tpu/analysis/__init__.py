@@ -23,7 +23,10 @@ from fava_tpu.analysis.velocity_diagnostics import (
     transfer_spectra,
     vorticity,
 )
-from fava_tpu.analysis.filtered_ke_flux import filtered_kinetic_energy_flux
+from fava_tpu.analysis.filtered_ke_flux import (
+    filtered_kinetic_energy_flux,
+    structure_function_exponents,
+)
 from fava_tpu.analysis.dispersion import dispersion_statistics
 from fava_tpu.analysis.structure_functions import structure_functions
 from fava_tpu.analysis.pdf1d import pdf1d
@@ -57,6 +60,7 @@ __all__ = [
     "helicity_spectra",
     "transfer_spectra",
     "filtered_kinetic_energy_flux",
+    "structure_function_exponents",
     "dispersion_statistics",
     "structure_functions",
     "pdf1d",

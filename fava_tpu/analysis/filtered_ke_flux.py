@@ -14,3 +14,8 @@ from fava_tpu.models.model import Model
 @Model.register_analysis(use_timer=True)
 def filtered_kinetic_energy_flux(self, *args, **kwargs):
     return self.mesh.filtered_kinetic_energy_flux(*args, **kwargs)
+
+
+@Model.register_analysis(use_timer=True)
+def structure_function_exponents(self, *args, **kwargs):
+    return self.mesh.structure_function_exponents(*args, **kwargs)

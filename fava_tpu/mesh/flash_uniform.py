@@ -261,6 +261,26 @@ class FlashUniform(FLASH):
         )
 
     @timer
+    def structure_function_exponents(
+        self,
+        vsfs: Optional[Dict[str, Any]] = None,
+        reference_order: int = 3,
+        fit_range: Optional[Sequence[float]] = None,
+        ess: bool = True,
+        **sf_kwargs,
+    ) -> Dict[str, Any]:
+        """Intermittency scaling exponents zeta_p, ESS by default
+        (beyond the reference). Pass a precomputed
+        :meth:`structure_functions` result as ``vsfs`` to reuse it;
+        otherwise one is computed here with ``**sf_kwargs``
+        (ops.structure.scaling_exponents has the fit conventions)."""
+        if vsfs is None:
+            vsfs = self.structure_functions(**sf_kwargs)
+        return structure_ops.scaling_exponents(
+            vsfs, reference_order=reference_order, fit_range=fit_range, ess=ess
+        )
+
+    @timer
     def flagship_analysis(
         self,
         streamed: Optional[bool] = None,

@@ -149,3 +149,95 @@ def structure_functions(
         vsfs["transverse"][f"{o}"] = trans_v[o - 1]
     vsfs["separations"] = separations
     return vsfs
+
+
+def she_leveque(orders) -> np.ndarray:
+    """She-Leveque (1994) model exponents zeta_p = p/9 + 2(1-(2/3)^(p/3)).
+
+    The standard intermittency benchmark for the ESS exponents below
+    (zeta_3 = 1 exactly in the model, matching the ESS normalization).
+    """
+    p = np.asarray(orders, dtype=np.float64)
+    return p / 9.0 + 2.0 * (1.0 - (2.0 / 3.0) ** (p / 3.0))
+
+
+def _log_slope(x: np.ndarray, y: np.ndarray):
+    """Least-squares slope of y vs x with its standard error (NaN when
+    fewer than 3 usable points)."""
+    good = np.isfinite(x) & np.isfinite(y)
+    n = int(good.sum())
+    if n < 3:
+        return np.nan, np.nan
+    xg, yg = x[good], y[good]
+    (slope, icpt), cov = np.polyfit(xg, yg, 1, cov=True)
+    return float(slope), float(np.sqrt(cov[0, 0]))
+
+
+def scaling_exponents(
+    vsfs: Dict,
+    *,
+    reference_order: int = 3,
+    fit_range: Optional[Sequence[float]] = None,
+    ess: bool = True,
+) -> Dict[str, Dict[str, np.ndarray] | np.ndarray]:
+    """Structure-function scaling exponents zeta_p, plain or ESS.
+
+    Post-processes a :func:`structure_functions` result (host-side
+    NumPy: the fits touch <= num_seps points per order — no device
+    work to speed up). ``ess=True`` applies Extended Self-Similarity
+    (Benzi et al. 1993): zeta_p is the log-log slope of S_p against
+    the REFERENCE-order structure function S_ref instead of the
+    separation r, which cancels the common non-power-law prefactor and
+    extends the usable scaling range far below the inertial range —
+    the standard way intermittency exponents are actually measured.
+    With K41 normalization zeta_ref = 1 at ``reference_order=3``, so
+    ESS exponents compare directly to :func:`she_leveque`.
+
+    ``fit_range`` restricts the fit to separations in [rmin, rmax]
+    (default: all). Non-positive S_p samples are excluded from the log
+    fit. Returns ``{"orders", "longitudinal": {"zeta", "zeta_err"},
+    "transverse": {...}, "ess", "reference_order"}`` with per-order
+    1-sigma fit errors. Beyond the reference (which computes raw
+    structure functions only, fava/mesh/FLASH/FlashUniform.py:306-447).
+    """
+    seps = np.asarray(vsfs["separations"], dtype=np.float64)
+    sel = np.ones(seps.shape, dtype=bool)
+    if fit_range is not None:
+        rmin, rmax = float(fit_range[0]), float(fit_range[1])
+        sel = (seps >= rmin) & (seps <= rmax)
+        if sel.sum() < 3:
+            raise ValueError(
+                f"fit_range {fit_range} keeps {int(sel.sum())} of {seps.size} "
+                "separations; need at least 3 for a slope fit"
+            )
+
+    orders = sorted(int(o) for o in vsfs["longitudinal"])
+    if ess and reference_order not in orders:
+        raise ValueError(
+            f"reference_order {reference_order} not among computed orders {orders}"
+        )
+
+    out: Dict[str, Dict[str, np.ndarray] | np.ndarray] = {
+        "orders": np.asarray(orders, dtype=np.float64),
+        "ess": bool(ess),
+        "reference_order": int(reference_order) if ess else None,
+    }
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for comp in ("longitudinal", "transverse"):
+            if ess:
+                ref = np.asarray(vsfs[comp][str(reference_order)], dtype=np.float64)
+                x = np.log(np.where(ref > 0, ref, np.nan))[sel]
+            else:
+                x = np.log(seps)[sel]
+            zetas, errs = [], []
+            for o in orders:
+                sp = np.asarray(vsfs[comp][str(o)], dtype=np.float64)
+                y = np.log(np.where(sp > 0, sp, np.nan))[sel]
+                z, e = _log_slope(x, y)
+                zetas.append(z)
+                errs.append(e)
+            out[comp] = {
+                "zeta": np.asarray(zetas),
+                "zeta_err": np.asarray(errs),
+            }
+    return out

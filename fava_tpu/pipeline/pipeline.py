@@ -52,6 +52,7 @@ _ANALYSIS_KEYS = {
     "helicity spectra": (),
     "transfer spectra": (),
     "filtered ke flux": (),
+    "structure function exponents": (),
 }
 # Stage 4 runs these whether or not they appear in settings (the
 # reference's fixed three) — their required keys are validated even
@@ -336,6 +337,9 @@ class Pipeline:
             "helicity spectra": lambda **kw: self.model.helicity_spectra(**kw),
             "transfer spectra": lambda **kw: self.model.transfer_spectra(**kw),
             "filtered ke flux": lambda **kw: self.model.filtered_kinetic_energy_flux(**kw),
+            "structure function exponents": lambda **kw: _exponents_as_dict(
+                self.model.structure_function_exponents(**kw)
+            ),
         }
         for key, opt_fn in optional.items():
             if key in self.settings:
@@ -374,6 +378,17 @@ def _favre_as_dict(out: dict) -> dict:
         "mean_dens": out["mean_dens"],
         "favre_mean": out["favre_mean"],
         "favre_rms": out["favre_rms"],
+    }
+
+
+def _exponents_as_dict(out: dict) -> dict:
+    # HDF5-writable view: bools/None become scalars (0 = plain fit).
+    return {
+        "orders": out["orders"],
+        "ess": int(out["ess"]),
+        "reference_order": int(out["reference_order"] or 0),
+        "longitudinal": dict(out["longitudinal"]),
+        "transverse": dict(out["transverse"]),
     }
 
 

@@ -99,12 +99,16 @@ def test_pipeline_optional_analyses(pipeline_dir):
     settings["helicity spectra"] = {"skip": False}
     settings["transfer spectra"] = {"skip": False}
     settings["filtered ke flux"] = {"skip": False, "settings": {"cutoffs": [2.0, 4.0]}}
+    settings["structure function exponents"] = {
+        "skip": False,
+        "settings": {"num_seps": 4, "num_points": 32, "sep_bounds": [0.05, 0.3]},
+    }
     settings_path.write_text(json.dumps(settings))
 
     assert main(workdir) == 0
     anl = sorted(out.glob("*hdf5_analysis_*"))
     found_favre = found_pdf = found_sspec = False
-    found_ens = found_hel = found_tr = found_cg = False
+    found_ens = found_hel = found_tr = found_cg = found_ex = False
     for p in anl:
         with h5py.File(p, "r") as f:
             found_favre |= "favre profiles" in f
@@ -114,8 +118,9 @@ def test_pipeline_optional_analyses(pipeline_dir):
             found_hel |= "helicity spectra" in f
             found_tr |= "transfer spectra" in f
             found_cg |= "filtered ke flux" in f
+            found_ex |= "structure function exponents" in f
     assert found_favre and found_pdf and found_sspec
-    assert found_ens and found_hel and found_tr and found_cg
+    assert found_ens and found_hel and found_tr and found_cg and found_ex
 
 
 def test_shipped_settings_template_runs(pipeline_dir):
