@@ -495,6 +495,50 @@ def validate_analyses() -> dict:
         ),
     }
 
+    # --- filtered (coarse-grained) SGS kinetic-energy flux -------------
+    # Exercises the scan-over-cutoffs path (28 inverse MXU DFTs per
+    # scale) on chip; the sharp-filter Galerkin identity against the
+    # transfer-spectrum flux cross-checks two independent device paths.
+    print("== analyses: filtered ke flux ==", flush=True)
+    from fava_tpu.ops import coarse_grain as cg_ops
+    from tests.oracles import coarse_grain as cg_oracle
+
+    dens_dev = fields[0]
+    dens64 = np.asarray(dens_dev, dtype=np.float64)
+    pres_dev = 2.0 + 0.5 * jnp.sin(X) * jnp.cos(2.0 * Y) + 0.3 * jnp.cos(Z)
+    pres64 = np.asarray(pres_dev, dtype=np.float64)
+    bl64 = [np.asarray(v, dtype=np.float64) for v in bl_dev]
+    cuts = (4.0, 8.0, 16.0)
+    got_cg = cg_ops.filtered_ke_flux(
+        *bl_dev, dens=dens_dev, pres=pres_dev, cutoffs=cuts, kernel="gaussian"
+    )
+    ref_cg = cg_oracle.filtered_ke_flux_oracle(
+        bl64, dens64, cuts, kernel="gaussian", pres=pres64
+    )
+    sharp = cg_ops.filtered_ke_flux(*bl_dev, cutoffs=(5.5,), kernel="sharp")
+    galerkin_resid = float(
+        abs(sharp["pi_mean"][0] - tr_bl["flux"][5]) / max(abs(tr_bl["flux"][5]), 1e-30)
+    )
+    out["filtered_ke_flux"] = {
+        "config": {
+            "n": 128,
+            "kernel": "gaussian",
+            "cutoffs": list(cuts),
+            "field": "random solenoidal |k| <= 8 velocities, trig dens/pres",
+        },
+        "max_scaled_error": {
+            "pi_mean": _scaled_err(got_cg["pi_mean"], ref_cg["pi_mean"]),
+            "pi_rms": _scaled_err(got_cg["pi_rms"], ref_cg["pi_rms"]),
+            "baropycnal_mean": _scaled_err(
+                got_cg["baropycnal_mean"], ref_cg["baropycnal_mean"]
+            ),
+            "baropycnal_rms": _scaled_err(
+                got_cg["baropycnal_rms"], ref_cg["baropycnal_rms"]
+            ),
+        },
+        "sharp_galerkin_flux_residual": galerkin_resid,
+    }
+
     # --- structure functions (same-draw oracle) ------------------------
     print("== analyses: structure functions ==", flush=True)
     out["structure_functions"] = validate_structure_functions()
