@@ -40,3 +40,8 @@ def helicity_spectra(self, *args, **kwargs):
 @Model.register_analysis(use_timer=True)
 def transfer_spectra(self, *args, **kwargs):
     return self.mesh.transfer_spectra(*args, **kwargs)
+
+
+@Model.register_analysis(use_timer=True)
+def decomposed_kinetic_energy_spectra(self, *args, **kwargs):
+    return self.mesh.decomposed_kinetic_energy_spectra(*args, **kwargs)

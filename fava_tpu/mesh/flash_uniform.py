@@ -182,6 +182,24 @@ class FlashUniform(FLASH):
         return vel_ops.helicity_spectrum(*self._vel_volumes(), lengths=self._domain_lengths())
 
     @timer
+    def decomposed_kinetic_energy_spectra(
+        self, weighted: bool = False
+    ) -> Dict[str, np.ndarray]:
+        """Solenoidal/compressive split of the KE spectrum (beyond the
+        reference): the Helmholtz projection applied in k-space, so
+        total == solenoidal + compressive exactly shell by shell.
+        ``weighted=True`` transforms the Kida-Orszag variable
+        sqrt(rho) u so the spectra decompose the true compressible KE
+        budget (ops/velocity.decomposed_ke_spectra)."""
+        from fava_tpu.ops import velocity as vel_ops
+
+        return vel_ops.decomposed_ke_spectra(
+            *self._vel_volumes(),
+            dens=self._volume("dens") if weighted else None,
+            lengths=self._domain_lengths(),
+        )
+
+    @timer
     def transfer_spectra(self, dealias: bool = False) -> Dict[str, np.ndarray]:
         """Nonlinear kinetic-energy transfer T(k) + flux Π(k) (shell
         sums — they telescope, unlike the mean-based power spectra;

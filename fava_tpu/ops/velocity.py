@@ -454,3 +454,98 @@ def helicity_spectrum(
     the velocity lies in-plane while ω points out of it, so helicity
     vanishes identically."""
     return _velocity_spectrum((velx, vely, velz), lengths, "helicity")
+
+
+@lru_cache(maxsize=16)
+def _decomp_spectra_fn(shape: Tuple[int, ...], lengths, weighted: bool, nbins: int, path_key):
+    ntot = int(np.prod(shape))
+    nd = len(shape)
+    adt = accum_dtype()
+
+    def core(*vols):
+        vels = vols[:nd]
+        if weighted:
+            # Kida-Orszag variable w = sqrt(rho) u: sum |w_hat|^2 / 2
+            # is the true kinetic energy, so the decomposed spectra
+            # integrate to the compressible KE budget.
+            sq = jnp.sqrt(vols[nd])
+            vels = [sq * v for v in vels]
+        vhats = [_rfft3(v) / ntot for v in vels]
+        rdt = vhats[0].real.dtype
+        ks = _k_grids(shape, rdt, lengths, zero_nyquist=True)
+        k2 = sum(k * k for k in ks)
+        div = sum(k * w for k, w in zip(ks, vhats)) / jnp.maximum(
+            k2, jnp.asarray(1e-30, rdt)
+        )
+        comp_hats = [k * div for k in ks]
+        # Pointwise-orthogonal split (comp is the k-parallel projection,
+        # sol the remainder) => total == solenoidal + compressive shell
+        # by shell, EXACTLY; k = 0 and Nyquist land in sol (module
+        # docstring).
+        p_tot, p_sol, p_comp = None, None, None
+        for w, c in zip(vhats, comp_hats):
+            s = w - c
+            pt = (0.5 * jnp.abs(w) ** 2).astype(adt)
+            ps = (0.5 * jnp.abs(s) ** 2).astype(adt)
+            pc = (0.5 * jnp.abs(c) ** 2).astype(adt)
+            p_tot = pt if p_tot is None else p_tot + pt
+            p_sol = ps if p_sol is None else p_sol + ps
+            p_comp = pc if p_comp is None else p_comp + pc
+        return (
+            _bin_rfft_power(p_tot, shape, nbins),
+            _bin_rfft_power(p_sol, shape, nbins),
+            _bin_rfft_power(p_comp, shape, nbins),
+        )
+
+    return jax.jit(core)
+
+
+def decomposed_ke_spectra(
+    velx: jax.Array,
+    vely: jax.Array,
+    velz: Optional[jax.Array] = None,
+    dens: Optional[jax.Array] = None,
+    lengths: Optional[Sequence[float]] = None,
+) -> Dict[str, np.ndarray]:
+    """Solenoidal/compressive decomposition of the KE spectrum.
+
+    The Helmholtz projection applied IN SPECTRAL SPACE (no inverse
+    transforms): each velocity transform is split into its k-parallel
+    (compressive) and k-perpendicular (solenoidal) parts and the three
+    power spectra are shell-binned with the package's KE-spectra
+    conventions (shell means, k^(d-1) * 2*pi*(d-1) integral factor).
+    The split is pointwise orthogonal, so
+    ``total == solenoidal + compressive`` holds shell by shell exactly
+    — the standard compressible-turbulence diagnostic for the
+    compressive-mode fraction. With ``dens`` the Kida-Orszag variable
+    w = sqrt(rho) u is transformed instead, making the spectra a true
+    decomposition of the compressible kinetic-energy budget. The k = 0
+    and Nyquist modes land in the solenoidal part, matching
+    :func:`helmholtz_decompose` (so binning the spectra of ITS output
+    fields gives the same record). 2D flows pass two components.
+    Returns {"k", "total", "solenoidal", "compressive"}. Beyond the
+    reference (KE spectra only, fava/mesh/FLASH/FlashUniform.py:229-304).
+    """
+    vels = (velx, vely) if velz is None else (velx, vely, velz)
+    shape, key = _check_vels(vels, lengths, "decomposed_ke_spectra")
+    if dens is not None and tuple(int(s) for s in dens.shape) != shape:
+        raise ValueError(
+            f"dens shape {tuple(dens.shape)} does not match velocity shape {shape}"
+        )
+    nd = len(shape)
+    nbins = max(shape) // 2 - 1
+
+    from fava_tpu.ops import pallas_kernels as pk
+
+    args = list(vels) + ([dens] if dens is not None else [])
+    tot, sol, comp = _decomp_spectra_fn(
+        shape, key, dens is not None, nbins, pk.path_key()
+    )(*args)
+    k = np.arange(nbins, dtype=np.float64)
+    f = k ** (nd - 1) * (2.0 * np.pi * (nd - 1))
+    return {
+        "k": k,
+        "total": np.asarray(tot, dtype=np.float64) * f,
+        "solenoidal": np.asarray(sol, dtype=np.float64) * f,
+        "compressive": np.asarray(comp, dtype=np.float64) * f,
+    }

@@ -51,6 +51,7 @@ _ANALYSIS_KEYS = {
     "enstrophy spectra": (),
     "helicity spectra": (),
     "transfer spectra": (),
+    "decomposed spectra": (),
     "filtered ke flux": (),
     "structure function exponents": (),
 }
@@ -336,6 +337,9 @@ class Pipeline:
             "enstrophy spectra": lambda **kw: self.model.enstrophy_spectra(**kw),
             "helicity spectra": lambda **kw: self.model.helicity_spectra(**kw),
             "transfer spectra": lambda **kw: self.model.transfer_spectra(**kw),
+            "decomposed spectra": lambda **kw: self.model.decomposed_kinetic_energy_spectra(
+                **kw
+            ),
             "filtered ke flux": lambda **kw: self.model.filtered_kinetic_energy_flux(**kw),
             "structure function exponents": lambda **kw: _exponents_as_dict(
                 self.model.structure_function_exponents(**kw)

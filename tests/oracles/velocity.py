@@ -174,3 +174,27 @@ def helicity_spectrum_oracle(vels: Sequence[np.ndarray], lengths=None):
     )
     p = sum((np.conj(v) * c).real for v, c in zip(vhats, curls))
     return _shell_mean(p, shape)
+
+
+def decomposed_ke_spectra_oracle(
+    vels: Sequence[np.ndarray], dens: Optional[np.ndarray] = None, lengths=None
+):
+    """Full-grid shell means of the solenoidal/compressive KE split
+    (optionally of the Kida-Orszag variable sqrt(rho) u)."""
+    shape = vels[0].shape
+    ntot = np.prod(shape)
+    if dens is not None:
+        vels = [np.sqrt(dens) * v for v in vels]
+    vhats = [np.fft.fftn(v) / ntot for v in vels]
+    ks = _k_grids(shape, lengths, zero_nyquist=True)
+    k2 = sum(k * k for k in ks)
+    div = sum(k * w for k, w in zip(ks, vhats)) / np.maximum(k2, 1e-300)
+    comps = [k * div for k in ks]
+    sols = [w - c for w, c in zip(vhats, comps)]
+    out = {}
+    for name, parts in (("total", vhats), ("solenoidal", sols), ("compressive", comps)):
+        p = 0.5 * sum(np.abs(w) ** 2 for w in parts)
+        r = _shell_mean(p, shape)
+        out["k"] = r["k"]
+        out[name] = r["power"]
+    return out

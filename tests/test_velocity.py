@@ -373,3 +373,92 @@ def test_shape_validation():
     v3 = jnp.zeros((4, 4, 4))
     with pytest.raises(ValueError):
         vel_ops.dilatation(v3, v3, v3, lengths=(1.0, 2.0))
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 16), (16, 12, 8)])
+@pytest.mark.parametrize("weighted", [False, True])
+def test_decomposed_spectra_match_oracle_and_sum_exactly(shape, weighted):
+    rng = np.random.default_rng(41)
+    vels = [rng.standard_normal(shape) for _ in range(3)]
+    dens = 1.5 + 0.4 * rng.random(shape) if weighted else None
+    got = vel_ops.decomposed_ke_spectra(
+        *[jnp.asarray(v) for v in vels],
+        dens=None if dens is None else jnp.asarray(dens),
+    )
+    ref = oracle.decomposed_ke_spectra_oracle(vels, dens)
+    for name in ("total", "solenoidal", "compressive"):
+        np.testing.assert_allclose(got[name], ref[name], rtol=1e-9, atol=1e-12)
+    # Pointwise-orthogonal split: exact shell-by-shell budget.
+    np.testing.assert_allclose(
+        got["total"], got["solenoidal"] + got["compressive"], rtol=1e-12, atol=1e-14
+    )
+
+
+def test_decomposed_spectra_consistent_with_helmholtz_fields():
+    # Binning the spectra of helmholtz_decompose's OUTPUT fields must
+    # reproduce the k-space-projected record (same k=0/Nyquist rules).
+    shape = (16, 16, 16)
+    rng = np.random.default_rng(42)
+    vels = [rng.standard_normal(shape) for _ in range(3)]
+    got = vel_ops.decomposed_ke_spectra(*[jnp.asarray(v) for v in vels])
+    hd = vel_ops.helmholtz_decompose(*[jnp.asarray(v) for v in vels])
+    names = ("velx", "vely", "velz")
+    sol = [np.asarray(hd["solenoidal"][n]) for n in names]
+    comp = [np.asarray(hd["compressive"][n]) for n in names]
+    ref_sol = oracle.decomposed_ke_spectra_oracle(sol, None)["total"]
+    ref_comp = oracle.decomposed_ke_spectra_oracle(comp, None)["total"]
+    np.testing.assert_allclose(got["solenoidal"], ref_sol, rtol=1e-9, atol=1e-13)
+    np.testing.assert_allclose(got["compressive"], ref_comp, rtol=1e-9, atol=1e-13)
+
+
+def test_decomposed_spectra_pure_modes():
+    # A divergence-free mode is all-solenoidal; a gradient mode is
+    # all-compressive (beyond k = 0).
+    n = 16
+    x = np.arange(n) / n
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    z = np.zeros_like(X)
+    sol_field = [np.sin(2 * np.pi * Y), z, z]
+    grad_field = [np.sin(4 * np.pi * X), z, z]
+    out = vel_ops.decomposed_ke_spectra(*[jnp.asarray(v) for v in sol_field])
+    assert np.nanmax(out["compressive"]) < 1e-14
+    assert np.nansum(out["solenoidal"]) > 0
+    out = vel_ops.decomposed_ke_spectra(*[jnp.asarray(v) for v in grad_field])
+    assert np.nanmax(out["solenoidal"]) < 1e-14
+    assert np.nansum(out["compressive"]) > 0
+
+
+def test_decomposed_spectra_2d_and_validation():
+    shape = (16, 12)
+    rng = np.random.default_rng(43)
+    vels = [rng.standard_normal(shape) for _ in range(2)]
+    got = vel_ops.decomposed_ke_spectra(*[jnp.asarray(v) for v in vels])
+    ref = oracle.decomposed_ke_spectra_oracle(vels, None)
+    for name in ("total", "solenoidal", "compressive"):
+        np.testing.assert_allclose(got[name], ref[name], rtol=1e-9, atol=1e-13)
+    with pytest.raises(ValueError, match="dens shape"):
+        vel_ops.decomposed_ke_spectra(
+            *[jnp.asarray(v) for v in vels], dens=jnp.zeros((4, 4))
+        )
+
+
+def test_decomposed_spectra_mesh_and_registration(uniform_file):
+    import fava_tpu
+    from fava_tpu.mesh import FlashUniform
+
+    mesh = FlashUniform(uniform_file)
+    mesh.load()
+    vels = [np.asarray(mesh.data(f"vel{a}")) for a in "xyz"]
+    vels = [v[0] if v.ndim == 4 else v for v in vels]
+    dens = np.asarray(mesh.data("dens"))
+    dens = dens[0] if dens.ndim == 4 else dens
+    got = mesh.decomposed_kinetic_energy_spectra(weighted=True)
+    ref = oracle.decomposed_ke_spectra_oracle(vels, dens, mesh._domain_lengths())
+    np.testing.assert_allclose(got["solenoidal"], ref["solenoidal"], rtol=1e-9)
+    m = fava_tpu.FLASH(uniform_file.parent)
+    m.load(file_type="uni")
+    assert hasattr(m, "decomposed_kinetic_energy_spectra")
+    got2 = m.decomposed_kinetic_energy_spectra()
+    np.testing.assert_allclose(
+        got2["total"], oracle.decomposed_ke_spectra_oracle(vels, None, mesh._domain_lengths())["total"], rtol=1e-9
+    )
