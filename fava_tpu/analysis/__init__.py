@@ -16,6 +16,7 @@ from fava_tpu.analysis.fractal_dimension import fractal_dimension
 from fava_tpu.analysis.kinetic_energy_spectra import kinetic_energy_spectra
 from fava_tpu.analysis.scalar_spectra import scalar_spectra
 from fava_tpu.analysis.velocity_diagnostics import (
+    anisotropic_kinetic_energy_spectra,
     decomposed_kinetic_energy_spectra,
     dilatation,
     enstrophy_spectra,
@@ -61,6 +62,7 @@ __all__ = [
     "helicity_spectra",
     "transfer_spectra",
     "decomposed_kinetic_energy_spectra",
+    "anisotropic_kinetic_energy_spectra",
     "filtered_kinetic_energy_flux",
     "structure_function_exponents",
     "dispersion_statistics",

@@ -45,3 +45,8 @@ def transfer_spectra(self, *args, **kwargs):
 @Model.register_analysis(use_timer=True)
 def decomposed_kinetic_energy_spectra(self, *args, **kwargs):
     return self.mesh.decomposed_kinetic_energy_spectra(*args, **kwargs)
+
+
+@Model.register_analysis(use_timer=True)
+def anisotropic_kinetic_energy_spectra(self, *args, **kwargs):
+    return self.mesh.anisotropic_kinetic_energy_spectra(*args, **kwargs)

@@ -200,6 +200,20 @@ class FlashUniform(FLASH):
         )
 
     @timer
+    def anisotropic_kinetic_energy_spectra(self, axis: int = 0) -> Dict[str, np.ndarray]:
+        """Axis-resolved KE spectra relative to a preferred direction
+        (default x — the RT flame-propagation axis the reference's flame
+        window marches): parallel E(k_par) and perpendicular E(k_perp)
+        sums, each split into axial/transverse velocity-component
+        contributions, energy-exact under Parseval
+        (ops/velocity.anisotropic_ke_spectra)."""
+        from fava_tpu.ops import velocity as vel_ops
+
+        return vel_ops.anisotropic_ke_spectra(
+            *self._vel_volumes(), axis=axis, lengths=self._domain_lengths()
+        )
+
+    @timer
     def transfer_spectra(self, dealias: bool = False) -> Dict[str, np.ndarray]:
         """Nonlinear kinetic-energy transfer T(k) + flux Π(k) (shell
         sums — they telescope, unlike the mean-based power spectra;

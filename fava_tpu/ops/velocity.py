@@ -500,6 +500,157 @@ def _decomp_spectra_fn(shape: Tuple[int, ...], lengths, weighted: bool, nbins: i
     return jax.jit(core)
 
 
+def _hermitian_weights(shape: Tuple[int, ...], adt):
+    """Trailing-axis conjugate-pair weights on the rfft half grid
+    (1 for the self-conjugate k=0/Nyquist lanes, 2 otherwise)."""
+    n_last = shape[-1]
+    j = np.arange(n_last // 2 + 1)
+    self_conj = j == 0
+    if n_last % 2 == 0:
+        self_conj = self_conj | (j == n_last // 2)
+    w = np.where(self_conj, 1.0, 2.0)
+    kshape = [1] * len(shape)
+    kshape[-1] = len(j)
+    return jnp.asarray(w.astype(adt).reshape(kshape))
+
+
+def _axis_bin_matrix(shape: Tuple[int, ...], axis: int):
+    """(nbins, n_line) 0/1 fold matrix binning the 1D line of plane-summed
+    power along ``axis`` by integer |k_axis| (host trace-time constant).
+    Covers EVERY mode (bins 0..n//2 inclusive) so sums conserve energy."""
+    nd = len(shape)
+    n = shape[axis]
+    if axis == nd - 1:
+        kabs = np.arange(n // 2 + 1)
+    else:
+        j = np.arange(n)
+        kabs = np.abs(np.where(j <= (n - 1) // 2, j, j - n))
+    nbins = n // 2 + 1
+    mat = np.zeros((nbins, len(kabs)))
+    mat[kabs, np.arange(len(kabs))] = 1.0
+    return mat, nbins
+
+
+def _perp_bin_index(shape: Tuple[int, ...], axis: int):
+    """Flattened ring-bin index of the plane perpendicular to ``axis``
+    (integer-rounded cylindrical radius), plus its bin count. Covers
+    EVERY mode so ring sums conserve energy."""
+    nd = len(shape)
+    perp_axes = [a for a in range(nd) if a != axis]
+    grids = []
+    for a in perp_axes:
+        n = shape[a]
+        if a == nd - 1:
+            k = np.arange(n // 2 + 1, dtype=np.float64)
+        else:
+            j = np.arange(n)
+            k = np.abs(np.where(j <= (n - 1) // 2, j, j - n)).astype(np.float64)
+        grids.append(k)
+    if len(grids) == 1:
+        r = grids[0]
+    else:
+        r = np.sqrt(grids[0][:, None] ** 2 + grids[1][None, :] ** 2)
+    bidx = np.floor(r + 0.5).astype(np.int32)
+    return bidx.ravel(), int(bidx.max()) + 1
+
+
+@lru_cache(maxsize=16)
+def _aniso_spectra_fn(shape: Tuple[int, ...], axis: int):
+    ntot = int(np.prod(shape))
+    nd = len(shape)
+    adt = accum_dtype()
+    fold, _ = _axis_bin_matrix(shape, axis)
+    fold = jnp.asarray(fold.astype(adt))
+    bidx_host, nperp = _perp_bin_index(shape, axis)
+    bidx = jnp.asarray(bidx_host)
+    perp_axes = tuple(a for a in range(nd) if a != axis)
+    hw = _hermitian_weights(shape, adt)
+
+    def one(p):
+        # Parallel: plane-sum -> signed-line fold (tiny 0/1 matmul).
+        line = jnp.sum(p, axis=perp_axes)
+        epar = fold @ line
+        # Perpendicular: axis-sum -> ring scatter on the small plane.
+        plane = jnp.sum(p, axis=axis).ravel()
+        eperp = jnp.zeros(nperp, dtype=adt).at[bidx].add(plane)
+        return epar, eperp
+
+    def core(*vels):
+        p_ax, p_tr = None, None
+        for i, v in enumerate(vels):
+            w = _rfft3(v) / ntot
+            q = (0.5 * jnp.abs(w) ** 2).astype(adt) * hw
+            if i == axis:
+                p_ax = q if p_ax is None else p_ax + q
+            else:
+                p_tr = q if p_tr is None else p_tr + q
+        out_ax = one(p_ax)
+        out_tr = one(p_tr)
+        return out_ax + out_tr  # (par_ax, perp_ax, par_tr, perp_tr)
+
+    return jax.jit(core)
+
+
+def anisotropic_ke_spectra(
+    velx: jax.Array,
+    vely: jax.Array,
+    velz: Optional[jax.Array] = None,
+    axis: int = 0,
+    lengths: Optional[Sequence[float]] = None,
+) -> Dict[str, np.ndarray]:
+    """Axis-resolved (anisotropic) kinetic-energy spectra.
+
+    The standard diagnostic for flows with a preferred direction —
+    Rayleigh-Taylor flames propagate along x (the reference's flame
+    window marches that axis, fava/pipeline.py stage 1), so isotropic
+    shell spectra mix the buoyancy-driven axial motions with the
+    transverse turbulence they feed. This bins the spectral KE two
+    ways relative to ``axis``:
+
+    * **parallel** ``E(k_par)``: summed over each perpendicular plane,
+      binned by integer |k_axis| (bins 0..n/2 inclusive);
+    * **perpendicular** ``E(k_perp)``: summed along the axis, binned by
+      the integer-rounded cylindrical radius of the perpendicular
+      wavenumbers.
+
+    Each is further split by velocity COMPONENT into ``axial`` (the
+    ``axis`` component — the RT "longitudinal" motions) and
+    ``transverse`` (the others), with ``total = axial + transverse``.
+    Unlike the package's isotropic shell spectra (means times a shell
+    integral factor) these are exact SUMS over every Hermitian mode:
+    ``sum(par_total) == sum(perp_total) == 0.5*mean(|u|^2)`` to float
+    accuracy (Parseval), so anisotropy ratios are energy-exact. Bins
+    are grid-integer wavenumbers, as everywhere in the package;
+    ``lengths`` is accepted for API symmetry (binning is geometric).
+    2D flows pass two components (the perpendicular record is the
+    single remaining axis). Beyond the reference (isotropic KE spectra
+    only, fava/mesh/FLASH/FlashUniform.py:229-304).
+
+    Returns {"k_par", "par_total", "par_axial", "par_transverse",
+    "k_perp", "perp_total", "perp_axial", "perp_transverse"}.
+    """
+    vels = (velx, vely) if velz is None else (velx, vely, velz)
+    shape, _ = _check_vels(vels, lengths, "anisotropic_ke_spectra")
+    nd = len(shape)
+    if not 0 <= axis < nd:
+        raise ValueError(f"axis must be in [0, {nd}), got {axis}")
+    par_ax, perp_ax, par_tr, perp_tr = _aniso_spectra_fn(shape, axis)(*vels)
+    par_ax = np.asarray(par_ax, dtype=np.float64)
+    par_tr = np.asarray(par_tr, dtype=np.float64)
+    perp_ax = np.asarray(perp_ax, dtype=np.float64)
+    perp_tr = np.asarray(perp_tr, dtype=np.float64)
+    return {
+        "k_par": np.arange(len(par_ax), dtype=np.float64),
+        "par_total": par_ax + par_tr,
+        "par_axial": par_ax,
+        "par_transverse": par_tr,
+        "k_perp": np.arange(len(perp_ax), dtype=np.float64),
+        "perp_total": perp_ax + perp_tr,
+        "perp_axial": perp_ax,
+        "perp_transverse": perp_tr,
+    }
+
+
 def decomposed_ke_spectra(
     velx: jax.Array,
     vely: jax.Array,

@@ -52,6 +52,7 @@ _ANALYSIS_KEYS = {
     "helicity spectra": (),
     "transfer spectra": (),
     "decomposed spectra": (),
+    "anisotropic spectra": (),
     "filtered ke flux": (),
     "structure function exponents": (),
 }
@@ -338,6 +339,9 @@ class Pipeline:
             "helicity spectra": lambda **kw: self.model.helicity_spectra(**kw),
             "transfer spectra": lambda **kw: self.model.transfer_spectra(**kw),
             "decomposed spectra": lambda **kw: self.model.decomposed_kinetic_energy_spectra(
+                **kw
+            ),
+            "anisotropic spectra": lambda **kw: self.model.anisotropic_kinetic_energy_spectra(
                 **kw
             ),
             "filtered ke flux": lambda **kw: self.model.filtered_kinetic_energy_flux(**kw),

@@ -198,3 +198,39 @@ def decomposed_ke_spectra_oracle(
         out["k"] = r["k"]
         out[name] = r["power"]
     return out
+
+
+def anisotropic_ke_spectra_oracle(vels: Sequence[np.ndarray], axis: int = 0):
+    """Full-grid parallel/perpendicular KE sums relative to ``axis``,
+    split by velocity component (axial vs transverse), binned by
+    integer |k_axis| and integer-rounded perpendicular radius."""
+    shape = vels[0].shape
+    nd = len(shape)
+    ntot = np.prod(shape)
+    kints = []
+    for a, n in enumerate(shape):
+        j = np.arange(n)
+        k = np.abs(np.where(j <= (n - 1) // 2, j, j - n)).astype(np.float64)
+        ksh = [1] * nd
+        ksh[a] = n
+        kints.append(k.reshape(ksh))
+    perp_axes = [a for a in range(nd) if a != axis]
+    kpar = np.broadcast_to(kints[axis], shape).astype(np.int64)
+    rperp = np.sqrt(sum(kints[a] ** 2 for a in perp_axes))
+    bperp = np.floor(np.broadcast_to(rperp, shape) + 0.5).astype(np.int64)
+    npar = shape[axis] // 2 + 1
+    nperp = int(bperp.max()) + 1
+    out = {
+        "k_par": np.arange(npar, dtype=np.float64),
+        "k_perp": np.arange(nperp, dtype=np.float64),
+    }
+    for name, comps in (
+        ("axial", [vels[axis]]),
+        ("transverse", [v for a, v in enumerate(vels) if a != axis]),
+    ):
+        p = sum(0.5 * np.abs(np.fft.fftn(v) / ntot) ** 2 for v in comps)
+        out[f"par_{name}"] = np.bincount(kpar.ravel(), p.ravel(), minlength=npar)
+        out[f"perp_{name}"] = np.bincount(bperp.ravel(), p.ravel(), minlength=nperp)
+    out["par_total"] = out["par_axial"] + out["par_transverse"]
+    out["perp_total"] = out["perp_axial"] + out["perp_transverse"]
+    return out

@@ -99,6 +99,7 @@ def test_pipeline_optional_analyses(pipeline_dir):
     settings["helicity spectra"] = {"skip": False}
     settings["transfer spectra"] = {"skip": False}
     settings["decomposed spectra"] = {"skip": False, "settings": {"weighted": True}}
+    settings["anisotropic spectra"] = {"skip": False, "settings": {"axis": 0}}
     settings["filtered ke flux"] = {"skip": False, "settings": {"cutoffs": [2.0, 4.0]}}
     settings["structure function exponents"] = {
         "skip": False,
@@ -109,7 +110,7 @@ def test_pipeline_optional_analyses(pipeline_dir):
     assert main(workdir) == 0
     anl = sorted(out.glob("*hdf5_analysis_*"))
     found_favre = found_pdf = found_sspec = False
-    found_ens = found_hel = found_tr = found_cg = found_ex = found_dec = False
+    found_ens = found_hel = found_tr = found_cg = found_ex = found_dec = found_an = False
     for p in anl:
         with h5py.File(p, "r") as f:
             found_favre |= "favre profiles" in f
@@ -119,10 +120,11 @@ def test_pipeline_optional_analyses(pipeline_dir):
             found_hel |= "helicity spectra" in f
             found_tr |= "transfer spectra" in f
             found_dec |= "decomposed spectra" in f
+            found_an |= "anisotropic spectra" in f
             found_cg |= "filtered ke flux" in f
             found_ex |= "structure function exponents" in f
     assert found_favre and found_pdf and found_sspec
-    assert found_ens and found_hel and found_tr and found_cg and found_ex and found_dec
+    assert found_ens and found_hel and found_tr and found_cg and found_ex and found_dec and found_an
 
 
 def test_shipped_settings_template_runs(pipeline_dir):

@@ -462,3 +462,67 @@ def test_decomposed_spectra_mesh_and_registration(uniform_file):
     np.testing.assert_allclose(
         got2["total"], oracle.decomposed_ke_spectra_oracle(vels, None, mesh._domain_lengths())["total"], rtol=1e-9
     )
+
+
+@pytest.mark.parametrize("shape,nd", [((16, 12, 8), 3), ((16, 12), 2)])
+def test_anisotropic_spectra_match_oracle_every_axis(shape, nd):
+    rng = np.random.default_rng(44)
+    vels = [rng.standard_normal(shape) for _ in range(nd)]
+    for axis in range(nd):
+        got = vel_ops.anisotropic_ke_spectra(
+            *[jnp.asarray(v) for v in vels], axis=axis
+        )
+        ref = oracle.anisotropic_ke_spectra_oracle(vels, axis=axis)
+        for name in (
+            "par_total", "par_axial", "par_transverse",
+            "perp_total", "perp_axial", "perp_transverse",
+        ):
+            np.testing.assert_allclose(
+                got[name], ref[name], rtol=1e-9, atol=1e-13, err_msg=f"axis {axis} {name}"
+            )
+        # Energy-exact: both records sum to the Parseval total.
+        ke = 0.5 * sum(np.mean(v**2) for v in vels)
+        np.testing.assert_allclose(np.sum(got["par_total"]), ke, rtol=1e-10)
+        np.testing.assert_allclose(np.sum(got["perp_total"]), ke, rtol=1e-10)
+        np.testing.assert_allclose(
+            got["par_total"], got["par_axial"] + got["par_transverse"], rtol=1e-12
+        )
+
+
+def test_anisotropic_spectra_pure_modes_and_validation():
+    # A single k_x mode of vely: all its parallel power sits in the
+    # k_par=2 bin and the transverse record; perpendicular power sits
+    # entirely at k_perp=0 (no perpendicular variation).
+    n = 16
+    x = np.arange(n) / n
+    X = np.meshgrid(x, x, x, indexing="ij")[0]
+    z = np.zeros((n, n, n))
+    out = vel_ops.anisotropic_ke_spectra(
+        jnp.asarray(z), jnp.asarray(np.sin(4 * np.pi * X)), jnp.asarray(z), axis=0
+    )
+    assert np.argmax(out["par_total"]) == 2
+    np.testing.assert_allclose(np.sum(out["par_axial"]), 0.0, atol=1e-15)
+    np.testing.assert_allclose(out["par_total"][2], 0.25, rtol=1e-12)  # 0.5*<sin^2>
+    assert np.argmax(out["perp_total"]) == 0
+    np.testing.assert_allclose(np.sum(out["perp_total"][1:]), 0.0, atol=1e-15)
+    with pytest.raises(ValueError, match="axis"):
+        vel_ops.anisotropic_ke_spectra(jnp.asarray(z), jnp.asarray(z), jnp.asarray(z), axis=3)
+
+
+def test_anisotropic_spectra_mesh_and_registration(uniform_file):
+    import fava_tpu
+    from fava_tpu.mesh import FlashUniform
+
+    mesh = FlashUniform(uniform_file)
+    mesh.load()
+    vels = [np.asarray(mesh.data(f"vel{a}")) for a in "xyz"]
+    vels = [v[0] if v.ndim == 4 else v for v in vels]
+    got = mesh.anisotropic_kinetic_energy_spectra(axis=1)
+    ref = oracle.anisotropic_ke_spectra_oracle(vels, axis=1)
+    np.testing.assert_allclose(got["perp_total"], ref["perp_total"], rtol=1e-9)
+    m = fava_tpu.FLASH(uniform_file.parent)
+    m.load(file_type="uni")
+    got2 = m.anisotropic_kinetic_energy_spectra()
+    np.testing.assert_allclose(
+        got2["par_total"], oracle.anisotropic_ke_spectra_oracle(vels, axis=0)["par_total"], rtol=1e-9
+    )
