@@ -12,6 +12,7 @@ from fava_tpu.analysis.auto_correlations import (
     eulerian_autocorrelation,
     lagrangian_autocorrelation,
 )
+from fava_tpu.analysis.flame_surface import flame_surface
 from fava_tpu.analysis.fractal_dimension import fractal_dimension
 from fava_tpu.analysis.kinetic_energy_spectra import kinetic_energy_spectra
 from fava_tpu.analysis.scalar_spectra import scalar_spectra
@@ -63,6 +64,7 @@ __all__ = [
     "transfer_spectra",
     "decomposed_kinetic_energy_spectra",
     "anisotropic_kinetic_energy_spectra",
+    "flame_surface",
     "filtered_kinetic_energy_flux",
     "structure_function_exponents",
     "dispersion_statistics",

@@ -200,6 +200,23 @@ class FlashUniform(FLASH):
         )
 
     @timer
+    def flame_surface(self, field: str = "flam", axis: int = 0) -> Dict[str, np.ndarray]:
+        """Flame surface density of a progress variable (beyond the
+        reference): coarea-formula front area, wrinkling factor vs the
+        axis-normal cross-section, slab-resolved sigma(x) profile, and
+        gradient flame thickness (ops/flame.flame_surface). Central
+        differences — correct for the non-periodic flame axis."""
+        from fava_tpu.ops import flame as flame_ops
+
+        vol = self._volume(field)
+        nd = self.ndim
+        if vol.ndim > nd:
+            vol = vol.reshape(vol.shape[:nd])
+        lengths = self._domain_lengths()
+        deltas = [lengths[a] / vol.shape[a] for a in range(nd)]
+        return flame_ops.flame_surface(vol, deltas, axis=axis)
+
+    @timer
     def anisotropic_kinetic_energy_spectra(self, axis: int = 0) -> Dict[str, np.ndarray]:
         """Axis-resolved KE spectra relative to a preferred direction
         (default x — the RT flame-propagation axis the reference's flame

@@ -46,3 +46,72 @@ def flame_window(
         p0=(np.max(rsyyzz), rspan[np.argmax(rsyyzz)], np.std(rsyyzz)),
     )
     return float(opt[1] * XFACT)
+
+
+def flame_surface(
+    c,
+    deltas,
+    axis: int = 0,
+):
+    """Flame surface density diagnostics of a progress variable.
+
+    Coarea-formula surface measure (device, one jit): for c in [0, 1],
+    ``integral |grad c| dV = integral_0^1 A(c*) dc*`` — the isolevel-
+    averaged flame surface area, the standard resolved surface measure
+    of flame-capturing simulations (no marching cubes; exactly what
+    flame-surface-density models transport). Gradients are central
+    differences with one-sided edges (np.gradient convention — the
+    flame axis is NOT periodic in an RT column, so spectral derivatives
+    would ring at the front). Beyond the reference, which probes the
+    front only through the fractal dimension of one isosurface
+    (fava/mesh/FLASH/FlashUniform.py:306-378) and the flame-window fit
+    above; this measures the whole front. Returns:
+
+    * ``area``       — integral |grad c| dV (isolevel-mean front area);
+    * ``wrinkling``  — area / planar cross-section (the wrinkling
+      factor Xi >= 1 of an axis-normal front spanning the box);
+    * ``x``, ``sigma`` — slab-resolved surface density profile along
+      ``axis``: plane means of |grad c| (surface area per unit volume),
+      at cell-center coordinates;
+    * ``max_gradient``, ``thickness`` — peak |grad c| and the gradient
+      flame thickness 1 / max|grad c| of a unit progress variable.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    shape = tuple(int(s) for s in c.shape)
+    nd = len(shape)
+    if nd not in (2, 3):
+        raise ValueError(f"flame_surface requires a 2D or 3D volume, got {nd}D")
+    if len(deltas) != nd:
+        raise ValueError(f"deltas must have {nd} entries, got {len(deltas)}")
+    if not 0 <= axis < nd:
+        raise ValueError(f"axis must be in [0, {nd}), got {axis}")
+    deltas = tuple(float(d) for d in deltas)
+    cell_vol = float(np.prod(deltas))
+    # Cross-section of an unwrinkled axis-normal front spanning the box.
+    planar = float(
+        np.prod([deltas[a] * shape[a] for a in range(nd) if a != axis])
+    )
+    plane_axes = tuple(a for a in range(nd) if a != axis)
+
+    @jax.jit
+    def core(vol):
+        grads = jnp.gradient(vol, *deltas)
+        mag = jnp.sqrt(sum(g * g for g in grads))
+        sigma = jnp.mean(mag, axis=plane_axes)
+        total = jnp.sum(mag) * cell_vol
+        return total, sigma, jnp.max(mag)
+
+    total, sigma, gmax = core(c)
+    total = float(total)
+    gmax = float(gmax)
+    x = (np.arange(shape[axis], dtype=np.float64) + 0.5) * deltas[axis]
+    return {
+        "area": total,
+        "wrinkling": total / planar,
+        "x": x,
+        "sigma": np.asarray(sigma, dtype=np.float64),
+        "max_gradient": gmax,
+        "thickness": (1.0 / gmax) if gmax > 0 else np.inf,
+    }

@@ -53,6 +53,7 @@ _ANALYSIS_KEYS = {
     "transfer spectra": (),
     "decomposed spectra": (),
     "anisotropic spectra": (),
+    "flame surface": (),
     "filtered ke flux": (),
     "structure function exponents": (),
 }
@@ -344,6 +345,7 @@ class Pipeline:
             "anisotropic spectra": lambda **kw: self.model.anisotropic_kinetic_energy_spectra(
                 **kw
             ),
+            "flame surface": lambda **kw: self.model.flame_surface(**kw),
             "filtered ke flux": lambda **kw: self.model.filtered_kinetic_energy_flux(**kw),
             "structure function exponents": lambda **kw: _exponents_as_dict(
                 self.model.structure_function_exponents(**kw)

@@ -539,6 +539,47 @@ def validate_analyses() -> dict:
         "sharp_galerkin_flux_residual": galerkin_resid,
     }
 
+    # --- decomposed (sol/comp) KE spectra ------------------------------
+    # Exercises the in-k-space Helmholtz projection + three shell
+    # binnings in one jit; the shell budget total == sol + comp must
+    # close at f32 roundoff ON CHIP (it is exact by construction).
+    print("== analyses: decomposed + anisotropic spectra ==", flush=True)
+    got_dec = vel_ops.decomposed_ke_spectra(*vels_dev, dens=dens_dev)
+    ref_dec = vel_oracle.decomposed_ke_spectra_oracle(vels64, dens64)
+    kk3 = np.arange(len(got_dec["k"])) ** 2 * (4.0 * np.pi)
+    budget_resid = float(
+        np.nanmax(
+            np.abs(got_dec["total"] - got_dec["solenoidal"] - got_dec["compressive"])
+        )
+        / max(np.nanmax(np.abs(got_dec["total"])), 1e-30)
+    )
+    out["decomposed_ke_spectra"] = {
+        "config": {"n": 128, "weighted": True, "field": "trig mix + dens"},
+        "max_scaled_error": {
+            name: _scaled_err(got_dec[name][1:], (ref_dec[name] * kk3)[1:])
+            for name in ("total", "solenoidal", "compressive")
+        },
+        "shell_budget_residual": budget_resid,
+    }
+
+    # --- anisotropic (axis-resolved) KE spectra ------------------------
+    # Exercises the plane/line reductions + fold-matrix and ring-scatter
+    # binnings; both records must conserve the Parseval KE total.
+    got_an = vel_ops.anisotropic_ke_spectra(*vels_dev, axis=0)
+    ref_an = vel_oracle.anisotropic_ke_spectra_oracle(vels64, axis=0)
+    ke_tot = 0.5 * sum(float(np.mean(v**2)) for v in vels64)
+    out["anisotropic_ke_spectra"] = {
+        "config": {"n": 128, "axis": 0, "field": "trig mix"},
+        "max_scaled_error": {
+            name: _scaled_err(got_an[name], ref_an[name])
+            for name in ("par_total", "par_axial", "perp_total", "perp_transverse")
+        },
+        "parseval_residual": {
+            "par": float(abs(np.sum(got_an["par_total"]) - ke_tot) / ke_tot),
+            "perp": float(abs(np.sum(got_an["perp_total"]) - ke_tot) / ke_tot),
+        },
+    }
+
     # --- structure functions (same-draw oracle) ------------------------
     print("== analyses: structure functions ==", flush=True)
     out["structure_functions"] = validate_structure_functions()
