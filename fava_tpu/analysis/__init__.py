@@ -19,6 +19,7 @@ from fava_tpu.analysis.scalar_spectra import scalar_spectra
 from fava_tpu.analysis.velocity_diagnostics import (
     anisotropic_kinetic_energy_spectra,
     decomposed_kinetic_energy_spectra,
+    turbulence_summary,
     dilatation,
     enstrophy_spectra,
     helicity_spectra,
@@ -65,6 +66,7 @@ __all__ = [
     "decomposed_kinetic_energy_spectra",
     "anisotropic_kinetic_energy_spectra",
     "flame_surface",
+    "turbulence_summary",
     "filtered_kinetic_energy_flux",
     "structure_function_exponents",
     "dispersion_statistics",

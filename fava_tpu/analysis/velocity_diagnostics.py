@@ -50,3 +50,8 @@ def decomposed_kinetic_energy_spectra(self, *args, **kwargs):
 @Model.register_analysis(use_timer=True)
 def anisotropic_kinetic_energy_spectra(self, *args, **kwargs):
     return self.mesh.anisotropic_kinetic_energy_spectra(*args, **kwargs)
+
+
+@Model.register_analysis(use_timer=True)
+def turbulence_summary(self, *args, **kwargs):
+    return self.mesh.turbulence_summary(*args, **kwargs)

@@ -40,10 +40,25 @@ def default_field_fn(name: str) -> Callable[[np.ndarray, np.ndarray, np.ndarray]
     def flam(x, y, z):
         return 1.0 / (1.0 + np.exp((x - 0.5) * 20.0))
 
+    def pres(x, y, z):
+        # Strictly positive: sound speeds sqrt(gamc*pres/dens) must be real.
+        return 2.0 + 0.5 * np.sin(2 * np.pi * x) * np.cos(2 * np.pi * z)
+
+    def gamc(x, y, z):
+        return 1.4 + 0.1 * np.cos(2 * np.pi * y)
+
     def other(x, y, z):
         return np.sin(2 * np.pi * (x + y + z))
 
-    return {"dens": dens, "velx": velx, "vely": vely, "velz": velz, "flam": flam}.get(name, other)
+    return {
+        "dens": dens,
+        "velx": velx,
+        "vely": vely,
+        "velz": velz,
+        "flam": flam,
+        "pres": pres,
+        "gamc": gamc,
+    }.get(name, other)
 
 
 @dataclass

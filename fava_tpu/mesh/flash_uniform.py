@@ -200,6 +200,36 @@ class FlashUniform(FLASH):
         )
 
     @timer
+    def turbulence_summary(self, gamma: float = 5.0 / 3.0) -> Dict[str, float]:
+        """One-call scalar turbulence report (beyond the reference):
+        u_rms/KE, integral + Taylor scales from spectral moments,
+        exact solenoidal/compressive energy fractions, vorticity and
+        dilatation rms — plus Mach statistics when this file carries
+        ``pres`` (per-cell ``gamc`` is used over the scalar ``gamma``
+        when present). One jit over three forward MXU transforms
+        (ops/velocity.turbulence_summary)."""
+        from fava_tpu.ops import velocity as vel_ops
+
+        nd = self.ndim
+
+        def opt(name):
+            d = self.data(name)
+            if d is None:
+                return None
+            v = self._volume(name)
+            return v.reshape(v.shape[:nd]) if v.ndim > nd else v
+
+        pres = opt("pres")
+        gamc = opt("gamc") if pres is not None else None
+        return vel_ops.turbulence_summary(
+            *self._vel_volumes(),
+            dens=opt("dens"),
+            pres=pres,
+            gamma=gamc if gamc is not None else gamma,
+            lengths=self._domain_lengths(),
+        )
+
+    @timer
     def flame_surface(self, field: str = "flam", axis: int = 0) -> Dict[str, np.ndarray]:
         """Flame surface density of a progress variable (beyond the
         reference): coarea-formula front area, wrinkling factor vs the

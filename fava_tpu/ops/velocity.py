@@ -700,3 +700,134 @@ def decomposed_ke_spectra(
         "solenoidal": np.asarray(sol, dtype=np.float64) * f,
         "compressive": np.asarray(comp, dtype=np.float64) * f,
     }
+
+
+@lru_cache(maxsize=16)
+def _turbulence_summary_fn(shape: Tuple[int, ...], lengths, has_dens: bool, has_pres: bool):
+    ntot = int(np.prod(shape))
+    nd = len(shape)
+    adt = accum_dtype()
+
+    def core(*vols):
+        vels = vols[:nd]
+        i = nd
+        dens = vols[i] if has_dens else None
+        if has_dens:
+            i += 1
+        pres = vols[i] if has_pres else None
+        gamma = vols[i + 1] if has_pres else None
+
+        out = {}
+        u2 = sum(v.astype(adt) ** 2 for v in vels)
+        out["u_rms"] = jnp.sqrt(jnp.mean(u2))
+        out["kinetic_energy"] = 0.5 * jnp.mean(u2)
+        if has_dens:
+            out["kinetic_energy_density"] = 0.5 * jnp.mean(dens.astype(adt) * u2)
+        if has_pres:
+            cs2 = gamma.astype(adt) * pres.astype(adt) / dens.astype(adt)
+            m2 = u2 / cs2
+            out["mach_rms"] = jnp.sqrt(jnp.mean(m2))
+            out["mach_max"] = jnp.sqrt(jnp.max(m2))
+            out["sound_speed_mean"] = jnp.mean(jnp.sqrt(cs2))
+
+        # Spectral moments: one forward-transform set, Hermitian sums.
+        vhats = [_rfft3(v) / ntot for v in vels]
+        rdt = vhats[0].real.dtype
+        hw = _hermitian_weights(shape, adt)
+        ks = _k_grids(shape, rdt, lengths, zero_nyquist=True)
+        k2 = sum(k * k for k in ks)
+        kmag = jnp.sqrt(k2)
+        e_mode = sum((0.5 * jnp.abs(w) ** 2).astype(adt) for w in vhats) * hw
+        e_sum = jnp.sum(e_mode)
+        # Moments exclude the k = 0 (mean-flow) mode: it carries no
+        # turbulent scale information and 1/k diverges there.
+        inv_k = jnp.where(kmag > 0, 1.0 / jnp.maximum(kmag, 1e-30), 0.0).astype(adt)
+        mean_e = e_mode.reshape(-1)[0]  # k = (0,...,0) is the corner mode
+        e_fluct = e_sum - mean_e
+        m_inv = jnp.sum(e_mode * inv_k)  # k=0 already zeroed by inv_k
+        m_2 = jnp.sum(e_mode * k2.astype(adt))
+        # Standard isotropic-turbulence definitions on the 3D energy
+        # spectrum: L = (3*pi/4) * int E/k dk / int E dk,
+        # lambda^2 = 5 * int E dk / int k^2 E dk.
+        out["integral_scale"] = (
+            (3.0 * np.pi / 4.0 if nd == 3 else np.pi / 2.0)
+            * m_inv / jnp.maximum(e_fluct, 1e-30)
+        )
+        out["taylor_scale"] = jnp.sqrt(
+            (5.0 if nd == 3 else 2.0) * e_fluct / jnp.maximum(m_2, 1e-30)
+        )
+
+        # Exact Helmholtz energy split (k = 0 / Nyquist -> solenoidal).
+        div_amp2 = (
+            jnp.abs(sum(k * w for k, w in zip(ks, vhats))) ** 2
+        ).astype(adt) / jnp.maximum(k2.astype(adt), 1e-30)
+        comp_e = jnp.sum(0.5 * div_amp2 * hw)
+        out["compressive_fraction"] = comp_e / jnp.maximum(e_sum, 1e-30)
+        out["solenoidal_fraction"] = 1.0 - out["compressive_fraction"]
+
+        # Enstrophy / dilatation rms by Parseval (same Nyquist-zeroed
+        # derivative convention as the vorticity/dilatation fields).
+        out["dilatation_rms"] = jnp.sqrt(jnp.sum(div_amp2 * k2.astype(adt) * hw))
+        if nd == 3:
+            whats = _vorticity_hats(vhats, shape, lengths)
+            ens = sum((jnp.abs(w) ** 2).astype(adt) for w in whats) * hw
+        else:
+            kx, ky = ks
+            ci = jnp.asarray(1j, dtype=vhats[0].dtype)
+            wz = ci * (kx * vhats[1] - ky * vhats[0])
+            ens = (jnp.abs(wz) ** 2).astype(adt) * hw
+        out["vorticity_rms"] = jnp.sqrt(jnp.sum(ens))
+        return out
+
+    return jax.jit(core)
+
+
+def turbulence_summary(
+    velx: jax.Array,
+    vely: jax.Array,
+    velz: Optional[jax.Array] = None,
+    dens: Optional[jax.Array] = None,
+    pres: Optional[jax.Array] = None,
+    gamma=5.0 / 3.0,
+    lengths: Optional[Sequence[float]] = None,
+) -> Dict[str, float]:
+    """One-call scalar turbulence report (single jit dispatch).
+
+    Real-space statistics (``u_rms``, specific ``kinetic_energy``, and
+    with ``dens`` the ``kinetic_energy_density`` 0.5<rho u^2>; with
+    ``pres`` + ``dens`` the per-cell Mach statistics ``mach_rms``/
+    ``mach_max``/``sound_speed_mean`` with c_s = sqrt(gamma p / rho),
+    ``gamma`` a scalar or a per-cell field like FLASH's gamc) plus the
+    spectral-moment scales computed from the same forward transforms:
+
+    * ``integral_scale``   L = (3 pi/4) * sum E/|k| / sum E  (3D;
+      pi/2 factor in 2D) — physical |k| when ``lengths`` is given, so
+      anisotropic boxes need no cubic assumption;
+    * ``taylor_scale``     lambda = sqrt(5 * sum E / sum k^2 E) (3D;
+      factor 2 in 2D);
+    * ``solenoidal_fraction`` / ``compressive_fraction`` — the exact
+      Hermitian-sum Helmholtz energy split (k = 0 and Nyquist modes
+      count as solenoidal, matching :func:`helmholtz_decompose`);
+    * ``vorticity_rms`` / ``dilatation_rms`` — Parseval of the spectral
+      curl/divergence (Nyquist-zeroed derivative convention).
+
+    Scale moments exclude the k = 0 mean-flow mode. Everything is one
+    compiled program over the three forward MXU transforms — the
+    summary costs barely more than one KE spectrum. Beyond the
+    reference (no summary analysis exists;
+    fava/mesh/FLASH/FlashUniform.py stops at spectra)."""
+    vels = (velx, vely) if velz is None else (velx, vely, velz)
+    shape, key = _check_vels(vels, lengths, "turbulence_summary")
+    if pres is not None and dens is None:
+        raise ValueError("mach statistics need BOTH pres and dens")
+    for name, f in (("dens", dens), ("pres", pres)):
+        if f is not None and tuple(int(s) for s in f.shape) != shape:
+            raise ValueError(f"{name} shape {tuple(f.shape)} does not match velocity shape {shape}")
+    args = list(vels)
+    if dens is not None:
+        args.append(dens)
+    if pres is not None:
+        g = jnp.asarray(gamma, dtype=vels[0].dtype)
+        args += [pres, jnp.broadcast_to(g, shape) if g.ndim == 0 else g]
+    out = _turbulence_summary_fn(shape, key, dens is not None, pres is not None)(*args)
+    return {k: float(v) for k, v in out.items()}

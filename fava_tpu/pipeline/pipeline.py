@@ -54,6 +54,7 @@ _ANALYSIS_KEYS = {
     "decomposed spectra": (),
     "anisotropic spectra": (),
     "flame surface": (),
+    "turbulence summary": (),
     "filtered ke flux": (),
     "structure function exponents": (),
 }
@@ -346,6 +347,7 @@ class Pipeline:
                 **kw
             ),
             "flame surface": lambda **kw: self.model.flame_surface(**kw),
+            "turbulence summary": lambda **kw: self.model.turbulence_summary(**kw),
             "filtered ke flux": lambda **kw: self.model.filtered_kinetic_energy_flux(**kw),
             "structure function exponents": lambda **kw: _exponents_as_dict(
                 self.model.structure_function_exponents(**kw)

@@ -234,3 +234,56 @@ def anisotropic_ke_spectra_oracle(vels: Sequence[np.ndarray], axis: int = 0):
     out["par_total"] = out["par_axial"] + out["par_transverse"]
     out["perp_total"] = out["perp_axial"] + out["perp_transverse"]
     return out
+
+
+def turbulence_summary_oracle(
+    vels: Sequence[np.ndarray],
+    dens: Optional[np.ndarray] = None,
+    pres: Optional[np.ndarray] = None,
+    gamma=5.0 / 3.0,
+    lengths=None,
+):
+    """Full-grid np.fft twin of ops/velocity.turbulence_summary."""
+    shape = vels[0].shape
+    nd = len(shape)
+    ntot = np.prod(shape)
+    out = {}
+    u2 = sum(v**2 for v in vels)
+    out["u_rms"] = np.sqrt(np.mean(u2))
+    out["kinetic_energy"] = 0.5 * np.mean(u2)
+    if dens is not None:
+        out["kinetic_energy_density"] = 0.5 * np.mean(dens * u2)
+    if pres is not None:
+        cs2 = np.asarray(gamma) * pres / dens
+        m2 = u2 / cs2
+        out["mach_rms"] = np.sqrt(np.mean(m2))
+        out["mach_max"] = np.sqrt(np.max(m2))
+        out["sound_speed_mean"] = np.mean(np.sqrt(cs2))
+
+    vhats = [np.fft.fftn(v) / ntot for v in vels]
+    ks = _k_grids(shape, lengths, zero_nyquist=True)
+    k2 = sum(k * k for k in ks)
+    kmag = np.sqrt(np.broadcast_to(k2, shape))
+    e_mode = sum(0.5 * np.abs(w) ** 2 for w in vhats)
+    e_sum = e_mode.sum()
+    e_fluct = e_sum - e_mode.flat[0]
+    m_inv = np.sum(np.where(kmag > 0, e_mode / np.maximum(kmag, 1e-300), 0.0))
+    m_2 = np.sum(e_mode * k2)
+    out["integral_scale"] = (3 * np.pi / 4 if nd == 3 else np.pi / 2) * m_inv / e_fluct
+    out["taylor_scale"] = np.sqrt((5.0 if nd == 3 else 2.0) * e_fluct / m_2)
+
+    div = sum(k * w for k, w in zip(ks, vhats))
+    div_amp2 = np.abs(div) ** 2 / np.maximum(k2, 1e-300)
+    comp_e = np.sum(0.5 * div_amp2)
+    out["compressive_fraction"] = comp_e / e_sum
+    out["solenoidal_fraction"] = 1.0 - out["compressive_fraction"]
+    out["dilatation_rms"] = np.sqrt(np.sum(div_amp2 * k2))
+    if nd == 3:
+        kx, ky, kz = ks
+        wx, wy, wz = vhats
+        curls = (ky * wz - kz * wy, kz * wx - kx * wz, kx * wy - ky * wx)
+        out["vorticity_rms"] = np.sqrt(sum(np.sum(np.abs(c) ** 2) for c in curls))
+    else:
+        kx, ky = ks
+        out["vorticity_rms"] = np.sqrt(np.sum(np.abs(kx * vhats[1] - ky * vhats[0]) ** 2))
+    return out

@@ -101,6 +101,7 @@ def test_pipeline_optional_analyses(pipeline_dir):
     settings["decomposed spectra"] = {"skip": False, "settings": {"weighted": True}}
     settings["anisotropic spectra"] = {"skip": False, "settings": {"axis": 0}}
     settings["flame surface"] = {"skip": False, "settings": {"field": "flam"}}
+    settings["turbulence summary"] = {"skip": False}
     settings["filtered ke flux"] = {"skip": False, "settings": {"cutoffs": [2.0, 4.0]}}
     settings["structure function exponents"] = {
         "skip": False,
@@ -111,7 +112,7 @@ def test_pipeline_optional_analyses(pipeline_dir):
     assert main(workdir) == 0
     anl = sorted(out.glob("*hdf5_analysis_*"))
     found_favre = found_pdf = found_sspec = False
-    found_ens = found_hel = found_tr = found_cg = found_ex = found_dec = found_an = found_fs = False
+    found_ens = found_hel = found_tr = found_cg = found_ex = found_dec = found_an = found_fs = found_ts = False
     for p in anl:
         with h5py.File(p, "r") as f:
             found_favre |= "favre profiles" in f
@@ -123,10 +124,11 @@ def test_pipeline_optional_analyses(pipeline_dir):
             found_dec |= "decomposed spectra" in f
             found_an |= "anisotropic spectra" in f
             found_fs |= "flame surface" in f
+            found_ts |= "turbulence summary" in f
             found_cg |= "filtered ke flux" in f
             found_ex |= "structure function exponents" in f
     assert found_favre and found_pdf and found_sspec
-    assert found_ens and found_hel and found_tr and found_cg and found_ex and found_dec and found_an and found_fs
+    assert found_ens and found_hel and found_tr and found_cg and found_ex and found_dec and found_an and found_fs and found_ts
 
 
 def test_shipped_settings_template_runs(pipeline_dir):

@@ -526,3 +526,91 @@ def test_anisotropic_spectra_mesh_and_registration(uniform_file):
     np.testing.assert_allclose(
         got2["par_total"], oracle.anisotropic_ke_spectra_oracle(vels, axis=0)["par_total"], rtol=1e-9
     )
+
+
+def test_turbulence_summary_single_mode_identities():
+    # u = sin(2*pi*k0*y) x-hat on the unit box: every output has a
+    # closed form.
+    n, k0 = 32, 3
+    y = np.arange(n) / n
+    Y = np.meshgrid(y, y, y, indexing="ij")[1]
+    vx, z = np.sin(2 * np.pi * k0 * Y), np.zeros((n, n, n))
+    out = vel_ops.turbulence_summary(
+        jnp.asarray(vx), jnp.asarray(z), jnp.asarray(z), lengths=(1.0, 1.0, 1.0)
+    )
+    kp = 2 * np.pi * k0
+    np.testing.assert_allclose(out["u_rms"], np.sqrt(0.5), rtol=1e-12)
+    np.testing.assert_allclose(out["integral_scale"], (3 * np.pi / 4) / kp, rtol=1e-12)
+    np.testing.assert_allclose(out["taylor_scale"], np.sqrt(5.0) / kp, rtol=1e-12)
+    np.testing.assert_allclose(out["compressive_fraction"], 0.0, atol=1e-14)
+    np.testing.assert_allclose(out["vorticity_rms"], kp * np.sqrt(0.5), rtol=1e-12)
+    np.testing.assert_allclose(out["dilatation_rms"], 0.0, atol=1e-12)
+    # The same mode along its own direction is fully compressive.
+    X = np.meshgrid(y, y, y, indexing="ij")[0]
+    out2 = vel_ops.turbulence_summary(
+        jnp.asarray(np.sin(2 * np.pi * k0 * X)), jnp.asarray(z), jnp.asarray(z)
+    )
+    np.testing.assert_allclose(out2["compressive_fraction"], 1.0, rtol=1e-12)
+    np.testing.assert_allclose(out2["vorticity_rms"], 0.0, atol=1e-12)
+
+
+@pytest.mark.parametrize("shape,nd", [((16, 12, 8), 3), ((16, 12), 2)])
+def test_turbulence_summary_matches_oracle(shape, nd):
+    rng = np.random.default_rng(46)
+    vels = [rng.standard_normal(shape) for _ in range(nd)]
+    dens = 1.5 + 0.4 * rng.random(shape)
+    pres = 2.0 + rng.random(shape)
+    gamc = 1.3 + 0.2 * rng.random(shape)
+    got = vel_ops.turbulence_summary(
+        *[jnp.asarray(v) for v in vels],
+        dens=jnp.asarray(dens),
+        pres=jnp.asarray(pres),
+        gamma=jnp.asarray(gamc),
+        lengths=tuple(0.5 * (i + 1) for i in range(nd)),
+    )
+    ref = oracle.turbulence_summary_oracle(
+        vels, dens, pres, gamc, lengths=tuple(0.5 * (i + 1) for i in range(nd))
+    )
+    assert set(got) == set(ref)
+    for name, val in ref.items():
+        np.testing.assert_allclose(got[name], val, rtol=1e-9, err_msg=name)
+
+
+def test_turbulence_summary_validation():
+    v = jnp.zeros((8, 8, 8))
+    with pytest.raises(ValueError, match="BOTH pres and dens"):
+        vel_ops.turbulence_summary(v, v, v, pres=v)
+    with pytest.raises(ValueError, match="dens shape"):
+        vel_ops.turbulence_summary(v, v, v, dens=jnp.zeros((4, 4, 4)))
+
+
+def test_turbulence_summary_mesh_and_registration(tmp_path):
+    import fava_tpu
+    from fava_tpu.io import synthetic
+    from fava_tpu.mesh import FlashUniform
+
+    path = synthetic.make_uniform_file(
+        tmp_path / "rt_hdf5_uniform_0001",
+        ncells=(16, 16, 16),
+        fields=("dens", "velx", "vely", "velz", "pres", "gamc"),
+        seed=3,
+    )
+    mesh = FlashUniform(path)
+    mesh.load()
+    got = mesh.turbulence_summary()
+    assert "mach_rms" in got and got["mach_rms"] > 0
+    grab = lambda n: (lambda v: v[0] if v.ndim == 4 else v)(np.asarray(mesh.data(n)))
+    ref = oracle.turbulence_summary_oracle(
+        [grab(f"vel{a}") for a in "xyz"],
+        grab("dens"),
+        grab("pres"),
+        grab("gamc"),
+        lengths=mesh._domain_lengths(),
+    )
+    for name, val in ref.items():
+        np.testing.assert_allclose(got[name], val, rtol=1e-9, err_msg=name)
+    m = fava_tpu.FLASH(tmp_path)
+    m.load(file_type="uni")
+    assert hasattr(m, "turbulence_summary")
+    out = m.turbulence_summary()
+    np.testing.assert_allclose(out["taylor_scale"], ref["taylor_scale"], rtol=1e-9)
