@@ -42,6 +42,7 @@ from fava_tpu.analysis.time_series import (
     flagship_series,
     particle_series,
     reynolds_series,
+    summary_series,
 )
 
 __all__ = [
@@ -79,4 +80,5 @@ __all__ = [
     "flagship_series",
     "particle_series",
     "reynolds_series",
+    "summary_series",
 ]

@@ -310,3 +310,94 @@ def flagship_series(
     result: Dict[str, np.ndarray] = {k: np.concatenate(v) for k, v in chunks.items()}
     result["times"] = np.asarray(times)
     return result
+
+
+@Model.register_analysis(use_timer=True)
+def summary_series(
+    self,
+    file_type: str = "uni",
+    gamma: float = 5.0 / 3.0,
+    prefetch_depth: int = 2,
+    file_indices: Optional[Sequence[int]] = None,
+) -> Dict[str, np.ndarray]:
+    """Turbulence-summary time series over a uniform-file catalog.
+
+    The canonical production plot — u_rms(t), Mach(t), integral/Taylor
+    scales, solenoidal/compressive fractions, vorticity/dilatation rms
+    — one jit dispatch per snapshot (the per-shape trace is cached by
+    ops/velocity.turbulence_summary), with async HDF5->HBM prefetch
+    overlapping the next read. ``pres``/``gamc`` ride along when the
+    files carry them (Mach columns appear only then; ``gamma`` is the
+    fallback ratio). Beyond the reference (no summary analysis, and
+    its series loops re-load files synchronously — fava/pipeline.py).
+    Returns {"times", <scalar name>: (nfiles,) arrays}.
+    """
+    from fava_tpu.ops import velocity as vel_ops
+
+    catalog = {"plt": self.plt_files, "chk": self.chk_files, "uni": self.uni_files}[file_type]
+    indices = sorted(catalog["by index"].keys()) if file_indices is None else list(file_indices)
+    paths = [catalog["by index"][i] for i in indices]
+    fields = ["dens", "velx", "vely", "velz", "pres", "gamc"]
+
+    def vol(snap: Snapshot, name: str):
+        v = snap.fields.get(name)
+        if v is None:
+            return None
+        if v.ndim == 4:
+            if v.shape[0] != 1:
+                raise ValueError(
+                    "summary_series needs single-block uniform volumes; "
+                    "regrid AMR series with from_amr first."
+                )
+            v = v[0]
+        return v
+
+    times: list = []
+    stacked: Dict[str, list] = {}
+    for snap in SnapshotPrefetcher(
+        paths,
+        fields,
+        depth=prefetch_depth,
+        sharding=prt.ingest_sharding_fn(),
+        strict=False,  # pres/gamc are optional extras
+    ):
+        ints = snap.scalars["integer"]
+        reals = snap.runtime_parameters["real"]
+        ndim = int(ints["dimensionality"])
+        lengths = tuple(
+            float(reals.get(f"{a}max", 1.0)) - float(reals.get(f"{a}min", 0.0))
+            for a in "xyz"[:ndim]
+        )
+        vels = [vol(snap, f"vel{a}") for a in "xyz"[:ndim]]
+        if any(v is None for v in vels):
+            raise KeyError(f"{snap.path}: missing velocity components")
+        if ndim < 3:
+            vels = [v.reshape(v.shape[:ndim]) for v in vels]
+
+        def squeeze(v):
+            return None if v is None else (v.reshape(v.shape[:ndim]) if v.ndim > ndim else v)
+
+        dens = squeeze(vol(snap, "dens"))
+        pres = squeeze(vol(snap, "pres"))
+        gamc = squeeze(vol(snap, "gamc"))
+        out = vel_ops.turbulence_summary(
+            *vels,
+            dens=dens,
+            pres=pres,
+            gamma=gamc if (pres is not None and gamc is not None) else gamma,
+            lengths=lengths,
+        )
+        if stacked and set(out) != set(stacked):
+            # A ragged catalog (pres in some files only) would silently
+            # misalign the stacked columns against "times".
+            raise ValueError(
+                f"{snap.path}: inconsistent summary columns across the series "
+                f"(got {sorted(set(out) ^ set(stacked))} only sometimes)"
+            )
+        times.append(snap.time)
+        for k, v in out.items():
+            stacked.setdefault(k, []).append(v)
+
+    result: Dict[str, np.ndarray] = {k: np.asarray(v) for k, v in stacked.items()}
+    result["times"] = np.asarray(times)
+    return result

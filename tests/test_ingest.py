@@ -89,3 +89,51 @@ def test_reynolds_series_matches_per_file(series_dir):
     _, stress, means = m.reynolds_stress(raxis=0)
     np.testing.assert_allclose(out["Rxy"][1], stress["Rxy"], rtol=1e-11)
     np.testing.assert_allclose(out["mean_dens"][1], means["dens"], rtol=1e-12)
+
+
+def test_summary_series_matches_per_file(tmp_path):
+    import jax.numpy as jnp
+
+    from fava_tpu.ops import velocity as vel_ops
+
+    for i, t in enumerate([0.0, 0.1, 0.2], start=1):
+        synthetic.make_uniform_file(
+            tmp_path / f"rt_hdf5_uniform_{i:04d}",
+            ncells=(8, 8, 8),
+            fields=("dens", "velx", "vely", "velz", "pres", "gamc"),
+            seed=i,
+            time=t,
+        )
+    m = fava_tpu.FLASH(tmp_path)
+    out = m.summary_series(file_type="uni")
+    np.testing.assert_allclose(out["times"], [0.0, 0.1, 0.2])
+    assert "mach_rms" in out and out["mach_rms"].shape == (3,)
+
+    # Per-file loop on the model API must give identical rows.
+    for row, idx in enumerate([0, 1, 2]):
+        m.load(file_type="uni", file_index=idx)
+        single = m.turbulence_summary()
+        for k, v in single.items():
+            np.testing.assert_allclose(out[k][row], v, rtol=1e-12, err_msg=k)
+
+
+def test_summary_series_no_pres_and_ragged_guard(tmp_path):
+    # Without pres: no Mach columns. A catalog where only SOME files
+    # carry pres must raise instead of silently misaligning columns.
+    synthetic.make_uniform_file(
+        tmp_path / "rt_hdf5_uniform_0001", ncells=(8, 8, 8), seed=1, time=0.0
+    )
+    m = fava_tpu.FLASH(tmp_path)
+    out = m.summary_series(file_type="uni")
+    assert "mach_rms" not in out and "u_rms" in out
+
+    synthetic.make_uniform_file(
+        tmp_path / "rt_hdf5_uniform_0002",
+        ncells=(8, 8, 8),
+        fields=("dens", "velx", "vely", "velz", "pres", "gamc"),
+        seed=2,
+        time=0.1,
+    )
+    m2 = fava_tpu.FLASH(tmp_path)
+    with pytest.raises(ValueError, match="inconsistent summary columns"):
+        m2.summary_series(file_type="uni")
