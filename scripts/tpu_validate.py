@@ -580,6 +580,55 @@ def validate_analyses() -> dict:
         },
     }
 
+    # --- flame surface density -----------------------------------------
+    # Two on-chip checks: (1) the coarea integral vs an f64 np.gradient
+    # oracle on the trig dens field (general-field accuracy), (2) the
+    # closed-form secant wrinkling factor of a tilted linear front
+    # (exactness of the device gradient/reduction chain).
+    print("== analyses: flame surface ==", flush=True)
+    from fava_tpu.ops.flame import flame_surface
+
+    d = 1.0 / nn
+    got_fs = flame_surface(dens_dev, (d, d, d), axis=0)
+    g64 = np.gradient(dens64, d, d, d)
+    mag64 = np.sqrt(sum(g * g for g in g64))
+    ij = (np.arange(nn, dtype=np.float32) + 0.5) * d
+    a_t, b_t = 1.0, 0.5
+    tilted = jnp.asarray(
+        a_t * ij[:, None, None] + b_t * ij[None, :, None] + np.zeros((nn, nn, nn), np.float32)
+    )
+    got_tilt = flame_surface(tilted, (d, d, d), axis=0)
+    out["flame_surface"] = {
+        "config": {"n": 128, "field": "trig dens + tilted linear front"},
+        "max_scaled_error": {
+            "area": _scaled_err(got_fs["area"], mag64.sum() * d**3),
+            "sigma_profile": _scaled_err(got_fs["sigma"], mag64.mean(axis=(1, 2))),
+            "max_gradient": _scaled_err(got_fs["max_gradient"], mag64.max()),
+        },
+        "tilted_front_wrinkling_residual": float(
+            abs(got_tilt["wrinkling"] - np.hypot(a_t, b_t)) / np.hypot(a_t, b_t)
+        ),
+    }
+
+    # --- turbulence summary ---------------------------------------------
+    # The one-jit scalar report (u_rms/KE/Mach, integral + Taylor
+    # spectral scales, Helmholtz energy fractions, vorticity/dilatation
+    # rms) vs the full f64 NumPy oracle on the same fields.
+    print("== analyses: turbulence summary ==", flush=True)
+    gamc_dev = 1.4 + 0.1 * jnp.sin(X) * jnp.cos(Y) * jnp.cos(Z)
+    got_ts = vel_ops.turbulence_summary(
+        *vels_dev, dens=dens_dev, pres=pres_dev, gamma=gamc_dev
+    )
+    ref_ts = vel_oracle.turbulence_summary_oracle(
+        vels64, dens64, pres64, np.asarray(gamc_dev, dtype=np.float64)
+    )
+    out["turbulence_summary"] = {
+        "config": {"n": 128, "field": "trig mix + dens/pres/gamc"},
+        "max_scaled_error": {
+            name: _scaled_err(got_ts[name], ref_ts[name]) for name in sorted(ref_ts)
+        },
+    }
+
     # --- structure functions (same-draw oracle) ------------------------
     print("== analyses: structure functions ==", flush=True)
     out["structure_functions"] = validate_structure_functions()
