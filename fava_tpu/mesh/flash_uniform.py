@@ -126,6 +126,19 @@ class FlashUniform(FLASH):
             vols = squeezed
         return vols
 
+    def _scalar_volume(self, name: str) -> jax.Array:
+        """Scalar field volume squeezed to ``ndim`` axes (2D datasets
+        carry (nx, ny, 1) volumes): scalar companions (dens/pres/gamc/
+        progress variables) must match the squeezed velocity shape —
+        an unsqueezed (nx, ny, 1) alongside (nx, ny) velocities would
+        silently broadcast into a bogus 3D volume downstream."""
+        v = self._volume(name)
+        nd = self.ndim
+        if v.ndim > nd:
+            assert all(s == 1 for s in v.shape[nd:]), "non-singleton trailing axes"
+            v = v.reshape(v.shape[:nd])
+        return v
+
     def _domain_lengths(self):
         b = np.asarray(self.domain_bounds, dtype=np.float64)
         return tuple(float(b[i, 1] - b[i, 0]) for i in range(self.ndim))
@@ -195,7 +208,7 @@ class FlashUniform(FLASH):
 
         return vel_ops.decomposed_ke_spectra(
             *self._vel_volumes(),
-            dens=self._volume("dens") if weighted else None,
+            dens=self._scalar_volume("dens") if weighted else None,
             lengths=self._domain_lengths(),
         )
 
@@ -210,14 +223,10 @@ class FlashUniform(FLASH):
         (ops/velocity.turbulence_summary)."""
         from fava_tpu.ops import velocity as vel_ops
 
-        nd = self.ndim
-
         def opt(name):
-            d = self.data(name)
-            if d is None:
+            if self.data(name) is None:
                 return None
-            v = self._volume(name)
-            return v.reshape(v.shape[:nd]) if v.ndim > nd else v
+            return self._scalar_volume(name)
 
         pres = opt("pres")
         gamc = opt("gamc") if pres is not None else None
@@ -238,10 +247,8 @@ class FlashUniform(FLASH):
         differences — correct for the non-periodic flame axis."""
         from fava_tpu.ops import flame as flame_ops
 
-        vol = self._volume(field)
+        vol = self._scalar_volume(field)
         nd = self.ndim
-        if vol.ndim > nd:
-            vol = vol.reshape(vol.shape[:nd])
         lengths = self._domain_lengths()
         deltas = [lengths[a] / vol.shape[a] for a in range(nd)]
         return flame_ops.flame_surface(vol, deltas, axis=axis)
@@ -292,10 +299,10 @@ class FlashUniform(FLASH):
                 raise KeyError(
                     "with_pressure=True but this file carries no 'pres' field"
                 )
-            pres = self._volume("pres")
+            pres = self._scalar_volume("pres")
         return cg_ops.filtered_ke_flux(
             *self._vel_volumes(),
-            dens=self._volume("dens"),
+            dens=self._scalar_volume("dens"),
             pres=pres,
             cutoffs=tuple(float(k) for k in cutoffs),
             kernel=kernel,

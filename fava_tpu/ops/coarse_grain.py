@@ -202,6 +202,14 @@ def _prep(vels, dens, pres, cutoffs, kernel, lengths, what, fields=False):
             "baropycnal work needs a density field: pass dens alongside pres "
             "(it vanishes identically at constant density)"
         )
+    for name, f in (("dens", dens), ("pres", pres)):
+        # broadcast-compatible mismatches (e.g. an unsqueezed (n, n, 1)
+        # dens with (n, n) velocities) would silently corrupt Pi_l
+        if f is not None and tuple(int(s) for s in f.shape) != shape:
+            raise ValueError(
+                f"{what}: {name} shape {tuple(f.shape)} does not match "
+                f"velocity shape {shape}"
+            )
     args = list(vels) + ([dens] if compressible else [])
     if pres is not None:
         args.append(pres)

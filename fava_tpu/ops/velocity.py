@@ -122,6 +122,14 @@ def _check_vels(vels, lengths, what: str):
         raise ValueError(f"{what} requires 2D or 3D velocity volumes, got {nd}D")
     if len(vels) != nd:
         raise ValueError(f"{what}: {nd}D flow needs {nd} velocity components, got {len(vels)}")
+    for i, v in enumerate(vels[1:], start=1):
+        # broadcast-compatible mismatches (e.g. an unsqueezed (n, n, 1)
+        # component) would silently produce full-shaped wrong fields
+        if tuple(int(s) for s in v.shape) != shape:
+            raise ValueError(
+                f"{what}: velocity component {i} shape {tuple(v.shape)} "
+                f"does not match component 0 shape {shape}"
+            )
     if lengths is not None and len(lengths) != nd:
         raise ValueError(f"lengths must have {nd} entries, got {len(lengths)}")
     key = None if lengths is None else tuple(float(L) for L in lengths)
@@ -245,15 +253,9 @@ def _bin_rfft_stats(p: jax.Array, full_shape, nbins: int):
         return pk.shell_bin_sums_rfft_scalar(p.astype(adt), nbins, full_shape[-1])
 
     # 2D: Hermitian-weighted scatter-add on the half grid.
-    n_last = full_shape[-1]
     ks = _k_grids(full_shape, np.dtype(adt), None, False)
     k_abs = jnp.sqrt(sum(k * k for k in ks))
-    j_last = jnp.arange(n_last // 2 + 1)
-    self_conj = j_last == 0
-    if n_last % 2 == 0:
-        self_conj = self_conj | (j_last == n_last // 2)
-    weight = jnp.where(self_conj, 1.0, 2.0).astype(adt)
-    weight = jnp.broadcast_to(weight[None, :], k_abs.shape)
+    weight = jnp.broadcast_to(_hermitian_weights(full_shape, adt), k_abs.shape)
     bidx = jnp.clip(jnp.floor(k_abs + 0.5).astype(jnp.int32), 0, nbins - 1).ravel()
     mask = (k_abs <= (nbins - 0.5)).ravel()
     w_flat = jnp.where(mask, weight.ravel(), 0)
@@ -828,6 +830,13 @@ def turbulence_summary(
         args.append(dens)
     if pres is not None:
         g = jnp.asarray(gamma, dtype=vels[0].dtype)
-        args += [pres, jnp.broadcast_to(g, shape) if g.ndim == 0 else g]
+        # a scalar gamma stays 0-d (the jitted elementwise math
+        # broadcasts it for free — materializing an n^3 constant costs
+        # HBM and a dispatch); a per-cell field must match the volumes
+        if g.ndim != 0 and tuple(int(s) for s in g.shape) != shape:
+            raise ValueError(
+                f"gamma shape {tuple(g.shape)} does not match velocity shape {shape}"
+            )
+        args += [pres, g]
     out = _turbulence_summary_fn(shape, key, dens is not None, pres is not None)(*args)
     return {k: float(v) for k, v in out.items()}

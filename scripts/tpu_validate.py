@@ -546,7 +546,6 @@ def validate_analyses() -> dict:
     print("== analyses: decomposed + anisotropic spectra ==", flush=True)
     got_dec = vel_ops.decomposed_ke_spectra(*vels_dev, dens=dens_dev)
     ref_dec = vel_oracle.decomposed_ke_spectra_oracle(vels64, dens64)
-    kk3 = np.arange(len(got_dec["k"])) ** 2 * (4.0 * np.pi)
     budget_resid = float(
         np.nanmax(
             np.abs(got_dec["total"] - got_dec["solenoidal"] - got_dec["compressive"])
@@ -556,7 +555,9 @@ def validate_analyses() -> dict:
     out["decomposed_ke_spectra"] = {
         "config": {"n": 128, "weighted": True, "field": "trig mix + dens"},
         "max_scaled_error": {
-            name: _scaled_err(got_dec[name][1:], (ref_dec[name] * kk3)[1:])
+            # the oracle's _shell_mean already applies the 4*pi*k^2
+            # shell compensation — compare records directly
+            name: _scaled_err(got_dec[name][1:], ref_dec[name][1:])
             for name in ("total", "solenoidal", "compressive")
         },
         "shell_budget_residual": budget_resid,

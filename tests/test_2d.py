@@ -96,3 +96,37 @@ def test_2d_velocity_diagnostics(mesh2d):
 
     with pytest.raises(ValueError):
         mesh2d.helicity_spectra()
+
+
+def test_2d_filtered_ke_flux_matches_squeezed_op(mesh2d):
+    # Regression: the mesh wrapper passed an unsqueezed (n, n, 1) dens
+    # alongside squeezed (n, n) velocities — rho*v broadcast into a
+    # bogus (n, n, n) 3D volume and Pi_l came out wrong by orders of
+    # magnitude with no error.
+    import jax.numpy as jnp
+
+    from fava_tpu.ops import coarse_grain as cg_ops
+
+    got = mesh2d.filtered_kinetic_energy_flux(cutoffs=(3.0, 5.0))
+    dens = jnp.asarray(np.asarray(mesh2d.data("dens"))[:, :, 0])
+    vels = [jnp.asarray(np.asarray(mesh2d.data(f"vel{a}"))[:, :, 0]) for a in "xy"]
+    ref = cg_ops.filtered_ke_flux(
+        *vels, dens=dens, cutoffs=(3.0, 5.0), lengths=mesh2d._domain_lengths()
+    )
+    np.testing.assert_allclose(got["pi_mean"], ref["pi_mean"], rtol=1e-12)
+    np.testing.assert_allclose(got["pi_rms"], ref["pi_rms"], rtol=1e-12)
+
+
+def test_2d_decomposed_weighted_spectra(mesh2d):
+    # Regression: weighted=True raised on every 2D dataset (unsqueezed
+    # dens failed the op's shape check).
+    from tests.oracles import velocity as vel_oracle
+
+    out = mesh2d.decomposed_kinetic_energy_spectra(weighted=True)
+    np.testing.assert_allclose(
+        out["total"], out["solenoidal"] + out["compressive"], rtol=1e-12, atol=1e-14
+    )
+    dens = np.asarray(mesh2d.data("dens"), dtype=np.float64)[:, :, 0]
+    vels = [np.asarray(mesh2d.data(f"vel{a}"), dtype=np.float64)[:, :, 0] for a in "xy"]
+    ref = vel_oracle.decomposed_ke_spectra_oracle(vels, dens, mesh2d._domain_lengths())
+    np.testing.assert_allclose(out["total"], ref["total"], rtol=1e-9, atol=1e-15)

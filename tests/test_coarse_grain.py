@@ -134,6 +134,15 @@ def test_validation_errors():
         cg.filtered_ke_flux(v, v, v, pres=v, cutoffs=(2.0,))
     with pytest.raises(ValueError, match="components"):
         cg.filtered_ke_flux(v, v, cutoffs=(2.0,))
+    # broadcast-compatible dens/pres mismatches must fail fast — an
+    # (n, n, 1) dens with (n, n) velocities silently corrupted Pi_l
+    v2 = jnp.zeros((8, 8))
+    with pytest.raises(ValueError, match="dens shape"):
+        cg.filtered_ke_flux(v2, v2, dens=jnp.zeros((8, 8, 1)), cutoffs=(2.0,))
+    with pytest.raises(ValueError, match="pres shape"):
+        cg.filtered_ke_flux(
+            v, v, v, dens=v, pres=jnp.zeros((8, 8, 1)), cutoffs=(2.0,)
+        )
 
 
 def test_mesh_method_and_registration(uniform_file):

@@ -373,6 +373,35 @@ def test_shape_validation():
     v3 = jnp.zeros((4, 4, 4))
     with pytest.raises(ValueError):
         vel_ops.dilatation(v3, v3, v3, lengths=(1.0, 2.0))
+    # Broadcast-compatible component mismatch (e.g. an unsqueezed
+    # quasi-2D velz) must fail fast, not silently broadcast.
+    with pytest.raises(ValueError, match="component 2"):
+        vel_ops.helmholtz_decompose(v3, v3, jnp.zeros((4, 4, 1)))
+    # Per-cell gamma must match the volumes (scalars are fine).
+    ones = jnp.ones((4, 4, 4))
+    with pytest.raises(ValueError, match="gamma shape"):
+        vel_ops.turbulence_summary(
+            v3, v3, v3, dens=ones, pres=ones, gamma=jnp.ones((4, 4, 1))
+        )
+
+
+def test_turbulence_summary_scalar_gamma_not_materialized():
+    # A scalar gamma stays 0-d into the jit (no n^3 broadcast on
+    # device) and matches the oracle's scalar-gamma result.
+    rng = np.random.default_rng(47)
+    shape = (8, 8, 8)
+    vels = [rng.standard_normal(shape) for _ in range(3)]
+    dens = 1.5 + 0.4 * rng.random(shape)
+    pres = 2.0 + rng.random(shape)
+    got = vel_ops.turbulence_summary(
+        *[jnp.asarray(v) for v in vels],
+        dens=jnp.asarray(dens),
+        pres=jnp.asarray(pres),
+        gamma=1.4,
+    )
+    ref = oracle.turbulence_summary_oracle(vels, dens, pres, 1.4)
+    for name in ("mach_rms", "mach_max", "sound_speed_mean"):
+        np.testing.assert_allclose(got[name], ref[name], rtol=1e-9, err_msg=name)
 
 
 @pytest.mark.parametrize("shape", [(16, 16, 16), (16, 12, 8)])
