@@ -33,6 +33,7 @@ from fava_tpu.analysis.filtered_ke_flux import (
 )
 from fava_tpu.analysis.dispersion import dispersion_statistics
 from fava_tpu.analysis.structure_functions import structure_functions
+from fava_tpu.analysis.density_pdf import density_pdf
 from fava_tpu.analysis.pdf1d import pdf1d
 from fava_tpu.analysis.pdf2d import pdf2d
 from fava_tpu.analysis.mass_sum import mass_sum
@@ -72,6 +73,7 @@ __all__ = [
     "structure_function_exponents",
     "dispersion_statistics",
     "structure_functions",
+    "density_pdf",
     "pdf1d",
     "pdf2d",
     "mass_sum",

@@ -563,6 +563,15 @@ class FLASH(Structured):
             vals1, vals2, weights=self._pdf_weights(weight, vals1.shape), **kwargs
         )
 
+    def density_pdf(self, weight: Optional[str] = "volume", **kwargs):
+        """Lognormality diagnostics of s = ln(rho/<rho>) over the leaf
+        cells, AMR-aware: per-level cell volumes weight both the mean
+        and the s-PDF (ops/volume.density_pdf; beyond the reference)."""
+        vals = self._leaf_stack("dens")
+        return volume_ops.density_pdf(
+            vals, weights=self._pdf_weights(weight, vals.shape), **kwargs
+        )
+
     def _pdf_weights(self, weight: Optional[str], shape):
         """AMR-aware PDF weights: leaf cell volume, optionally x density."""
         if weight is None:

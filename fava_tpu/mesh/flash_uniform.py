@@ -436,3 +436,41 @@ class FlashUniform(FLASH):
         already dropped the accum-dtype cast the shared helper applies.
         """
         return volume_ops.mass_sum(self._volume("dens"), self.cell_volume_min, masks)
+
+    def _pdf_weights(self, weight: Optional[str]):
+        """Uniform-grid PDF weights: cells share one volume, so
+        'volume' weighting is uniform (None); 'mass' weights by dens."""
+        if weight in (None, "volume"):
+            return None
+        if weight == "mass":
+            return self._scalar_volume("dens")
+        raise ValueError(f"Unknown pdf weight {weight}")
+
+    @timer
+    def pdf1d(self, field: str, weight: Optional[str] = "volume", **kwargs):
+        """Weighted 1D PDF of a field (declared-but-absent in the
+        reference; AMR twin in flash_amr.py)."""
+        return volume_ops.pdf1d(
+            self._scalar_volume(field), weights=self._pdf_weights(weight), **kwargs
+        )
+
+    @timer
+    def pdf2d(self, field1: str, field2: str, weight: Optional[str] = "volume", **kwargs):
+        """Weighted joint PDF of two fields."""
+        return volume_ops.pdf2d(
+            self._scalar_volume(field1),
+            self._scalar_volume(field2),
+            weights=self._pdf_weights(weight),
+            **kwargs,
+        )
+
+    @timer
+    def density_pdf(self, weight: Optional[str] = "volume", **kwargs) -> Dict[str, Any]:
+        """Lognormality diagnostics of s = ln(rho/<rho>): weighted
+        s-PDF, exact device moments (sigma_s, skewness, kurtosis), the
+        lognormal residual |mean_s + sigma_s^2/2|, and the driving
+        parameter b when ``mach`` is given (ops/volume.density_pdf;
+        beyond the reference)."""
+        return volume_ops.density_pdf(
+            self._scalar_volume("dens"), weights=self._pdf_weights(weight), **kwargs
+        )

@@ -165,3 +165,109 @@ def pdf2d(
         area = np.outer(np.diff(xedges), np.diff(yedges))
         out = counts / (total * area) if total > 0 else counts
     return {"xedges": xedges, "yedges": yedges, "pdf": out, "counts": counts}
+
+
+@lru_cache(maxsize=16)
+def _density_pdf_fn(nbins: int, fixed_range: bool):
+    @jax.jit
+    def core(rho, w, lo_in, hi_in):
+        adt = accum_dtype()
+        r = rho.ravel().astype(adt)
+        wv = w.ravel().astype(adt)
+        wsum = jnp.sum(wv)
+        rho_mean = jnp.sum(wv * r) / wsum
+        s = jnp.log(r / rho_mean)
+        mu = jnp.sum(wv * s) / wsum
+        d = s - mu
+        m2 = jnp.sum(wv * d * d) / wsum
+        m3 = jnp.sum(wv * d * d * d) / wsum
+        m4 = jnp.sum(wv * d * d * d * d) / wsum
+        sigma = jnp.sqrt(m2)
+        if fixed_range:
+            lo, hi = lo_in, hi_in
+        else:
+            # nsigma window around the measured moments (lo_in = nsigma)
+            lo = mu - lo_in * sigma
+            hi = mu + lo_in * sigma
+        hi = jnp.where(hi > lo, hi, lo + 1.0)  # constant field: sigma = 0
+        scaled = (s - lo) / (hi - lo) * nbins
+        idx = jnp.clip(jnp.floor(scaled).astype(jnp.int32), 0, nbins - 1)
+        valid = (s >= lo) & (s <= hi)
+        counts = jnp.zeros(nbins, dtype=adt).at[idx].add(jnp.where(valid, wv, 0))
+        return rho_mean, mu, sigma, m3, m4, lo, hi, counts
+
+    return core
+
+
+def density_pdf(
+    dens: jax.Array,
+    *,
+    weights: Optional[jax.Array] = None,
+    nbins: int = 200,
+    srange: Optional[Tuple[float, float]] = None,
+    nsigma: float = 5.0,
+    mach: Optional[float] = None,
+) -> Dict[str, np.ndarray]:
+    """Lognormality diagnostics of the density field (beyond the
+    reference, which has no density-PDF analysis at all — its ``pdf1d``
+    wrapper is declared-but-absent, fava/analysis/__init__.py).
+
+    Works on the log-density contrast ``s = ln(rho / <rho>)`` with
+    ``<rho>`` the (optionally weighted) mean — the variable in which
+    isothermal supersonic turbulence is lognormal (Vazquez-Semadeni
+    1994; Federrath et al. 2008). One jit dispatch computes the
+    weighted PDF of ``s`` over ``srange`` (default: ``mean_s`` ±
+    ``nsigma * sigma_s``, measured in the same pass) AND the exact
+    weighted moments on device — the returned ``mean_s`` / ``sigma_s``
+    / ``skewness`` / ``excess_kurtosis`` come from full-volume sums,
+    not from the binned histogram. Extras:
+
+    * ``lognormal_residual`` — ``|mean_s + sigma_s^2 / 2|``: exactly 0
+      for a lognormal (mass conservation pins the mean of a lognormal
+      ``s``-PDF at ``-sigma^2/2``); deviation measures non-lognormality
+      (intermittency, shocks, self-gravity).
+    * ``b_parameter`` (when the rms Mach number ``mach`` is given) —
+      the turbulence driving parameter from the standard variance
+      relation ``sigma_s^2 = ln(1 + b^2 M^2)``: ~1/3 solenoidal,
+      ~1 compressive driving.
+
+    ``weights``: per-cell volume (AMR) or mass weights; None = uniform
+    (volume-weighted s-PDF on a uniform grid).
+    """
+    if nbins < 1:
+        raise ValueError(f"nbins must be >= 1, got {nbins}")
+    w = weights if weights is not None else jnp.ones_like(dens)
+    if tuple(w.shape) != tuple(dens.shape):
+        raise ValueError(
+            f"weights shape {tuple(w.shape)} does not match dens shape {tuple(dens.shape)}"
+        )
+    fixed = srange is not None
+    lo_in, hi_in = (map(float, srange)) if fixed else (float(nsigma), 0.0)
+    rho_mean, mu, sigma, m3, m4, lo, hi, counts = _density_pdf_fn(int(nbins), fixed)(
+        dens, w, lo_in, hi_in
+    )
+    rho_mean, mu, sigma = float(rho_mean), float(mu), float(sigma)
+    m3, m4, lo, hi = float(m3), float(m4), float(lo), float(hi)
+    counts = np.asarray(counts, dtype=np.float64)
+    edges = np.linspace(lo, hi, nbins + 1)
+    widths = np.diff(edges)
+    total = counts.sum()
+    pdf = counts / (total * widths) if total > 0 else counts
+    out = {
+        "edges": edges,
+        "centers": 0.5 * (edges[1:] + edges[:-1]),
+        "pdf": pdf,
+        "counts": counts,
+        "rho_mean": rho_mean,
+        "mean_s": mu,
+        "sigma_s": sigma,
+        "skewness": m3 / sigma**3 if sigma > 0 else 0.0,
+        "excess_kurtosis": m4 / sigma**4 - 3.0 if sigma > 0 else 0.0,
+        "lognormal_residual": abs(mu + 0.5 * sigma**2),
+    }
+    if mach is not None:
+        m = float(mach)
+        if m <= 0:
+            raise ValueError(f"mach must be positive, got {m}")
+        out["b_parameter"] = float(np.sqrt(np.expm1(sigma**2)) / m)
+    return out

@@ -47,6 +47,7 @@ _ANALYSIS_KEYS = {
     "reynolds stresses uniform": (),
     "pdf1d": ("field",),
     "pdf2d": ("field1", "field2"),
+    "density pdf": (),
     "scalar spectra": ("field",),
     "enstrophy spectra": (),
     "helicity spectra": (),
@@ -336,6 +337,7 @@ class Pipeline:
             ),
             "pdf1d": lambda **kw: self.model.pdf1d(**kw),
             "pdf2d": lambda **kw: self.model.pdf2d(**kw),
+            "density pdf": lambda **kw: self.model.density_pdf(**kw),
             "scalar spectra": lambda **kw: self.model.scalar_spectra(**kw),
             "enstrophy spectra": lambda **kw: self.model.enstrophy_spectra(**kw),
             "helicity spectra": lambda **kw: self.model.helicity_spectra(**kw),
