@@ -33,6 +33,10 @@ from fava_tpu.analysis.filtered_ke_flux import (
 )
 from fava_tpu.analysis.dispersion import dispersion_statistics
 from fava_tpu.analysis.structure_functions import structure_functions
+from fava_tpu.analysis.two_point import (
+    two_point_correlation,
+    velocity_correlations,
+)
 from fava_tpu.analysis.density_pdf import density_pdf
 from fava_tpu.analysis.pdf1d import pdf1d
 from fava_tpu.analysis.pdf2d import pdf2d
@@ -73,6 +77,8 @@ __all__ = [
     "structure_function_exponents",
     "dispersion_statistics",
     "structure_functions",
+    "two_point_correlation",
+    "velocity_correlations",
     "density_pdf",
     "pdf1d",
     "pdf2d",

@@ -310,6 +310,30 @@ class FlashUniform(FLASH):
         )
 
     @timer
+    def two_point_correlation(self, field: str = "dens", **kwargs) -> Dict[str, Any]:
+        """Scalar two-point autocorrelation R(r) = <f'(x)f'(x+r)>/var:
+        shell-averaged isotropic curve + per-axis lines with integral
+        length scales (ops/twopoint.two_point_correlation; beyond the
+        reference — its auto_correlations are TIME correlations)."""
+        from fava_tpu.ops import twopoint as tp_ops
+
+        return tp_ops.two_point_correlation(
+            self._scalar_volume(field), lengths=self._domain_lengths(), **kwargs
+        )
+
+    @timer
+    def velocity_correlations(self) -> Dict[str, Any]:
+        """Karman-Howarth longitudinal f(r) / transverse g(r) velocity
+        correlations per axis with L11/L22 integral scales and the
+        isotropy ratio L11/(2 L22) (ops/twopoint.velocity_correlations;
+        beyond the reference)."""
+        from fava_tpu.ops import twopoint as tp_ops
+
+        return tp_ops.velocity_correlations(
+            *self._vel_volumes(), lengths=self._domain_lengths()
+        )
+
+    @timer
     def fractal_dimension(self, field: str, contours=0.5) -> Dict[str, Any]:
         """Box-counting dimension (reference: FlashUniform.py:85-227)."""
         result = fractal_ops.fractal_dimension(self._volume(field), contours)

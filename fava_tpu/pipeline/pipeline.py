@@ -58,6 +58,8 @@ _ANALYSIS_KEYS = {
     "turbulence summary": (),
     "filtered ke flux": (),
     "structure function exponents": (),
+    "two point correlation": ("field",),
+    "velocity correlations": (),
 }
 # Stage 4 runs these whether or not they appear in settings (the
 # reference's fixed three) — their required keys are validated even
@@ -354,6 +356,8 @@ class Pipeline:
             "structure function exponents": lambda **kw: _exponents_as_dict(
                 self.model.structure_function_exponents(**kw)
             ),
+            "two point correlation": lambda **kw: self.model.two_point_correlation(**kw),
+            "velocity correlations": lambda **kw: self.model.velocity_correlations(**kw),
         }
         for key, opt_fn in optional.items():
             if key in self.settings:

@@ -630,6 +630,64 @@ def validate_analyses() -> dict:
         },
     }
 
+    # --- density PDF (lognormality diagnostics) -------------------------
+    # Exact weighted moments + histogram on chip vs plain f64 NumPy.
+    print("== analyses: density pdf ==", flush=True)
+    from fava_tpu.ops.volume import density_pdf
+
+    got_dp = density_pdf(dens_dev, nbins=64, mach=1.5)
+    r64 = dens64.ravel()
+    s64 = np.log(r64 / r64.mean())
+    mu64 = s64.mean()
+    sig64 = s64.std()
+    ref_counts_dp, _ = np.histogram(
+        s64, bins=64, range=(got_dp["edges"][0], got_dp["edges"][-1])
+    )
+    out["density_pdf"] = {
+        "config": {"n": 128, "field": "trig dens", "mach": 1.5},
+        "max_scaled_error": {
+            "mean_s": _scaled_err(got_dp["mean_s"], mu64, floor=abs(sig64)),
+            "sigma_s": _scaled_err(got_dp["sigma_s"], sig64),
+            "skewness": _scaled_err(got_dp["skewness"], ((s64 - mu64) ** 3).mean() / sig64**3),
+            "b_parameter": _scaled_err(
+                got_dp["b_parameter"], np.sqrt(np.expm1(sig64**2)) / 1.5
+            ),
+            "counts": _scaled_err(got_dp["counts"], ref_counts_dp),
+        },
+    }
+
+    # --- spatial two-point correlations ----------------------------------
+    # Wiener-Khinchin on chip (forward + inverse MXU transforms) vs the
+    # f64 np.fft twin; the velocity lines additionally exercise the
+    # symmetrized power-marginal path (no inverse volume transforms).
+    print("== analyses: two-point correlations ==", flush=True)
+    from fava_tpu.ops import twopoint as tp_ops
+
+    got_tp = tp_ops.two_point_correlation(dens_dev)
+    dm = dens64 - dens64.mean()
+    corr64 = np.fft.irfftn(np.abs(np.fft.rfftn(dm)) ** 2, s=dm.shape) / dm.size
+    var64 = corr64.flat[0]
+    half = nn // 2 + 1
+    out["two_point_correlation"] = {
+        "config": {"n": 128, "field": "trig dens"},
+        "max_scaled_error": {
+            "variance": _scaled_err(got_tp["variance"], var64),
+            "R_x": _scaled_err(got_tp["R_x"], corr64[:half, 0, 0] / var64),
+            "R_z": _scaled_err(got_tp["R_z"], corr64[0, 0, :half] / var64),
+        },
+    }
+    got_vc = tp_ops.velocity_correlations(*vels_dev)
+    vc_errs = {}
+    for a, ax in enumerate("xyz"):
+        vm = vels64[a] - vels64[a].mean()
+        c = np.fft.irfftn(np.abs(np.fft.rfftn(vm)) ** 2, s=vm.shape) / vm.size
+        line = [c[:half, 0, 0], c[0, :half, 0], c[0, 0, :half]][a]
+        vc_errs[f"f_{ax}"] = _scaled_err(got_vc[f"f_{ax}"], line / line[0])
+    out["velocity_correlations"] = {
+        "config": {"n": 128, "field": "trig mix"},
+        "max_scaled_error": vc_errs,
+    }
+
     # --- structure functions (same-draw oracle) ------------------------
     print("== analyses: structure functions ==", flush=True)
     out["structure_functions"] = validate_structure_functions()

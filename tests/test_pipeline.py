@@ -95,6 +95,8 @@ def test_pipeline_optional_analyses(pipeline_dir):
     settings["favre profiles"] = {"skip": False}
     settings["pdf1d"] = {"skip": False, "settings": {"field": "dens", "nbins": 16}}
     settings["density pdf"] = {"skip": False, "settings": {"nbins": 16, "mach": 1.5}}
+    settings["two point correlation"] = {"skip": False, "settings": {"field": "dens"}}
+    settings["velocity correlations"] = {"skip": False}
     settings["scalar spectra"] = {"skip": False, "settings": {"field": "dens"}}
     settings["enstrophy spectra"] = {"skip": False}
     settings["helicity spectra"] = {"skip": False}
@@ -112,13 +114,15 @@ def test_pipeline_optional_analyses(pipeline_dir):
 
     assert main(workdir) == 0
     anl = sorted(out.glob("*hdf5_analysis_*"))
-    found_favre = found_pdf = found_sspec = found_dpdf = False
+    found_favre = found_pdf = found_sspec = found_dpdf = found_tpc = found_vc = False
     found_ens = found_hel = found_tr = found_cg = found_ex = found_dec = found_an = found_fs = found_ts = False
     for p in anl:
         with h5py.File(p, "r") as f:
             found_favre |= "favre profiles" in f
             found_pdf |= "pdf1d" in f
             found_dpdf = found_dpdf or "density pdf" in f
+            found_tpc = found_tpc or "two point correlation" in f
+            found_vc = found_vc or "velocity correlations" in f
             found_sspec |= "scalar spectra" in f
             found_ens |= "enstrophy spectra" in f
             found_hel |= "helicity spectra" in f
@@ -129,7 +133,7 @@ def test_pipeline_optional_analyses(pipeline_dir):
             found_ts |= "turbulence summary" in f
             found_cg |= "filtered ke flux" in f
             found_ex |= "structure function exponents" in f
-    assert found_favre and found_pdf and found_sspec and found_dpdf
+    assert found_favre and found_pdf and found_sspec and found_dpdf and found_tpc and found_vc
     assert found_ens and found_hel and found_tr and found_cg and found_ex and found_dec and found_an and found_fs and found_ts
 
 
