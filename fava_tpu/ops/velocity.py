@@ -724,7 +724,14 @@ def _turbulence_summary_fn(shape: Tuple[int, ...], lengths, has_dens: bool, has_
         out["u_rms"] = jnp.sqrt(jnp.mean(u2))
         out["kinetic_energy"] = 0.5 * jnp.mean(u2)
         if has_dens:
-            out["kinetic_energy_density"] = 0.5 * jnp.mean(dens.astype(adt) * u2)
+            da = dens.astype(adt)
+            out["kinetic_energy_density"] = 0.5 * jnp.mean(da * u2)
+            # log-density contrast moments (the lognormality variable;
+            # full diagnostics incl. the s-PDF live in ops/volume.density_pdf)
+            s = jnp.log(da / jnp.mean(da))
+            mu_s = jnp.mean(s)
+            out["mean_s"] = mu_s
+            out["sigma_s"] = jnp.sqrt(jnp.mean((s - mu_s) ** 2))
         if has_pres:
             cs2 = gamma.astype(adt) * pres.astype(adt) / dens.astype(adt)
             m2 = u2 / cs2

@@ -253,6 +253,9 @@ def turbulence_summary_oracle(
     out["kinetic_energy"] = 0.5 * np.mean(u2)
     if dens is not None:
         out["kinetic_energy_density"] = 0.5 * np.mean(dens * u2)
+        s = np.log(dens / dens.mean())
+        out["mean_s"] = s.mean()
+        out["sigma_s"] = s.std()
     if pres is not None:
         cs2 = np.asarray(gamma) * pres / dens
         m2 = u2 / cs2
