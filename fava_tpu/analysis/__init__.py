@@ -39,6 +39,7 @@ from fava_tpu.analysis.two_point import (
 )
 from fava_tpu.analysis.density_pdf import density_pdf
 from fava_tpu.analysis.pdf1d import pdf1d
+from fava_tpu.analysis.projection import projection
 from fava_tpu.analysis.pdf2d import pdf2d
 from fava_tpu.analysis.mass_sum import mass_sum
 from fava_tpu.analysis.flagship_analysis import flagship_analysis
@@ -82,6 +83,7 @@ __all__ = [
     "density_pdf",
     "pdf1d",
     "pdf2d",
+    "projection",
     "mass_sum",
     "flagship_analysis",
     "favre_series",

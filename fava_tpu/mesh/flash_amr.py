@@ -563,6 +563,36 @@ class FLASH(Structured):
             vals1, vals2, weights=self._pdf_weights(weight, vals1.shape), **kwargs
         )
 
+    def projection(
+        self,
+        field: str = "dens",
+        axis: int = 0,
+        weight: Optional[str] = None,
+    ) -> Dict[str, Any]:
+        """Line-of-sight projection map integral(field dl) along
+        ``axis`` (column density for field="dens"), exact on the AMR
+        tree via per-level scatter + piecewise-constant upsampling —
+        no uniform regrid volume is materialized
+        (ops/projection.project_amr; beyond the reference). ``weight``
+        switches to the w-weighted line average. Returns the map over
+        the two kept axes plus their cell-center coordinates."""
+        from fava_tpu.ops import projection as proj_ops
+        from fava_tpu.ops import regrid as regrid_ops
+
+        plan = regrid_ops.RegridPlan(
+            block_bounds=self.block_bounds,
+            node_type=np.asarray(self.node_type),
+            refine_level=np.asarray(self.refine_level),
+            ncells_vec=self.nCellsVec,
+            nblks_vec=self.nBlksVec,
+            ndim=self.ndim,
+        )
+        stacks = {field: self._field_stack(field)}
+        if weight is not None:
+            stacks[weight] = self._field_stack(weight)
+        maps, coords = proj_ops.project_amr(plan, stacks, axis=axis, weight=weight)
+        return {"map": maps[field], "coord1": coords[0], "coord2": coords[1]}
+
     def density_pdf(self, weight: Optional[str] = "volume", **kwargs):
         """Lognormality diagnostics of s = ln(rho/<rho>) over the leaf
         cells, AMR-aware: per-level cell volumes weight both the mean

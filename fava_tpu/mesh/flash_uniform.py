@@ -310,6 +310,31 @@ class FlashUniform(FLASH):
         )
 
     @timer
+    def projection(
+        self, field: str = "dens", axis: int = 0, weight: Optional[str] = None
+    ) -> Dict[str, Any]:
+        """Line-of-sight projection map integral(field dl) along
+        ``axis`` (column density for field="dens"); ``weight`` gives
+        the w-weighted line average (ops/projection.project_uniform;
+        beyond the reference). Map is over the two kept axes, with
+        cell-center coordinates."""
+        from fava_tpu.ops import projection as proj_ops
+
+        vol = self._scalar_volume(field)
+        if vol.ndim != 3:
+            raise ValueError("projection requires a 3D dataset")
+        lengths = self._domain_lengths()
+        deltas = [lengths[a] / vol.shape[a] for a in range(3)]
+        w = self._scalar_volume(weight) if weight is not None else None
+        m = proj_ops.project_uniform(vol, deltas, axis=axis, weight=w)
+        b = np.asarray(self.domain_bounds, dtype=np.float64)
+        keep = [a for a in range(3) if a != axis]
+        coords = [
+            b[a, 0] + (np.arange(vol.shape[a]) + 0.5) * deltas[a] for a in keep
+        ]
+        return {"map": m, "coord1": coords[0], "coord2": coords[1]}
+
+    @timer
     def two_point_correlation(self, field: str = "dens", **kwargs) -> Dict[str, Any]:
         """Scalar two-point autocorrelation R(r) = <f'(x)f'(x+r)>/var:
         shell-averaged isotropic curve + per-axis lines with integral

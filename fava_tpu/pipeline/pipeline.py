@@ -48,6 +48,7 @@ _ANALYSIS_KEYS = {
     "pdf1d": ("field",),
     "pdf2d": ("field1", "field2"),
     "density pdf": (),
+    "projection": (),
     "scalar spectra": ("field",),
     "enstrophy spectra": (),
     "helicity spectra": (),
@@ -340,6 +341,7 @@ class Pipeline:
             "pdf1d": lambda **kw: self.model.pdf1d(**kw),
             "pdf2d": lambda **kw: self.model.pdf2d(**kw),
             "density pdf": lambda **kw: self.model.density_pdf(**kw),
+            "projection": lambda **kw: self.model.projection(**kw),
             "scalar spectra": lambda **kw: self.model.scalar_spectra(**kw),
             "enstrophy spectra": lambda **kw: self.model.enstrophy_spectra(**kw),
             "helicity spectra": lambda **kw: self.model.helicity_spectra(**kw),

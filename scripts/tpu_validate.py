@@ -318,6 +318,11 @@ def validate_analyses() -> dict:
             ndim=3,
             fields=["dens", "velx"],
         )
+        # projection BEFORE from_amr (which collapses the mesh in
+        # place): exact regrid-then-sum twin of the per-level path.
+        got_proj = mesh.projection(field="dens", axis=0)
+        dxp = (mesh.xmax - mesh.xmin) / expected["dens"].shape[0]
+        proj_err = _scaled_err(got_proj["map"], expected["dens"].sum(axis=0) * dxp)
         mesh.from_amr(fields=["dens", "velx"], save_file=False)
         regrid_err = max(
             _scaled_err(np.asarray(mesh._data[k]), expected[k]) for k in ("dens", "velx")
@@ -326,6 +331,11 @@ def validate_analyses() -> dict:
     out["regrid_from_amr"] = {
         "config": {"ncells": 8, "nblks": 2, "levels": "1-3"},
         "max_scaled_error": regrid_err,
+    }
+    out["projection"] = {
+        "config": {"ncells": 8, "nblks": 2, "levels": "1-3", "axis": 0},
+        "oracle": "regrid-then-sum (exact for piecewise-constant data)",
+        "max_scaled_error": proj_err,
     }
 
     # --- scalar power spectrum -----------------------------------------

@@ -97,6 +97,7 @@ def test_pipeline_optional_analyses(pipeline_dir):
     settings["density pdf"] = {"skip": False, "settings": {"nbins": 16, "mach": 1.5}}
     settings["two point correlation"] = {"skip": False, "settings": {"field": "dens"}}
     settings["velocity correlations"] = {"skip": False}
+    settings["projection"] = {"skip": False, "settings": {"field": "dens", "axis": 0}}
     settings["scalar spectra"] = {"skip": False, "settings": {"field": "dens"}}
     settings["enstrophy spectra"] = {"skip": False}
     settings["helicity spectra"] = {"skip": False}
@@ -114,7 +115,7 @@ def test_pipeline_optional_analyses(pipeline_dir):
 
     assert main(workdir) == 0
     anl = sorted(out.glob("*hdf5_analysis_*"))
-    found_favre = found_pdf = found_sspec = found_dpdf = found_tpc = found_vc = False
+    found_favre = found_pdf = found_sspec = found_dpdf = found_tpc = found_vc = found_proj = False
     found_ens = found_hel = found_tr = found_cg = found_ex = found_dec = found_an = found_fs = found_ts = False
     for p in anl:
         with h5py.File(p, "r") as f:
@@ -123,6 +124,7 @@ def test_pipeline_optional_analyses(pipeline_dir):
             found_dpdf = found_dpdf or "density pdf" in f
             found_tpc = found_tpc or "two point correlation" in f
             found_vc = found_vc or "velocity correlations" in f
+            found_proj = found_proj or "projection" in f
             found_sspec |= "scalar spectra" in f
             found_ens |= "enstrophy spectra" in f
             found_hel |= "helicity spectra" in f
@@ -133,7 +135,7 @@ def test_pipeline_optional_analyses(pipeline_dir):
             found_ts |= "turbulence summary" in f
             found_cg |= "filtered ke flux" in f
             found_ex |= "structure function exponents" in f
-    assert found_favre and found_pdf and found_sspec and found_dpdf and found_tpc and found_vc
+    assert found_favre and found_pdf and found_sspec and found_dpdf and found_tpc and found_vc and found_proj
     assert found_ens and found_hel and found_tr and found_cg and found_ex and found_dec and found_an and found_fs and found_ts
 
 
