@@ -587,10 +587,10 @@ class FLASH(Structured):
             nblks_vec=self.nBlksVec,
             ndim=self.ndim,
         )
-        stacks = {field: self._field_stack(field)}
-        if weight is not None:
-            stacks[weight] = self._field_stack(weight)
-        maps, coords = proj_ops.project_amr(plan, stacks, axis=axis, weight=weight)
+        w = self._field_stack(weight) if weight is not None else None
+        maps, coords = proj_ops.project_amr(
+            plan, {field: self._field_stack(field)}, axis=axis, weight=w
+        )
         return {"map": maps[field], "coord1": coords[0], "coord2": coords[1]}
 
     def density_pdf(self, weight: Optional[str] = "volume", **kwargs):

@@ -486,7 +486,7 @@ class FlashUniform(FLASH):
         """
         return volume_ops.mass_sum(self._volume("dens"), self.cell_volume_min, masks)
 
-    def _pdf_weights(self, weight: Optional[str]):
+    def _uniform_pdf_weights(self, weight: Optional[str]):
         """Uniform-grid PDF weights: cells share one volume, so
         'volume' weighting is uniform (None); 'mass' weights by dens."""
         if weight in (None, "volume"):
@@ -500,7 +500,7 @@ class FlashUniform(FLASH):
         """Weighted 1D PDF of a field (declared-but-absent in the
         reference; AMR twin in flash_amr.py)."""
         return volume_ops.pdf1d(
-            self._scalar_volume(field), weights=self._pdf_weights(weight), **kwargs
+            self._scalar_volume(field), weights=self._uniform_pdf_weights(weight), **kwargs
         )
 
     @timer
@@ -509,7 +509,7 @@ class FlashUniform(FLASH):
         return volume_ops.pdf2d(
             self._scalar_volume(field1),
             self._scalar_volume(field2),
-            weights=self._pdf_weights(weight),
+            weights=self._uniform_pdf_weights(weight),
             **kwargs,
         )
 
@@ -521,5 +521,5 @@ class FlashUniform(FLASH):
         parameter b when ``mach`` is given (ops/volume.density_pdf;
         beyond the reference)."""
         return volume_ops.density_pdf(
-            self._scalar_volume("dens"), weights=self._pdf_weights(weight), **kwargs
+            self._scalar_volume("dens"), weights=self._uniform_pdf_weights(weight), **kwargs
         )

@@ -21,6 +21,7 @@ map-like product is the uniform regrid itself, _flash.py:955-1377).
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -28,6 +29,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from fava_tpu.utils import accum_dtype
+
+
+@lru_cache(maxsize=16)
+def _project_uniform_fn(axis: int, dx: float):
+    adt = accum_dtype()
+
+    @jax.jit
+    def core(v, w):
+        if w is None:
+            return jnp.sum(v.astype(adt), axis=axis) * dx
+        wa = w.astype(adt)
+        num = jnp.sum(v.astype(adt) * wa, axis=axis)
+        den = jnp.sum(wa, axis=axis)
+        return num / jnp.where(den != 0, den, 1.0)
+
+    return core
 
 
 def project_uniform(
@@ -43,26 +60,14 @@ def project_uniform(
         raise ValueError(f"projection requires a 3D volume, got {nd}D")
     if not 0 <= axis < nd:
         raise ValueError(f"axis must be in [0, {nd}), got {axis}")
-    dx = float(deltas[axis])
-    adt = accum_dtype()
-
-    @jax.jit
-    def core(v, w):
-        if w is None:
-            return jnp.sum(v.astype(adt), axis=axis) * dx
-        wa = w.astype(adt)
-        num = jnp.sum(v.astype(adt) * wa, axis=axis)
-        den = jnp.sum(wa, axis=axis)
-        return num / jnp.where(den != 0, den, 1.0)
-
-    return np.asarray(core(vol, weight))
+    return np.asarray(_project_uniform_fn(int(axis), float(deltas[axis]))(vol, weight))
 
 
 def project_amr(
     plan,
     stacks: Dict[str, jax.Array],
     axis: int = 0,
-    weight: Optional[str] = None,
+    weight: Optional[jax.Array] = None,
 ) -> Tuple[Dict[str, np.ndarray], Tuple[np.ndarray, np.ndarray]]:
     """Exact per-level AMR projection along ``axis``.
 
@@ -70,8 +75,9 @@ def project_amr(
     integer fine-grid block origins and per-block scales); ``stacks``
     maps field name -> FULL block stack (nB, ncx, ncy, ncz). Returns
     ({field: (n1, n2) map}, (coords1, coords2)) over the two kept axes.
-    With ``weight`` (a field name in ``stacks``), maps are the
-    w-weighted line averages integral(w f dl) / integral(w dl).
+    With ``weight`` (a full block stack of the weight field — it may
+    also appear in ``stacks``, e.g. density-weighted density), maps are
+    the w-weighted line averages integral(w f dl) / integral(w dl).
     """
     if plan.ndim != 3:
         raise ValueError(f"projection requires a 3D AMR tree, got {plan.ndim}D")
@@ -79,8 +85,6 @@ def project_amr(
         raise ValueError(f"axis must be in [0, 3), got {axis}")
     if plan.subdomain_flag:
         raise ValueError("projection does not support subdomain crops; project the full domain")
-    if weight is not None and weight not in stacks:
-        raise KeyError(f"weight field {weight!r} is not among the provided stacks")
 
     keep = tuple(a for a in range(3) if a != axis)
     out_cells = tuple(int(plan.total_cells[a]) for a in keep)
@@ -101,10 +105,12 @@ def project_amr(
         # piecewise-constant upsample to the finest grid (exact)
         return jnp.repeat(jnp.repeat(level, s, axis=0), s, axis=1)
 
+    # Numerator maps per requested field (integral f dl, or
+    # integral w*f dl when weighted — including field == weight, the
+    # standard density-weighted density / clumping map) plus one
+    # denominator map (integral w dl), accumulated separately.
     maps: Dict[str, jnp.ndarray] = {}
-    names = list(stacks)
-    if weight is not None and weight not in names:
-        names.append(weight)
+    den = None
     for s in sorted(set(int(v) for v in scales)):
         sel_np = np.nonzero(scales == s)[0]
         sel_ids = jnp.asarray(ids[sel_np])
@@ -115,16 +121,20 @@ def project_amr(
         i1 = o1[:, None, None] + np.arange(nc[0])[None, :, None]
         i2 = o2[:, None, None] + np.arange(nc[1])[None, None, :]
         idx_flat = jnp.asarray((i1 * Q + i2).reshape(nb, -1).ravel())
-        for name in names:
+        w_sel = None
+        if weight is not None:
+            w_sel = jnp.take(weight, sel_ids, axis=0)
+            contrib = level_project(w_sel, idx_flat, s, nb, (P, Q))
+            den = contrib if den is None else den + contrib
+        for name in stacks:
             sel = jnp.take(stacks[name], sel_ids, axis=0)
-            if weight is not None and name != weight:
-                sel = sel * jnp.take(stacks[weight], sel_ids, axis=0)
+            if w_sel is not None:
+                sel = sel * w_sel
             contrib = level_project(sel, idx_flat, s, nb, (P, Q))
             maps[name] = maps.get(name, 0) + contrib
 
     out: Dict[str, np.ndarray] = {}
     if weight is not None:
-        den = maps.pop(weight)
         den_safe = jnp.where(den != 0, den, 1.0)
         for name, m in maps.items():
             out[name] = np.asarray(m / den_safe)

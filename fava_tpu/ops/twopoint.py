@@ -75,15 +75,6 @@ def _scalar_corr_fn(shape: Tuple[int, ...], nbins: int):
     ndim = len(shape)
     ntot = int(np.prod(shape))
 
-    # |r| grid in cell units with periodic wraparound min(i, n - i)
-    dists = []
-    for a, n in enumerate(shape):
-        d = np.minimum(np.arange(n), n - np.arange(n)).astype(np.float64)
-        dists.append(d.reshape((1,) * a + (-1,) + (1,) * (ndim - a - 1)))
-    r_abs = np.sqrt(sum(d**2 for d in np.broadcast_arrays(*dists)))
-    idx_np = np.clip(np.floor(r_abs + 0.5).astype(np.int32), 0, nbins - 1).ravel()
-    mask_np = (r_abs <= (nbins - 0.5)).ravel()
-
     @jax.jit
     def core(f):
         adt = accum_dtype()
@@ -96,8 +87,17 @@ def _scalar_corr_fn(shape: Tuple[int, ...], nbins: int):
         for a, n in enumerate(shape):
             sel = tuple(slice(None) if i == a else 0 for i in range(ndim))
             lines.append(corr[sel][: n // 2 + 1])
-        idx = jnp.asarray(idx_np)
-        w = jnp.asarray(mask_np.astype(np.float64), dtype=adt)
+        # |r| bin indices built ON DEVICE from separable wraparound
+        # distances min(j, n - j) — a host-baked index volume would be
+        # a ~0.5 GB jit constant shipped through the tunnel at 512^3
+        r2 = 0.0
+        for a, n in enumerate(shape):
+            j = jnp.arange(n)
+            d = jnp.minimum(j, n - j).astype(adt)
+            r2 = r2 + (d * d).reshape((1,) * a + (-1,) + (1,) * (ndim - a - 1))
+        r_abs = jnp.sqrt(r2)
+        idx = jnp.clip(jnp.floor(r_abs + 0.5).astype(jnp.int32), 0, nbins - 1).ravel()
+        w = (r_abs <= (nbins - 0.5)).astype(adt).ravel()
         counts = jnp.zeros(nbins, dtype=adt).at[idx].add(w)
         sums = jnp.zeros(nbins, dtype=adt).at[idx].add(corr.ravel().astype(adt) * w)
         return var, tuple(lines), counts, sums
@@ -120,7 +120,12 @@ def _velocity_corr_fn(shape: Tuple[int, ...]):
             per_axis = []
             for a, n in enumerate(shape):
                 marg = _power_marginal(p, shape, a)
-                per_axis.append(_irfft1d(marg, n)[: n // 2 + 1] / ntot)
+                # irfft carries 1/n; the unnormalized transforms carry
+                # 1/ntot^2 — so scale by n/ntot^2 for the raw
+                # <u'(x) u'(x+r)> value (line[0] == component variance)
+                per_axis.append(
+                    _irfft1d(marg, n)[: n // 2 + 1] * (float(n) / float(ntot) ** 2)
+                )
             lines.append(tuple(per_axis))
         return tuple(lines)
 

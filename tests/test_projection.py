@@ -95,13 +95,16 @@ def test_amr_weighted_projection(amr_mesh):
     )
     maps, _ = proj_ops.project_amr(
         plan,
-        {"velx": mesh._field_stack("velx"), "dens": mesh._field_stack("dens")},
+        {"velx": mesh._field_stack("velx")},
         axis=0,
-        weight="dens",
+        weight=mesh._field_stack("dens"),
     )
     ref = (exp["velx"] * exp["dens"]).sum(axis=0) / exp["dens"].sum(axis=0)
     np.testing.assert_allclose(maps["velx"], ref, rtol=1e-12)
-    assert "dens" not in maps  # the weight map is consumed, not returned
+    # weight == field (density-weighted density: the clumping map)
+    got = mesh.projection(field="dens", axis=0, weight="dens")
+    ref_sq = (exp["dens"] ** 2).sum(axis=0) / exp["dens"].sum(axis=0)
+    np.testing.assert_allclose(got["map"], ref_sq, rtol=1e-12)
 
 
 def test_projection_conserves_mass(amr_mesh):
