@@ -71,7 +71,10 @@ def _power_marginal(p: jax.Array, full_shape: Tuple[int, ...], axis: int) -> jax
 
 
 @lru_cache(maxsize=16)
-def _scalar_corr_fn(shape: Tuple[int, ...], nbins: int):
+def _scalar_corr_fn(shape: Tuple[int, ...], nbins: int, path_key=None):
+    # path_key folds the platform/FORCE_INTERPRET binning-path choice
+    # into the cache key (house rule: the Pallas-vs-scatter dispatch in
+    # _bin_rfft_stats is baked into the trace).
     ndim = len(shape)
     ntot = int(np.prod(shape))
 
@@ -87,19 +90,18 @@ def _scalar_corr_fn(shape: Tuple[int, ...], nbins: int):
         for a, n in enumerate(shape):
             sel = tuple(slice(None) if i == a else 0 for i in range(ndim))
             lines.append(corr[sel][: n // 2 + 1])
-        # |r| bin indices built ON DEVICE from separable wraparound
-        # distances min(j, n - j) — a host-baked index volume would be
-        # a ~0.5 GB jit constant shipped through the tunnel at 512^3
-        r2 = 0.0
-        for a, n in enumerate(shape):
-            j = jnp.arange(n)
-            d = jnp.minimum(j, n - j).astype(adt)
-            r2 = r2 + (d * d).reshape((1,) * a + (-1,) + (1,) * (ndim - a - 1))
-        r_abs = jnp.sqrt(r2)
-        idx = jnp.clip(jnp.floor(r_abs + 0.5).astype(jnp.int32), 0, nbins - 1).ravel()
-        w = (r_abs <= (nbins - 0.5)).astype(adt).ravel()
-        counts = jnp.zeros(nbins, dtype=adt).at[idx].add(w)
-        sums = jnp.zeros(nbins, dtype=adt).at[idx].add(corr.ravel().astype(adt) * w)
+        # Shell-average over |r| with wraparound min(j, n - j) — the
+        # SAME geometry as k-shell binning, and R(r) = R(-r) (real
+        # field), so Hermitian-weighted binning of the trailing-axis
+        # HALF volume is exactly the full-volume shell mean. That
+        # reuses the tuned rfft-layout binning path (Pallas kernel on
+        # TPU; a full-volume XLA scatter is the slow path the spectra
+        # kernels replaced).
+        from fava_tpu.ops.velocity import _bin_rfft_stats
+
+        counts, sums = _bin_rfft_stats(
+            corr[..., : shape[-1] // 2 + 1].astype(adt), shape, nbins
+        )
         return var, tuple(lines), counts, sums
 
     return core
@@ -180,7 +182,9 @@ def two_point_correlation(
     shape, nd = _check_volume(field, lengths, "two_point_correlation")
     if nbins is None:
         nbins = max(min(shape) // 2, 1)
-    var, lines, counts, sums = _scalar_corr_fn(shape, int(nbins))(field)
+    from fava_tpu.ops import pallas_kernels as pk
+
+    var, lines, counts, sums = _scalar_corr_fn(shape, int(nbins), pk.path_key())(field)
     var = float(var)
     counts = np.asarray(counts, dtype=np.float64)
     sums = np.asarray(sums, dtype=np.float64)
