@@ -73,6 +73,14 @@ def main() -> None:
     print("fractal dimension:", fd)
     vsfs = model.structure_functions(num_seps=8, num_points=512, sep_bounds=[0.05, 0.4])
     print("S2 longitudinal:", vsfs["longitudinal"]["2"][:4])
+    ts = model.turbulence_summary()
+    print("u_rms:", ts["u_rms"], " integral scale:", ts["integral_scale"], " sigma_s:", ts["sigma_s"])
+    dp = model.density_pdf(nbins=32)
+    print("density PDF: sigma_s =", dp["sigma_s"], " lognormal residual =", dp["lognormal_residual"])
+    vc = model.velocity_correlations()
+    print("Karman-Howarth L11_x:", vc["L11_x"], " isotropy ratio:", vc["isotropy_ratio_x"])
+    pm = model.projection(field="dens", axis=0)
+    print("column-density map:", pm["map"].shape, " total:", float(pm["map"].sum()))
 
     print("\n=== Time series (async ingest) ===")
     series = model.favre_series(file_type="plt")
