@@ -184,7 +184,10 @@ def _flux_fn(
             return None, outs
 
         _, stacked = jax.lax.scan(one_scale, None, kcs)
-        return stacked
+        if fields:
+            return stacked
+        # one packed (nstat, ncut) output -> one tunnel fetch
+        return jnp.stack([stacked[k] for k in sorted(stacked)])
 
     return jax.jit(core)
 
@@ -240,12 +243,15 @@ def filtered_ke_flux(
     """
     vels = (velx, vely) if velz is None else (velx, vely, velz)
     fn, kcs, args = _prep(vels, dens, pres, cutoffs, kernel, lengths, "filtered_ke_flux")
-    out = fn(kcs, *args)
+    packed = np.asarray(fn(kcs, *args), dtype=np.float64)  # (nstat, ncut), one fetch
+    names = ["pi_mean", "pi_rms"]
+    if pres is not None:
+        names = ["baropycnal_mean", "baropycnal_rms"] + names
     res = {
         "kc": np.asarray(kcs, dtype=np.float64),
         "scale": np.pi / np.asarray(kcs, dtype=np.float64),
     }
-    res.update({k: np.asarray(v, dtype=np.float64) for k, v in out.items()})
+    res.update(dict(zip(sorted(names), packed)))
     return res
 
 

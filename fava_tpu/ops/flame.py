@@ -9,6 +9,7 @@ upstream.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Dict, Optional
 
 import numpy as np
@@ -48,6 +49,36 @@ def flame_window(
     return float(opt[1] * XFACT)
 
 
+@lru_cache(maxsize=16)
+def _flame_core(deltas, axis: int, nd: int):
+    """Jitted gradient-magnitude reductions (cached per geometry).
+
+    Cell counts live in the traced shapes; the physical constants
+    (cell volume, plane count) are derived in-trace from the operand
+    shape so one cache entry serves one (deltas, axis, nd) geometry.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    plane_axes = tuple(a for a in range(nd) if a != axis)
+    cell_vol = float(np.prod(deltas))
+
+    @jax.jit
+    def core(vol):
+        plane_count = float(np.prod([vol.shape[a] for a in plane_axes]))
+        grads = jnp.gradient(vol, *deltas)
+        mag = jnp.sqrt(sum(g * g for g in grads))
+        sigma = jnp.mean(mag, axis=plane_axes)
+        # Hierarchical f32 sum (plane means, then the axis): a flat
+        # n^3 accumulation biases ~4e-4 at 128^3 in f32; two levels
+        # cut the sequential depth to n^2 (~1e-6 measured).
+        total = jnp.sum(sigma) * (cell_vol * plane_count)
+        # one packed vector -> one tunnel fetch
+        return jnp.concatenate([total.reshape(1), jnp.max(mag).reshape(1), sigma])
+
+    return core
+
+
 def flame_surface(
     c,
     deltas,
@@ -76,9 +107,6 @@ def flame_surface(
     * ``max_gradient``, ``thickness`` — peak |grad c| and the gradient
       flame thickness 1 / max|grad c| of a unit progress variable.
     """
-    import jax
-    import jax.numpy as jnp
-
     shape = tuple(int(s) for s in c.shape)
     nd = len(shape)
     if nd not in (2, 3):
@@ -88,29 +116,13 @@ def flame_surface(
     if not 0 <= axis < nd:
         raise ValueError(f"axis must be in [0, {nd}), got {axis}")
     deltas = tuple(float(d) for d in deltas)
-    cell_vol = float(np.prod(deltas))
     # Cross-section of an unwrinkled axis-normal front spanning the box.
     planar = float(
         np.prod([deltas[a] * shape[a] for a in range(nd) if a != axis])
     )
-    plane_axes = tuple(a for a in range(nd) if a != axis)
-
-    plane_count = float(np.prod([shape[a] for a in plane_axes]))
-
-    @jax.jit
-    def core(vol):
-        grads = jnp.gradient(vol, *deltas)
-        mag = jnp.sqrt(sum(g * g for g in grads))
-        sigma = jnp.mean(mag, axis=plane_axes)
-        # Hierarchical f32 sum (plane means, then the axis): a flat
-        # n^3 accumulation biases ~4e-4 at 128^3 in f32; two levels
-        # cut the sequential depth to n^2 (~1e-6 measured).
-        total = jnp.sum(sigma) * (cell_vol * plane_count)
-        return total, sigma, jnp.max(mag)
-
-    total, sigma, gmax = core(c)
-    total = float(total)
-    gmax = float(gmax)
+    packed = np.asarray(_flame_core(deltas, int(axis), nd)(c), dtype=np.float64)
+    total, gmax = float(packed[0]), float(packed[1])
+    sigma = packed[2:]
     x = (np.arange(shape[axis], dtype=np.float64) + 0.5) * deltas[axis]
     return {
         "area": total,

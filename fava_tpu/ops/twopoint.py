@@ -102,9 +102,27 @@ def _scalar_corr_fn(shape: Tuple[int, ...], nbins: int, path_key=None):
         counts, sums = _bin_rfft_stats(
             corr[..., : shape[-1] // 2 + 1].astype(adt), shape, nbins
         )
-        return var, tuple(lines), counts, sums
+        # ONE packed vector -> one tunnel fetch (the ~27 ms dispatch
+        # floor is per fetched array on this backend)
+        return jnp.concatenate(
+            [var.reshape(1).astype(adt), counts, sums]
+            + [ln.astype(adt) for ln in lines]
+        )
 
     return core
+
+
+def _unpack_scalar_corr(packed: np.ndarray, shape, nbins: int):
+    var = float(packed[0])
+    counts = packed[1 : 1 + nbins]
+    sums = packed[1 + nbins : 1 + 2 * nbins]
+    lines = []
+    off = 1 + 2 * nbins
+    for n in shape:
+        m = n // 2 + 1
+        lines.append(packed[off : off + m])
+        off += m
+    return var, lines, counts, sums
 
 
 @lru_cache(maxsize=16)
@@ -128,8 +146,9 @@ def _velocity_corr_fn(shape: Tuple[int, ...]):
                 per_axis.append(
                     _irfft1d(marg, n)[: n // 2 + 1] * (float(n) / float(ntot) ** 2)
                 )
-            lines.append(tuple(per_axis))
-        return tuple(lines)
+            lines.append(per_axis)
+        # one packed vector -> one tunnel fetch (comp-major, axis-minor)
+        return jnp.concatenate([ln.astype(adt) for per in lines for ln in per])
 
     return core
 
@@ -184,10 +203,10 @@ def two_point_correlation(
         nbins = max(min(shape) // 2, 1)
     from fava_tpu.ops import pallas_kernels as pk
 
-    var, lines, counts, sums = _scalar_corr_fn(shape, int(nbins), pk.path_key())(field)
-    var = float(var)
-    counts = np.asarray(counts, dtype=np.float64)
-    sums = np.asarray(sums, dtype=np.float64)
+    packed = np.asarray(
+        _scalar_corr_fn(shape, int(nbins), pk.path_key())(field), dtype=np.float64
+    )
+    var, lines, counts, sums = _unpack_scalar_corr(packed, shape, int(nbins))
     scale = var if var > 0 else 1.0
     out: Dict[str, np.ndarray] = {
         "variance": var,
@@ -234,7 +253,16 @@ def velocity_correlations(
             raise ValueError(
                 f"velocity component {i} shape {tuple(v.shape)} does not match {shape}"
             )
-    lines = _velocity_corr_fn(shape)(*vels)
+    packed = np.asarray(_velocity_corr_fn(shape)(*vels), dtype=np.float64)
+    lines = []
+    off = 0
+    for _ in range(nd):
+        per_axis = []
+        for n in shape:
+            m = n // 2 + 1
+            per_axis.append(packed[off : off + m])
+            off += m
+        lines.append(per_axis)
     ls = tuple(float(L) for L in lengths) if lengths is not None else (1.0,) * nd
     out: Dict[str, np.ndarray] = {}
     for a, ax in enumerate("xyz"[:nd]):

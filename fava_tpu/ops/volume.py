@@ -190,11 +190,32 @@ def _density_pdf_fn(nbins: int, fixed_range: bool):
             lo = mu - lo_in * sigma
             hi = mu + lo_in * sigma
         hi = jnp.where(hi > lo, hi, lo + 1.0)  # constant field: sigma = 0
-        scaled = (s - lo) / (hi - lo) * nbins
-        idx = jnp.clip(jnp.floor(scaled).astype(jnp.int32), 0, nbins - 1)
-        valid = (s >= lo) & (s <= hi)
-        counts = jnp.zeros(nbins, dtype=adt).at[idx].add(jnp.where(valid, wv, 0))
-        return rho_mean, mu, sigma, m3, m4, lo, hi, counts
+        # Histogram by chunked threshold counts: cum(e) = sum of w
+        # where s < e, scanned over upper-edge chunks, then differenced.
+        # A 134M-update XLA scatter-add measured 1.2 s at 512^3 on TPU;
+        # this is ~nbins/chunk fused compare+select+reduce passes
+        # (memory-bound) and needs no scatter at all.
+        chunk = 16
+        nch = -(-nbins // chunk)
+        upper = lo + (hi - lo) * (jnp.arange(1, nch * chunk + 1, dtype=adt) / nbins)
+
+        def step(_, edges):
+            cnt = jnp.sum(
+                jnp.where(s[None, :] < edges[:, None], wv[None, :], 0), axis=1
+            )
+            return None, cnt
+
+        _, cum = jax.lax.scan(step, None, upper.reshape(nch, chunk))
+        cum = cum.ravel()[:nbins]
+        below_lo = jnp.sum(jnp.where(s < lo, wv, 0))
+        counts = jnp.diff(jnp.concatenate([below_lo.reshape(1), cum]))
+        # the last bin is CLOSED at hi (floor+clip semantics): s == hi
+        # fails `s < hi` above, so add it back explicitly
+        counts = counts.at[-1].add(jnp.sum(jnp.where(s == hi, wv, 0)))
+        # one packed vector -> one tunnel fetch (~27 ms floor per fetch)
+        return jnp.concatenate(
+            [jnp.stack([rho_mean, mu, sigma, m3, m4, lo, hi]).astype(adt), counts]
+        )
 
     return core
 
@@ -243,12 +264,11 @@ def density_pdf(
         )
     fixed = srange is not None
     lo_in, hi_in = (map(float, srange)) if fixed else (float(nsigma), 0.0)
-    rho_mean, mu, sigma, m3, m4, lo, hi, counts = _density_pdf_fn(int(nbins), fixed)(
-        dens, w, lo_in, hi_in
+    packed = np.asarray(
+        _density_pdf_fn(int(nbins), fixed)(dens, w, lo_in, hi_in), dtype=np.float64
     )
-    rho_mean, mu, sigma = float(rho_mean), float(mu), float(sigma)
-    m3, m4, lo, hi = float(m3), float(m4), float(lo), float(hi)
-    counts = np.asarray(counts, dtype=np.float64)
+    rho_mean, mu, sigma, m3, m4, lo, hi = packed[:7].tolist()
+    counts = packed[7:]
     edges = np.linspace(lo, hi, nbins + 1)
     widths = np.diff(edges)
     total = counts.sum()

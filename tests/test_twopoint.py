@@ -90,9 +90,12 @@ def test_velocity_correlations_match_brute_force(shape):
         dx = 0.5 * (a + 1) / shape[a]
         np.testing.assert_allclose(got[f"r_{ax}"][1], dx, rtol=1e-12)
         assert np.isfinite(got[f"L11_{ax}"])
-        # raw (unnormalized) line value at r = 0 is the component variance
-        raw = tp._velocity_corr_fn(shape)(*[jnp.asarray(v) for v in vels])
-        np.testing.assert_allclose(raw[a][a][0], np.var(vels[a]), rtol=1e-9)
+        # raw (unnormalized) line value at r = 0 is the component
+        # variance (packed comp-major/axis-minor: one tunnel fetch)
+        raw = np.asarray(tp._velocity_corr_fn(shape)(*[jnp.asarray(v) for v in vels]))
+        halves = [n // 2 + 1 for n in shape]
+        start = a * sum(halves) + sum(halves[:a])
+        np.testing.assert_allclose(raw[start], np.var(vels[a]), rtol=1e-9)
         np.testing.assert_allclose(
             got[f"isotropy_ratio_{ax}"], got[f"L11_{ax}"] / (2 * got[f"L22_{ax}"])
         )
