@@ -385,12 +385,17 @@ def reynolds_stress(
         d_row, v_rows, cov, c1, means_rows = _uniform_centered_stats(data, geom)
         vol = float(geom.vol_fracs[0])
         scale = vol / layer_volume_u
-        means: Dict[str, np.ndarray] = {"dens": np.asarray(d_row, dtype=np.float64) * scale}
+        # whole-array fetches (per-row slices each pay the ~27 ms
+        # tunnel dispatch floor)
+        d_h = np.asarray(d_row, dtype=np.float64)
+        v_h = np.asarray(v_rows, dtype=np.float64)
+        cov_h = np.asarray(cov, dtype=np.float64)
+        means: Dict[str, np.ndarray] = {"dens": d_h * scale}
         for i, a in enumerate(axes):
-            means[f"vel{a}"] = np.asarray(v_rows[i], dtype=np.float64) * scale
+            means[f"vel{a}"] = v_h[i] * scale
         stress: Dict[str, np.ndarray] = {}
         for p, (i, j) in enumerate(_pair_indices(3)):
-            stress[f"R{axes[i]}{axes[j]}"] = np.asarray(cov[p], dtype=np.float64) * scale
+            stress[f"R{axes[i]}{axes[j]}"] = cov_h[p] * scale
         return geom.span.copy(), stress, means
 
     prof_raw, cen_groups, scales = _grouped_stats(data, geom)
@@ -433,7 +438,12 @@ def favre_profiles(
         d_row, v_rows, cov, c1, means_rows = _uniform_centered_stats(data, geom)
         vol = float(geom.vol_fracs[0])
         scale = vol / layer_volume_u
+        # whole-array fetches (per-row slices each pay the ~27 ms
+        # tunnel dispatch floor)
         d64 = np.asarray(d_row, dtype=np.float64)
+        means_h = np.asarray(means_rows, dtype=np.float64)
+        c1_h = np.asarray(c1, dtype=np.float64)
+        cov_h = np.asarray(cov, dtype=np.float64)
         safe_d = np.where(d64 > 0, d64, 1.0)
         pairs3 = _pair_indices(3)
         out: Dict[str, np.ndarray | Dict[str, np.ndarray]] = {
@@ -445,16 +455,10 @@ def favre_profiles(
         for i, a in enumerate(axes):
             # mu + sum(d*(v-mu))/sum(d): exact identity, conditioned
             # where the raw sum(d*v) cancels (zero-mean velocities).
-            fmean = np.asarray(means_rows[i], dtype=np.float64) + np.asarray(
-                c1[i], dtype=np.float64
-            ) / safe_d
-            di = fmean - np.asarray(means_rows[i], dtype=np.float64)
+            fmean = means_h[i] + c1_h[i] / safe_d
+            di = fmean - means_h[i]
             p = pairs3.index((i, i))
-            var = (
-                np.asarray(cov[p], dtype=np.float64)
-                - 2.0 * di * np.asarray(c1[i], dtype=np.float64)
-                + di * di * d64
-            ) / safe_d
+            var = (cov_h[p] - 2.0 * di * c1_h[i] + di * di * d64) / safe_d
             out["favre_mean"][f"vel{a}"] = fmean
             out["favre_rms"][f"vel{a}"] = np.sqrt(np.maximum(var, 0.0))
         return out

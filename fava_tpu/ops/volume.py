@@ -59,17 +59,42 @@ def mass_sum(
     return out
 
 
+@jax.jit
+def _minmax_fn(values):
+    return jnp.stack([jnp.min(values), jnp.max(values)])
+
+
 @lru_cache(maxsize=16)
 def _hist1d_fn(nbins: int):
+    """Weighted 1D histogram by chunked threshold counts.
+
+    cum(e) = sum of w where v < e, scanned over upper-edge chunks and
+    differenced — np.histogram's [e_i, e_{i+1}) semantics (last bin
+    closed) against the EXACT edge values passed in. A scatter-add
+    at 512^3 measured 1.2 s on TPU (scatter serializes); this is a
+    handful of fused compare+select+reduce passes.
+    """
+    chunk = 16
+    nch = -(-nbins // chunk)
+
     @jax.jit
-    def hist(values, weights, lo, hi):
+    def hist(values, weights, edges):
         adt = accum_dtype()
-        v = values.ravel()
+        v = values.ravel().astype(adt)
         w = weights.ravel().astype(adt)
-        scaled = (v - lo) / (hi - lo) * nbins
-        idx = jnp.clip(jnp.floor(scaled).astype(jnp.int32), 0, nbins - 1)
-        valid = (v >= lo) & (v <= hi)
-        return jnp.zeros(nbins, dtype=adt).at[idx].add(jnp.where(valid, w, 0))
+        upper = jnp.concatenate(
+            [edges[1:], jnp.full((nch * chunk - nbins,), jnp.inf, dtype=edges.dtype)]
+        )
+
+        def step(_, e):
+            return None, jnp.sum(jnp.where(v[None, :] < e[:, None], w[None, :], 0), axis=1)
+
+        _, cum = jax.lax.scan(step, None, upper.reshape(nch, chunk))
+        cum = cum.ravel()[:nbins]
+        below_lo = jnp.sum(jnp.where(v < edges[0], w, 0))
+        counts = jnp.diff(jnp.concatenate([below_lo.reshape(1), cum]))
+        counts = counts.at[-1].add(jnp.sum(jnp.where(v == edges[-1], w, 0)))
+        return counts
 
     return hist
 
@@ -114,13 +139,17 @@ def pdf1d(
 ) -> Dict[str, np.ndarray]:
     """Weighted 1D PDF of a field (declared-but-absent in the reference)."""
     if vrange is None:
-        vrange = (float(jnp.min(values)), float(jnp.max(values)))
+        mm = np.asarray(_minmax_fn(values), dtype=np.float64)  # one fetch
+        vrange = (float(mm[0]), float(mm[1]))
     lo, hi = float(vrange[0]), float(vrange[1])
     if hi <= lo:
         hi = lo + 1.0
     w = weights if weights is not None else jnp.ones_like(values)
-    counts = np.asarray(_hist1d_fn(int(nbins))(values, w, lo, hi), dtype=np.float64)
     edges = np.linspace(lo, hi, nbins + 1)
+    counts = np.asarray(
+        _hist1d_fn(int(nbins))(values, w, jnp.asarray(edges, dtype=accum_dtype())),
+        dtype=np.float64,
+    )
     out = counts
     if density:
         total = counts.sum()
