@@ -186,10 +186,22 @@ def _flux_fn(
         _, stacked = jax.lax.scan(one_scale, None, kcs)
         if fields:
             return stacked
-        # one packed (nstat, ncut) output -> one tunnel fetch
-        return jnp.stack([stacked[k] for k in sorted(stacked)])
+        # one packed (nstat, ncut) output -> one tunnel fetch; the
+        # caller unpacks by the SAME module-level order (fail loudly
+        # if a stat is added to one side only)
+        order = _flux_stat_names(with_pres)
+        assert set(order) == set(stacked), (order, sorted(stacked))
+        return jnp.stack([stacked[k] for k in order])
 
     return jax.jit(core)
+
+
+def _flux_stat_names(with_pres: bool):
+    """Packed row order shared by _flux_fn and filtered_ke_flux."""
+    names = ("pi_mean", "pi_rms")
+    if with_pres:
+        names = ("baropycnal_mean", "baropycnal_rms") + names
+    return names
 
 
 def _prep(vels, dens, pres, cutoffs, kernel, lengths, what, fields=False):
@@ -244,14 +256,13 @@ def filtered_ke_flux(
     vels = (velx, vely) if velz is None else (velx, vely, velz)
     fn, kcs, args = _prep(vels, dens, pres, cutoffs, kernel, lengths, "filtered_ke_flux")
     packed = np.asarray(fn(kcs, *args), dtype=np.float64)  # (nstat, ncut), one fetch
-    names = ["pi_mean", "pi_rms"]
-    if pres is not None:
-        names = ["baropycnal_mean", "baropycnal_rms"] + names
+    names = _flux_stat_names(pres is not None)
+    assert packed.shape[0] == len(names), (packed.shape, names)
     res = {
         "kc": np.asarray(kcs, dtype=np.float64),
         "scale": np.pi / np.asarray(kcs, dtype=np.float64),
     }
-    res.update(dict(zip(sorted(names), packed)))
+    res.update(dict(zip(names, packed)))
     return res
 
 

@@ -362,7 +362,13 @@ def _uniform_centered_stats(data: Dict[str, jax.Array], geom: "ProfileGeometry")
     ncells_per_row = vols[0].shape[1] * vols[0].shape[2]
     means_rows = v_rows / ncells_per_row
     centered = centered_row_moments(*vols, means_rows)
-    return d_row, v_rows, centered[:6], centered[6:9], means_rows
+    # ONE (16, rows) fetch for the whole stat table (host-link rule:
+    # every fetched array pays the tunnel dispatch floor)
+    packed = np.asarray(
+        jnp.concatenate([d_row[None], v_rows, centered, means_rows], axis=0),
+        dtype=np.float64,
+    )
+    return packed[0], packed[1:4], packed[4:10], packed[10:13], packed[13:16]
 
 
 def reynolds_stress(
