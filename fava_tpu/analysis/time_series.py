@@ -326,11 +326,15 @@ def summary_series(
     scales, solenoidal/compressive fractions, vorticity/dilatation rms
     — one jit dispatch per snapshot (the per-shape trace is cached by
     ops/velocity.turbulence_summary), with async HDF5->HBM prefetch
-    overlapping the next read. ``pres``/``gamc`` ride along when the
-    files carry them (Mach columns appear only then; ``gamma`` is the
-    fallback ratio). Beyond the reference (no summary analysis, and
-    its series loops re-load files synchronously — fava/pipeline.py).
-    Returns {"times", <scalar name>: (nfiles,) arrays}.
+    overlapping the next read. Results stay DEVICE-resident and are
+    fetched 16 snapshots at a time in one stacked array: dispatch is
+    async, so the host round-trip floor (~27 ms here) is paid once per
+    group instead of once per snapshot. ``pres``/``gamc`` ride along
+    when the files carry them (Mach columns appear only then;
+    ``gamma`` is the fallback ratio). Beyond the reference (no summary
+    analysis, and its series loops re-load files synchronously —
+    fava/pipeline.py). Returns {"times", <scalar name>: (nfiles,)
+    arrays}.
     """
     from fava_tpu.ops import velocity as vel_ops
 
@@ -352,8 +356,22 @@ def summary_series(
             v = v[0]
         return v
 
+    import jax.numpy as jnp
+
     times: list = []
-    stacked: Dict[str, list] = {}
+    names: Optional[tuple] = None
+    pending: list = []  # device-resident packed stat vectors
+    rows: list = []  # fetched (group, nstats) blocks
+
+    def flush():
+        # ONE stacked fetch per group: jit dispatch is async, so the
+        # per-snapshot summaries pipeline on device while the host only
+        # pays the round-trip floor once per group
+        # (docs/architecture.md host-link rule).
+        if pending:
+            rows.append(np.asarray(jnp.stack(pending), dtype=np.float64))
+            pending.clear()
+
     for snap in SnapshotPrefetcher(
         paths,
         fields,
@@ -380,24 +398,31 @@ def summary_series(
         dens = squeeze(vol(snap, "dens"))
         pres = squeeze(vol(snap, "pres"))
         gamc = squeeze(vol(snap, "gamc"))
-        out = vel_ops.turbulence_summary(
+        vec, snap_names = vel_ops.turbulence_summary_device(
             *vels,
             dens=dens,
             pres=pres,
             gamma=gamc if (pres is not None and gamc is not None) else gamma,
             lengths=lengths,
         )
-        if stacked and set(out) != set(stacked):
+        if names is None:
+            names = snap_names
+        elif snap_names != names:
             # A ragged catalog (pres in some files only) would silently
             # misalign the stacked columns against "times".
             raise ValueError(
                 f"{snap.path}: inconsistent summary columns across the series "
-                f"(got {sorted(set(out) ^ set(stacked))} only sometimes)"
+                f"(got {sorted(set(snap_names) ^ set(names))} only sometimes)"
             )
         times.append(snap.time)
-        for k, v in out.items():
-            stacked.setdefault(k, []).append(v)
+        pending.append(vec)
+        if len(pending) >= 16:
+            flush()
+    flush()
 
-    result: Dict[str, np.ndarray] = {k: np.asarray(v) for k, v in stacked.items()}
+    result: Dict[str, np.ndarray] = {}
+    if rows:
+        table = np.concatenate(rows, axis=0)  # (nfiles, nstats)
+        result = {k: table[:, i] for i, k in enumerate(names)}
     result["times"] = np.asarray(times)
     return result

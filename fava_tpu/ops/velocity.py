@@ -852,6 +852,27 @@ def turbulence_summary(
     summary costs barely more than one KE spectrum. Beyond the
     reference (no summary analysis exists;
     fava/mesh/FLASH/FlashUniform.py stops at spectra)."""
+    vec, names = turbulence_summary_device(
+        velx, vely, velz, dens=dens, pres=pres, gamma=gamma, lengths=lengths
+    )
+    vals = np.asarray(vec, dtype=np.float64)  # ONE packed fetch
+    return dict(zip(names, vals.tolist()))
+
+
+def turbulence_summary_device(
+    velx: jax.Array,
+    vely: jax.Array,
+    velz: Optional[jax.Array] = None,
+    dens: Optional[jax.Array] = None,
+    pres: Optional[jax.Array] = None,
+    gamma=5.0 / 3.0,
+    lengths: Optional[Sequence[float]] = None,
+) -> Tuple[jax.Array, Tuple[str, ...]]:
+    """:func:`turbulence_summary` without the host fetch: returns the
+    DEVICE-resident packed stat vector plus its name order. Series
+    drivers stack many of these and fetch once — per-snapshot fetches
+    each pay the host round trip (docs/architecture.md host-link rule),
+    while jit dispatch is async so the device pipeline stays busy."""
     vels = (velx, vely) if velz is None else (velx, vely, velz)
     shape, key = _check_vels(vels, lengths, "turbulence_summary")
     if pres is not None and dens is None:
@@ -873,5 +894,4 @@ def turbulence_summary(
             )
         args += [pres, g]
     fn, names = _turbulence_summary_fn(shape, key, dens is not None, pres is not None)
-    vals = np.asarray(fn(*args), dtype=np.float64)  # ONE packed fetch
-    return dict(zip(names, vals.tolist()))
+    return fn(*args), names

@@ -116,6 +116,27 @@ def test_projection_conserves_mass(amr_mesh):
     np.testing.assert_allclose(total, mesh.mass_sum()["total"], rtol=1e-9)
 
 
+def test_amr_projection_sharded_inputs_match(amr_file, eight_device_mesh):
+    """Under an active device mesh the AMR block stacks arrive sharded;
+    the per-level gather/scatter must partition without changing the
+    numbers."""
+    from fava_tpu.mesh import FLASH as FlashAMR
+    from fava_tpu.parallel import use_mesh
+
+    mesh0 = FlashAMR(amr_file)
+    mesh0.load()
+    mesh0.load_data(["dens"])
+    ref = mesh0.projection(field="dens", axis=0)
+
+    with use_mesh(eight_device_mesh):
+        mesh1 = FlashAMR(amr_file)
+        mesh1.load()
+        mesh1.load_data(["dens"])
+        got = mesh1.projection(field="dens", axis=0)
+
+    np.testing.assert_allclose(got["map"], ref["map"], rtol=1e-12)
+
+
 def test_mesh_wrappers_and_registration(uniform_file, amr_mesh):
     import fava_tpu
     from fava_tpu.mesh import FlashUniform
