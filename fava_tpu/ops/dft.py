@@ -37,12 +37,20 @@ MAX_DENSE_AXIS = 1024
 # f32 matmul emulation depth for the DFT matmuls (dft_variants_512.json):
 #   HIGHEST — 20.4 ms per 512^3 transform, ~2.7e-7 field deviation
 #   HIGH    — 12.8 ms,                     ~2.1e-5 field deviation
+#   DEFAULT — one bf16 MXU pass,           ~1e-3 field deviation
 # HIGH is the production default: it nearly halves MXU time and its
 # ~1e-5-level rounding sits far below the discretization error of any
 # turbulence statistic. Set FAVA_DFT_PRECISION=highest (env, read at
 # import) or assign dft.PRECISION for validation-grade transforms; the
-# on-chip error of both modes is recorded in VALIDATION.json.
-_PRECISIONS = {"high": jax.lax.Precision.HIGH, "highest": jax.lax.Precision.HIGHEST}
+# on-chip error of the high/highest modes is recorded in
+# VALIDATION.json. FAVA_DFT_PRECISION=default is the EXPLORATORY mode:
+# bf16 input rounding (~0.4% per element) is invisible on log-log
+# spectra but unfit for budgets/residuals — quick looks only.
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
 _prec_name = os.environ.get("FAVA_DFT_PRECISION", "high").strip().lower()
 if _prec_name not in _PRECISIONS:
     raise ValueError(
