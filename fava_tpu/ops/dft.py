@@ -45,7 +45,12 @@ MAX_DENSE_AXIS = 1024
 # on-chip error of the high/highest modes is recorded in
 # VALIDATION.json. FAVA_DFT_PRECISION=default is the EXPLORATORY mode:
 # bf16 input rounding (~0.4% per element) is invisible on log-log
-# spectra but unfit for budgets/residuals — quick looks only.
+# spectra but unfit for budgets/residuals — and MEASURED NEARLY A WASH
+# (bench 90.4 -> 87.9 ms; ~2 ms/transform): at HIGH the dense DFT is
+# already memory-bound (the three stages stream ~7 GB ≈ 11 ms at the
+# 654 GB/s HBM rate), so dropping 2 of 3 bf16 passes only shaves the
+# small MXU surplus. HIGH keeps ~1e-5 accuracy at essentially the
+# memory-bound floor; there is no meaningful speed below it.
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
