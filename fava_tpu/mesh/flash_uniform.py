@@ -213,15 +213,54 @@ class FlashUniform(FLASH):
         )
 
     @timer
-    def turbulence_summary(self, gamma: float = 5.0 / 3.0) -> Dict[str, float]:
+    def turbulence_summary(
+        self,
+        gamma: float = 5.0 / 3.0,
+        streamed: bool = False,
+        slab_rows: Optional[int] = None,
+        chunk_rows: Optional[int] = None,
+    ) -> Dict[str, float]:
         """One-call scalar turbulence report (beyond the reference):
         u_rms/KE, integral + Taylor scales from spectral moments,
         exact solenoidal/compressive energy fractions, vorticity and
-        dilatation rms — plus Mach statistics when this file carries
-        ``pres`` (per-cell ``gamc`` is used over the scalar ``gamma``
-        when present). One jit over three forward MXU transforms
-        (ops/velocity.turbulence_summary)."""
+        dilatation rms, log-density moments — plus Mach statistics when
+        this file carries ``pres`` (per-cell ``gamc`` is used over the
+        scalar ``gamma`` when present). One jit over three forward MXU
+        transforms (ops/velocity.turbulence_summary); ``streamed=True``
+        takes the out-of-core x-slab path for 3D volumes beyond one
+        chip's HBM (ops/outofcore.streamed_turbulence_summary)."""
         from fava_tpu.ops import velocity as vel_ops
+
+        if streamed:
+            import jax.numpy as jnp
+
+            from fava_tpu.ops import outofcore
+            from fava_tpu.utils import compute_dtype
+
+            if self.ndim != 3:
+                raise ValueError("streamed turbulence_summary requires a 3D dataset")
+            shape = tuple(int(n) for n in (self.nxb, self.nyb, self.nzb))
+
+            def loader(name: str, x0: int, x1: int) -> np.ndarray:
+                if name not in self.fields:
+                    raise KeyError(name)
+                with h5py.File(self._filename, "r") as f:
+                    return flash_file.read_field_slab(f, name, x0, x1, dtype=compute_dtype())
+
+            def divisor(n: int, target: int) -> int:
+                target = max(1, min(int(target or 64), n))
+                return next(c for c in range(target, 0, -1) if n % c == 0)
+
+            return outofcore.streamed_turbulence_summary(
+                loader,
+                shape,
+                slab_rows=divisor(shape[0], slab_rows or 64),
+                chunk_rows=divisor(shape[0], chunk_rows or 64),
+                dtype=jnp.dtype(compute_dtype()),
+                gamma=gamma,
+                lengths=self._domain_lengths(),
+                with_mach="pres" in self.fields,
+            )
 
         def opt(name):
             if self.data(name) is None:

@@ -48,7 +48,7 @@ FIELDS = ("dens", "velx", "vely", "velz")
 
 
 @lru_cache(maxsize=8)
-def _stage_a_comp_fn(full_shape: Tuple[int, int, int], precision=None):
+def _stage_a_comp_fn(full_shape: Tuple[int, int, int], precision=None, weighted: bool = True):
     """One component's slab transform + buffer update (donated).
 
     Split per component so only ONE buffer's einsum temporaries are
@@ -57,6 +57,9 @@ def _stage_a_comp_fn(full_shape: Tuple[int, int, int], precision=None):
     PLANAR (separate re/im f32 buffers): XLA materializes full-size
     real/imag extraction temps when matmul-contracting a complex64
     array, which alone re-OOMed stage B at 1024^3.
+
+    ``weighted`` transforms the flagship's sqrt(rho)-weighted variable;
+    the streamed turbulence summary transforms the RAW velocities.
     """
     nx, ny, nz = full_shape
     precision = dft.PRECISION if precision is None else precision
@@ -67,7 +70,7 @@ def _stage_a_comp_fn(full_shape: Tuple[int, int, int], precision=None):
         dy = dft._dft_mat(ny, rdt)
         dyr = jnp.asarray(dy.real.copy())
         dyi = jnp.asarray(dy.imag.copy())
-        w = jnp.sqrt(d_slab) * v
+        w = jnp.sqrt(d_slab) * v if weighted else v
         zre = jnp.einsum("xyz,zk->xyk", w, cr, precision=precision)
         zim = jnp.einsum("xyz,zk->xyk", w, ci, precision=precision)
         # Complex y-DFT as real matmuls (keeps everything planar).
@@ -207,3 +210,198 @@ def streamed_uniform_analysis(
         "total_mass": jnp.sum(d_row),
     }
     return {k: np.asarray(v) for k, v in out.items()}
+
+
+@lru_cache(maxsize=8)
+def _summary_slab_fn(full_shape: Tuple[int, int, int], has_mach: bool):
+    """Per-slab real-space accumulators for the streamed summary:
+    [sum u^2, sum rho u^2, sum rho, sum log rho, sum (log rho)^2]
+    (+ [sum M^2, max M^2, sum c_s] with mach inputs). The log-density
+    moments are SHIFT-invariant (sigma_s^2 = Var[log rho]; mean_s =
+    E[log rho] - log E[rho]), so one pass suffices even though
+    s = log(rho/<rho>) references the global mean."""
+
+    def run(d, vx, vy, vz, *mach_args):
+        adt = accum_dtype()
+        u2 = vx.astype(adt) ** 2 + vy.astype(adt) ** 2 + vz.astype(adt) ** 2
+        da = d.astype(adt)
+        ld = jnp.log(da)
+        acc = [
+            jnp.sum(u2),
+            jnp.sum(da * u2),
+            jnp.sum(da),
+            jnp.sum(ld),
+            jnp.sum(ld * ld),
+        ]
+        if has_mach:
+            pres, gamma = mach_args
+            cs2 = gamma.astype(adt) * pres.astype(adt) / da
+            m2 = u2 / cs2
+            acc += [jnp.sum(m2), jnp.max(m2), jnp.sum(jnp.sqrt(cs2))]
+        return jnp.stack(acc)
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=8)
+def _summary_chunk_fn(full_shape: Tuple[int, int, int], chunk: int, lengths, precision=None):
+    """Per-kx-chunk spectral accumulators for the streamed summary:
+    [e_sum, mean_e, m_inv, m_2, comp_e, dil_sum, ens_sum] — the exact
+    Hermitian sums of ops/velocity._turbulence_summary_fn, accumulated
+    chunk by chunk (same math, same k conventions)."""
+    from fava_tpu.ops.velocity import _hermitian_weights, _k_grids
+
+    nx, ny, nz = full_shape
+    precision = dft.PRECISION if precision is None else precision
+
+    def run(bufs, dxr, dxi, kxv, kx0, acc):
+        adt = accum_dtype()
+        ws = []
+        for b_re, b_im in bufs:
+            wre, wim = dft.planar_complex_matmul(
+                "kx,xyz->kyz", dxr, dxi, b_re, b_im, precision=precision
+            )
+            ws.append(jax.lax.complex(wre, wim))
+        rdt = ws[0].real.dtype
+        # ky/kz: static grids of the (ny, nz) trailing axes; kx arrives
+        # per chunk (zero-Nyquist, physical) as a traced vector.
+        _, kyg, kzg = _k_grids(full_shape, rdt, lengths, zero_nyquist=True)
+        kx = kxv.astype(rdt).reshape(-1, 1, 1)
+        ky = kyg.reshape(1, -1, 1)
+        kz = kzg.reshape(1, 1, -1)
+        ks = (kx, ky, kz)
+        k2 = kx * kx + ky * ky + kz * kz
+        hw = _hermitian_weights(full_shape, adt)
+
+        e_mode = sum((0.5 * jnp.abs(w) ** 2).astype(adt) for w in ws) * hw
+        e_sum = jnp.sum(e_mode)
+        kmag = jnp.sqrt(k2).astype(adt)
+        inv_k = jnp.where(kmag > 0, 1.0 / jnp.maximum(kmag, 1e-30), 0.0)
+        m_inv = jnp.sum(e_mode * inv_k)
+        m_2 = jnp.sum(e_mode * k2.astype(adt))
+        # the k = (0,0,0) mean-flow mode, identified by grid INDEX —
+        # the zero-Nyquist convention also zeroes the k VALUES at the
+        # Nyquist indices, so a value mask would overcount (hw at the
+        # corner is 1)
+        jx = kx0 + jnp.arange(chunk).reshape(-1, 1, 1)
+        jy = jnp.arange(ny).reshape(1, -1, 1)
+        jz = jnp.arange(nz // 2 + 1).reshape(1, 1, -1)
+        corner = ((jx == 0) & (jy == 0) & (jz == 0)).astype(adt)
+        mean_e = jnp.sum(e_mode * corner)
+
+        div = sum(k * w for k, w in zip(ks, ws))
+        div2 = (jnp.abs(div) ** 2).astype(adt) * hw
+        comp_e = jnp.sum(0.5 * div2 / jnp.maximum(k2.astype(adt), 1e-30))
+        dil_sum = jnp.sum(div2)  # div_amp2 * k^2 == |sum k w|^2
+
+        wx, wy, wz = ws
+        curls = (ky * wz - kz * wy, kz * wx - kx * wz, kx * wy - ky * wx)
+        ens_sum = sum(jnp.sum((jnp.abs(c) ** 2).astype(adt) * hw) for c in curls)
+
+        return acc + jnp.stack([e_sum, mean_e, m_inv, m_2, comp_e, dil_sum, ens_sum])
+
+    return jax.jit(run)
+
+
+def streamed_turbulence_summary(
+    field_slab: SlabLoader,
+    shape: Tuple[int, int, int],
+    *,
+    slab_rows: int = 64,
+    chunk_rows: int = 128,
+    dtype=jnp.float32,
+    gamma=5.0 / 3.0,
+    lengths=None,
+    with_mach: bool = False,
+) -> Dict[str, float]:
+    """Out-of-core twin of ops/velocity.turbulence_summary.
+
+    Streams x-slabs from host exactly like streamed_uniform_analysis
+    (same two-stage plan, RAW-velocity zy buffers) and accumulates the
+    summary's Hermitian spectral moments kx-chunk by kx-chunk — the
+    full scalar turbulence report for volumes beyond one chip's HBM
+    (1024^3 single-chip). ``with_mach`` additionally streams
+    ``pres``/``gamc`` slabs for the Mach statistics (``gamma`` is the
+    fallback ratio when the loader raises KeyError for gamc). Output
+    keys and math match turbulence_summary exactly
+    (tests/test_outofcore.py).
+    """
+    nx, ny, nz = (int(s) for s in shape)
+    assert nx % slab_rows == 0 and nx % chunk_rows == 0
+    nzr = nz // 2 + 1
+    adt = accum_dtype()
+    ntot = nx * ny * nz
+    lengths_key = None if lengths is None else tuple(float(L) for L in lengths)
+
+    bufs = [
+        (jnp.zeros((nx, ny, nzr), dtype=dtype), jnp.zeros((nx, ny, nzr), dtype=dtype))
+        for _ in range(3)
+    ]
+    stage_a = _stage_a_comp_fn((nx, ny, nz), dft.PRECISION, weighted=False)
+    slab_stats = _summary_slab_fn((nx, ny, nz), with_mach)
+
+    real_accs = []  # device-resident per-slab stat vectors, ONE fetch
+    for x0 in range(0, nx, slab_rows):
+        slabs = [
+            jnp.asarray(field_slab(name, x0, x0 + slab_rows), dtype=dtype) for name in FIELDS
+        ]
+        i0 = jnp.asarray(x0, dtype=jnp.int32)
+        for c in range(3):
+            bufs[c] = stage_a(*bufs[c], slabs[0], slabs[1 + c], i0)
+        extra = []
+        if with_mach:
+            pres = jnp.asarray(field_slab("pres", x0, x0 + slab_rows), dtype=dtype)
+            try:
+                g = jnp.asarray(field_slab("gamc", x0, x0 + slab_rows), dtype=dtype)
+            except KeyError:
+                g = jnp.asarray(gamma, dtype=dtype)
+            extra = [pres, g]
+        real_accs.append(slab_stats(*slabs, *extra))
+    per_slab = np.asarray(jnp.stack(real_accs), dtype=np.float64)
+    real = per_slab.sum(axis=0)
+    if with_mach:
+        max_m2 = float(per_slab[:, 6].max())  # max does not sum across slabs
+
+    # --- spectral moments, kx-chunk by kx-chunk ------------------------
+    from fava_tpu.ops.velocity import _phys_factors
+
+    fx = _phys_factors(lengths_key, 3)[0]
+    j = np.arange(nx)
+    kx_all = (np.where(j <= (nx - 1) // 2, j, j - nx) * fx).astype(np.float64)
+    if nx % 2 == 0:
+        kx_all[nx // 2] = 0.0  # zero-Nyquist derivative convention
+
+    chunk_fn = _summary_chunk_fn((nx, ny, nz), chunk_rows, lengths_key, dft.PRECISION)
+    dmat = dft._dft_mat(nx, jnp.dtype(dtype).name) / ntot
+    acc = jnp.zeros(7, dtype=adt)
+    for kx0 in range(0, nx, chunk_rows):
+        dxr = jnp.asarray(dmat[kx0 : kx0 + chunk_rows].real.copy())
+        dxi = jnp.asarray(dmat[kx0 : kx0 + chunk_rows].imag.copy())
+        kxv = jnp.asarray(kx_all[kx0 : kx0 + chunk_rows], dtype=dtype)
+        acc = chunk_fn(bufs, dxr, dxi, kxv, jnp.asarray(kx0, dtype=jnp.int32), acc)
+    e_sum, mean_e, m_inv, m_2, comp_e, dil_sum, ens_sum = (
+        np.asarray(acc, dtype=np.float64).tolist()
+    )
+
+    # --- assemble (identical formulas to _turbulence_summary_fn) ------
+    sum_u2, sum_du2, sum_d, sum_ld, sum_ld2 = real[:5]
+    out = {
+        "u_rms": float(np.sqrt(sum_u2 / ntot)),
+        "kinetic_energy": float(0.5 * sum_u2 / ntot),
+        "kinetic_energy_density": float(0.5 * sum_du2 / ntot),
+    }
+    mu_ld = sum_ld / ntot
+    out["mean_s"] = float(mu_ld - np.log(sum_d / ntot))
+    out["sigma_s"] = float(np.sqrt(max(sum_ld2 / ntot - mu_ld**2, 0.0)))
+    if with_mach:
+        out["mach_rms"] = float(np.sqrt(real[5] / ntot))
+        out["mach_max"] = float(np.sqrt(max_m2))
+        out["sound_speed_mean"] = float(real[7] / ntot)
+    e_fluct = e_sum - mean_e
+    out["integral_scale"] = float((3.0 * np.pi / 4.0) * m_inv / max(e_fluct, 1e-30))
+    out["taylor_scale"] = float(np.sqrt(5.0 * e_fluct / max(m_2, 1e-30)))
+    out["compressive_fraction"] = float(comp_e / max(e_sum, 1e-30))
+    out["solenoidal_fraction"] = 1.0 - out["compressive_fraction"]
+    out["dilatation_rms"] = float(np.sqrt(dil_sum))
+    out["vorticity_rms"] = float(np.sqrt(ens_sum))
+    return out

@@ -98,3 +98,97 @@ def test_series_step_matches_per_snapshot():
             np.testing.assert_allclose(
                 np.asarray(out[key][s]), np.asarray(val), rtol=1e-12, atol=1e-12
             )
+
+
+def test_streamed_summary_matches_incore():
+    from fava_tpu.ops import velocity as vel_ops
+    from fava_tpu.ops.outofcore import streamed_turbulence_summary
+
+    rng = np.random.default_rng(31)
+    n = 32
+    fields = {
+        "dens": 1.0 + 0.4 * rng.random((n, n, n)),
+        "pres": 2.0 + rng.random((n, n, n)),
+        "gamc": 1.3 + 0.2 * rng.random((n, n, n)),
+    }
+    for a in "xyz":
+        fields[f"vel{a}"] = rng.standard_normal((n, n, n))
+
+    def loader(name, x0, x1):
+        return fields[name][x0:x1]
+
+    lengths = (1.0, 0.75, 0.5)
+    got = streamed_turbulence_summary(
+        loader,
+        (n, n, n),
+        slab_rows=8,
+        chunk_rows=16,
+        dtype=jnp.float64,
+        lengths=lengths,
+        with_mach=True,
+    )
+    ref = vel_ops.turbulence_summary(
+        *(jnp.asarray(fields[f"vel{a}"]) for a in "xyz"),
+        dens=jnp.asarray(fields["dens"]),
+        pres=jnp.asarray(fields["pres"]),
+        gamma=jnp.asarray(fields["gamc"]),
+        lengths=lengths,
+    )
+    assert set(got) == set(ref)
+    for key, r in ref.items():
+        np.testing.assert_allclose(got[key], r, rtol=1e-9, err_msg=key)
+
+
+def test_streamed_summary_gamc_fallback_and_no_mach():
+    from fava_tpu.ops import velocity as vel_ops
+    from fava_tpu.ops.outofcore import streamed_turbulence_summary
+
+    rng = np.random.default_rng(32)
+    n = 16
+    fields = {"dens": 1.0 + 0.4 * rng.random((n, n, n)), "pres": 2.0 + rng.random((n, n, n))}
+    for a in "xyz":
+        fields[f"vel{a}"] = rng.standard_normal((n, n, n))
+
+    def loader(name, x0, x1):
+        if name not in fields:
+            raise KeyError(name)  # no gamc on file -> scalar gamma fallback
+        return fields[name][x0:x1]
+
+    got = streamed_turbulence_summary(
+        loader, (n, n, n), slab_rows=4, chunk_rows=8, dtype=jnp.float64,
+        gamma=1.4, with_mach=True,
+    )
+    ref = vel_ops.turbulence_summary(
+        *(jnp.asarray(fields[f"vel{a}"]) for a in "xyz"),
+        dens=jnp.asarray(fields["dens"]),
+        pres=jnp.asarray(fields["pres"]),
+        gamma=1.4,
+    )
+    for key, r in ref.items():
+        np.testing.assert_allclose(got[key], r, rtol=1e-9, err_msg=key)
+
+    got2 = streamed_turbulence_summary(
+        loader, (n, n, n), slab_rows=4, chunk_rows=8, dtype=jnp.float64
+    )
+    ref2 = vel_ops.turbulence_summary(
+        *(jnp.asarray(fields[f"vel{a}"]) for a in "xyz"),
+        dens=jnp.asarray(fields["dens"]),
+    )
+    assert set(got2) == set(ref2)
+    for key, r in ref2.items():
+        np.testing.assert_allclose(got2[key], r, rtol=1e-9, err_msg=key)
+
+
+def test_mesh_summary_incore_vs_streamed(tmp_path):
+    import fava_tpu
+    from fava_tpu.io import synthetic
+
+    path = tmp_path / "rt_hdf5_uniform_0001"
+    synthetic.make_uniform_file(path, ncells=(16, 16, 16), seed=10)
+    m = fava_tpu.FLASH(tmp_path)
+    m.load(file_type="uni")
+    incore = m.turbulence_summary()
+    streamed = m.turbulence_summary(streamed=True, slab_rows=4, chunk_rows=8)
+    assert set(incore) == set(streamed)
+    for key, r in incore.items():
+        np.testing.assert_allclose(streamed[key], r, rtol=1e-9, err_msg=key)
