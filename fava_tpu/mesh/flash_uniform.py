@@ -386,12 +386,46 @@ class FlashUniform(FLASH):
         )
 
     @timer
-    def velocity_correlations(self) -> Dict[str, Any]:
+    def velocity_correlations(
+        self,
+        streamed: bool = False,
+        slab_rows: Optional[int] = None,
+        chunk_rows: Optional[int] = None,
+    ) -> Dict[str, Any]:
         """Karman-Howarth longitudinal f(r) / transverse g(r) velocity
         correlations per axis with L11/L22 integral scales and the
         isotropy ratio L11/(2 L22) (ops/twopoint.velocity_correlations;
-        beyond the reference)."""
+        beyond the reference). ``streamed=True`` takes the out-of-core
+        x-slab path for 3D volumes beyond one chip's HBM
+        (ops/outofcore.streamed_velocity_correlations)."""
         from fava_tpu.ops import twopoint as tp_ops
+
+        if streamed:
+            import jax.numpy as jnp
+
+            from fava_tpu.ops import outofcore
+            from fava_tpu.utils import compute_dtype
+
+            if self.ndim != 3:
+                raise ValueError("streamed velocity_correlations requires a 3D dataset")
+            shape = tuple(int(n) for n in (self.nxb, self.nyb, self.nzb))
+
+            def loader(name: str, x0: int, x1: int) -> np.ndarray:
+                with h5py.File(self._filename, "r") as f:
+                    return flash_file.read_field_slab(f, name, x0, x1, dtype=compute_dtype())
+
+            def divisor(n: int, target: int) -> int:
+                target = max(1, min(int(target or 64), n))
+                return next(c for c in range(target, 0, -1) if n % c == 0)
+
+            return outofcore.streamed_velocity_correlations(
+                loader,
+                shape,
+                slab_rows=divisor(shape[0], slab_rows or 64),
+                chunk_rows=divisor(shape[0], chunk_rows or 64),
+                dtype=jnp.dtype(compute_dtype()),
+                lengths=self._domain_lengths(),
+            )
 
         return tp_ops.velocity_correlations(
             *self._vel_volumes(), lengths=self._domain_lengths()

@@ -405,3 +405,139 @@ def streamed_turbulence_summary(
     out["dilatation_rms"] = float(np.sqrt(dil_sum))
     out["vorticity_rms"] = float(np.sqrt(ens_sum))
     return out
+
+
+@lru_cache(maxsize=8)
+def _corr_chunk_fn(full_shape: Tuple[int, int, int]):
+    """Per-kx-chunk power-marginal accumulators for the streamed
+    velocity correlations: for each component's chunk spectrum returns
+    (mx_rows (chunk,), my (ny,), mz (nz//2+1,)) — the Hermitian-weighted
+    plane sums whose 1D inverse transforms are the axis line
+    correlations (ops/twopoint.py module docstring; the trailing-axis
+    marginal stays half-layout, irfft applies the pair weights itself)."""
+    from fava_tpu.ops.velocity import _hermitian_weights
+
+    nx, ny, nz = full_shape
+
+    def run(bufs, dxr, dxi):
+        adt = accum_dtype()
+        hw = _hermitian_weights(full_shape, adt)
+        outs = []
+        for b_re, b_im in bufs:
+            wre, wim = dft.planar_complex_matmul(
+                "kx,xyz->kyz", dxr, dxi, b_re, b_im, precision=dft.PRECISION
+            )
+            p = (wre.astype(adt) ** 2 + wim.astype(adt) ** 2)
+            ph = p * hw
+            outs.append(
+                (
+                    jnp.sum(ph, axis=(1, 2)),  # x marginal rows (signed kx)
+                    jnp.sum(ph, axis=(0, 2)),  # y marginal
+                    jnp.sum(p, axis=(0, 1)),  # z half-marginal (no hw)
+                )
+            )
+        return tuple(outs)
+
+    return jax.jit(run)
+
+
+def streamed_velocity_correlations(
+    field_slab: SlabLoader,
+    shape: Tuple[int, int, int],
+    *,
+    slab_rows: int = 64,
+    chunk_rows: int = 128,
+    dtype=jnp.float32,
+    lengths=None,
+) -> Dict[str, np.ndarray]:
+    """Out-of-core twin of ops/twopoint.velocity_correlations.
+
+    Same streamed two-stage plan as the summary: raw-velocity zy
+    buffers, then per-kx-chunk POWER MARGINALS (plane sums) — the axis
+    line correlations are 1D inverse transforms of those tiny
+    marginals, so no correlation volume (and no inverse volume
+    transform) ever exists. Component means are removed exactly by
+    subtracting the k = 0 corner power (mean removal only changes the
+    k = 0 mode) using the slab-accumulated component sums. Outputs
+    match velocity_correlations (tests/test_outofcore.py).
+    """
+    from fava_tpu.ops.twopoint import _integral_scale
+
+    nx, ny, nz = (int(s) for s in shape)
+    assert nx % slab_rows == 0 and nx % chunk_rows == 0
+    nzr = nz // 2 + 1
+    ntot = nx * ny * nz
+
+    bufs = [
+        (jnp.zeros((nx, ny, nzr), dtype=dtype), jnp.zeros((nx, ny, nzr), dtype=dtype))
+        for _ in range(3)
+    ]
+    stage_a = _stage_a_comp_fn((nx, ny, nz), dft.PRECISION, weighted=False)
+
+    sums = np.zeros(3, dtype=np.float64)  # per-component sum(v) -> corner mode
+    sum_fns = []
+    for x0 in range(0, nx, slab_rows):
+        slabs = [
+            jnp.asarray(field_slab(name, x0, x0 + slab_rows), dtype=dtype) for name in FIELDS
+        ]
+        i0 = jnp.asarray(x0, dtype=jnp.int32)
+        for c in range(3):
+            bufs[c] = stage_a(*bufs[c], slabs[0], slabs[1 + c], i0)
+        sum_fns.append(jnp.stack([jnp.sum(s.astype(accum_dtype())) for s in slabs[1:]]))
+    sums += np.asarray(jnp.stack(sum_fns), dtype=np.float64).sum(axis=0)
+
+    chunk_fn = _corr_chunk_fn((nx, ny, nz))
+    dmat = dft._dft_mat(nx, jnp.dtype(dtype).name)  # unnormalized
+    mx = [[] for _ in range(3)]
+    my = [None] * 3
+    mz = [None] * 3
+    for kx0 in range(0, nx, chunk_rows):
+        dxr = jnp.asarray(dmat[kx0 : kx0 + chunk_rows].real.copy())
+        dxi = jnp.asarray(dmat[kx0 : kx0 + chunk_rows].imag.copy())
+        outs = chunk_fn(bufs, dxr, dxi)
+        for c, (rx, ry, rz) in enumerate(outs):
+            mx[c].append(rx)
+            my[c] = ry if my[c] is None else my[c] + ry
+            mz[c] = rz if mz[c] is None else mz[c] + rz
+
+    ls = tuple(float(L) for L in lengths) if lengths is not None else (1.0,) * 3
+    out: Dict[str, np.ndarray] = {}
+    lines = [[None] * 3 for _ in range(3)]  # [comp][axis]
+    for c in range(3):
+        corner = sums[c] ** 2  # |F(0,0,0)|^2 of the raw component
+        marg_x = np.concatenate([np.asarray(r, dtype=np.float64) for r in mx[c]])
+        marg_y = np.array(my[c], dtype=np.float64)
+        marg_z = np.array(mz[c], dtype=np.float64)
+        marg_x[0] -= corner
+        marg_y[0] -= corner
+        marg_z[0] -= corner
+
+        def fold_signed(m, n):
+            # signed-axis marginal -> even part -> rfft layout
+            # (ops/twopoint._power_marginal; x AND y are signed axes)
+            m_sym = 0.5 * (m + np.roll(m[::-1], 1))
+            return np.concatenate([m_sym[: n // 2], m_sym[n // 2 : n // 2 + 1]])
+
+        marg_x = fold_signed(marg_x, nx)
+        marg_y = fold_signed(marg_y, ny)
+        for a, (marg, n) in enumerate(((marg_x, nx), (marg_y, ny), (marg_z, nz))):
+            line = np.fft.irfft(marg, n=n)[: n // 2 + 1] * (n / float(ntot) ** 2)
+            lines[c][a] = line
+    for a, ax in enumerate("xyz"):
+        n = (nx, ny, nz)[a]
+        dx = ls[a] / n
+        f_line = lines[a][a]
+        f0 = f_line[0] if f_line[0] > 0 else 1.0
+        g_lines = [lines[i][a] for i in range(3) if i != a]
+        g0s = [g[0] if g[0] > 0 else 1.0 for g in g_lines]
+        g_norm = np.mean([g / g0 for g, g0 in zip(g_lines, g0s)], axis=0)
+        out[f"r_{ax}"] = np.arange(f_line.size, dtype=np.float64) * dx
+        out[f"f_{ax}"] = f_line / f0
+        out[f"g_{ax}"] = g_norm
+        out[f"L11_{ax}"] = _integral_scale(f_line, dx)
+        l22 = _integral_scale(g_norm, dx)
+        out[f"L22_{ax}"] = l22
+        out[f"isotropy_ratio_{ax}"] = (
+            out[f"L11_{ax}"] / (2.0 * l22) if l22 and np.isfinite(l22) else float("nan")
+        )
+    return out

@@ -192,3 +192,41 @@ def test_mesh_summary_incore_vs_streamed(tmp_path):
     assert set(incore) == set(streamed)
     for key, r in incore.items():
         np.testing.assert_allclose(streamed[key], r, rtol=1e-9, err_msg=key)
+
+
+def test_streamed_velocity_correlations_match_incore(tmp_path):
+    from fava_tpu.ops import twopoint as tp_ops
+    from fava_tpu.ops.outofcore import streamed_velocity_correlations
+
+    rng = np.random.default_rng(33)
+    n = 32
+    fields = {"dens": 1.0 + 0.4 * rng.random((n, n, n))}
+    for a in "xyz":
+        fields[f"vel{a}"] = rng.standard_normal((n, n, n))
+
+    def loader(name, x0, x1):
+        return fields[name][x0:x1]
+
+    lengths = (1.0, 0.75, 0.5)
+    got = streamed_velocity_correlations(
+        loader, (n, n, n), slab_rows=8, chunk_rows=16, dtype=jnp.float64, lengths=lengths
+    )
+    ref = tp_ops.velocity_correlations(
+        *(jnp.asarray(fields[f"vel{a}"]) for a in "xyz"), lengths=lengths
+    )
+    assert set(got) == set(ref)
+    for key, r in ref.items():
+        np.testing.assert_allclose(got[key], r, rtol=1e-8, atol=1e-10, err_msg=key)
+
+    # mesh-level streamed path vs in-core
+    import fava_tpu
+    from fava_tpu.io import synthetic
+
+    path = tmp_path / "rt_hdf5_uniform_0001"
+    synthetic.make_uniform_file(path, ncells=(16, 16, 16), seed=11)
+    m = fava_tpu.FLASH(tmp_path)
+    m.load(file_type="uni")
+    incore = m.velocity_correlations()
+    streamed = m.velocity_correlations(streamed=True, slab_rows=4, chunk_rows=8)
+    for key, r in incore.items():
+        np.testing.assert_allclose(streamed[key], r, rtol=1e-8, atol=1e-10, err_msg=key)
