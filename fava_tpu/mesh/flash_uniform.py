@@ -143,6 +143,30 @@ class FlashUniform(FLASH):
         b = np.asarray(self.domain_bounds, dtype=np.float64)
         return tuple(float(b[i, 1] - b[i, 0]) for i in range(self.ndim))
 
+    def _streamed_loader(self, check_fields: bool = False):
+        """HDF5 x-slab loader for the out-of-core paths (one shared
+        definition for flagship_analysis / turbulence_summary /
+        velocity_correlations). ``check_fields`` raises KeyError for
+        fields absent from this file (the streamed summary's gamc
+        fallback relies on it)."""
+        from fava_tpu.utils import compute_dtype
+
+        def loader(name: str, x0: int, x1: int) -> np.ndarray:
+            if check_fields and name not in self.fields:
+                raise KeyError(name)
+            with h5py.File(self._filename, "r") as f:
+                return flash_file.read_field_slab(f, name, x0, x1, dtype=compute_dtype())
+
+        return loader
+
+    @staticmethod
+    def _largest_divisor(n: int, target) -> int:
+        # Largest divisor of n NOT EXCEEDING the request: the
+        # slab/chunk knobs exist to shrink memory, so never round up
+        # past what the caller asked for.
+        target = max(1, min(int(target or 64), n))
+        return next(c for c in range(target, 0, -1) if n % c == 0)
+
     @timer
     def helmholtz_decomposition(self) -> Dict[str, Dict[str, np.ndarray]]:
         """Solenoidal/compressive velocity split (beyond the reference).
@@ -240,22 +264,11 @@ class FlashUniform(FLASH):
             if self.ndim != 3:
                 raise ValueError("streamed turbulence_summary requires a 3D dataset")
             shape = tuple(int(n) for n in (self.nxb, self.nyb, self.nzb))
-
-            def loader(name: str, x0: int, x1: int) -> np.ndarray:
-                if name not in self.fields:
-                    raise KeyError(name)
-                with h5py.File(self._filename, "r") as f:
-                    return flash_file.read_field_slab(f, name, x0, x1, dtype=compute_dtype())
-
-            def divisor(n: int, target: int) -> int:
-                target = max(1, min(int(target or 64), n))
-                return next(c for c in range(target, 0, -1) if n % c == 0)
-
             return outofcore.streamed_turbulence_summary(
-                loader,
+                self._streamed_loader(check_fields=True),
                 shape,
-                slab_rows=divisor(shape[0], slab_rows or 64),
-                chunk_rows=divisor(shape[0], chunk_rows or 64),
+                slab_rows=self._largest_divisor(shape[0], slab_rows),
+                chunk_rows=self._largest_divisor(shape[0], chunk_rows),
                 dtype=jnp.dtype(compute_dtype()),
                 gamma=gamma,
                 lengths=self._domain_lengths(),
@@ -409,20 +422,11 @@ class FlashUniform(FLASH):
             if self.ndim != 3:
                 raise ValueError("streamed velocity_correlations requires a 3D dataset")
             shape = tuple(int(n) for n in (self.nxb, self.nyb, self.nzb))
-
-            def loader(name: str, x0: int, x1: int) -> np.ndarray:
-                with h5py.File(self._filename, "r") as f:
-                    return flash_file.read_field_slab(f, name, x0, x1, dtype=compute_dtype())
-
-            def divisor(n: int, target: int) -> int:
-                target = max(1, min(int(target or 64), n))
-                return next(c for c in range(target, 0, -1) if n % c == 0)
-
             return outofcore.streamed_velocity_correlations(
-                loader,
+                self._streamed_loader(),
                 shape,
-                slab_rows=divisor(shape[0], slab_rows or 64),
-                chunk_rows=divisor(shape[0], chunk_rows or 64),
+                slab_rows=self._largest_divisor(shape[0], slab_rows),
+                chunk_rows=self._largest_divisor(shape[0], chunk_rows),
                 dtype=jnp.dtype(compute_dtype()),
                 lengths=self._domain_lengths(),
             )
@@ -523,26 +527,13 @@ class FlashUniform(FLASH):
             streamed = need > 0.9 * budget
 
         if streamed:
-            def loader(name: str, x0: int, x1: int) -> np.ndarray:
-                from fava_tpu.utils import compute_dtype
-
-                with h5py.File(self._filename, "r") as f:
-                    return flash_file.read_field_slab(f, name, x0, x1, dtype=compute_dtype())
-
-            def divisor(n: int, target: int) -> int:
-                # Largest divisor of n NOT EXCEEDING the request: the
-                # slab/chunk knobs exist to shrink memory, so never
-                # round up past what the caller asked for.
-                target = max(1, min(int(target or 64), n))
-                return next(c for c in range(target, 0, -1) if n % c == 0)
-
             from fava_tpu.utils import compute_dtype
 
             return outofcore.streamed_uniform_analysis(
-                loader,
+                self._streamed_loader(),
                 shape,
-                slab_rows=divisor(shape[0], slab_rows or 64),
-                chunk_rows=divisor(shape[0], chunk_rows or 64),
+                slab_rows=self._largest_divisor(shape[0], slab_rows),
+                chunk_rows=self._largest_divisor(shape[0], chunk_rows),
                 dtype=jnp.dtype(compute_dtype()),
             )
 

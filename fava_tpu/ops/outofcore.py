@@ -47,6 +47,16 @@ SlabLoader = Callable[[str, int, int], np.ndarray]
 FIELDS = ("dens", "velx", "vely", "velz")
 
 
+def _check_divisible(nx: int, slab_rows: int, chunk_rows: int) -> None:
+    # an assert would vanish under python -O and surface later as an
+    # opaque XLA broadcast error from the short final chunk
+    if nx % slab_rows != 0 or nx % chunk_rows != 0:
+        raise ValueError(
+            f"slab_rows ({slab_rows}) and chunk_rows ({chunk_rows}) must divide "
+            f"nx ({nx}); the mesh wrappers round to the nearest divisor"
+        )
+
+
 @lru_cache(maxsize=8)
 def _stage_a_comp_fn(full_shape: Tuple[int, int, int], precision=None, weighted: bool = True):
     """One component's slab transform + buffer update (donated).
@@ -145,7 +155,7 @@ def streamed_uniform_analysis(
     divide nx.
     """
     nx, ny, nz = (int(s) for s in shape)
-    assert nx % slab_rows == 0 and nx % chunk_rows == 0
+    _check_divisible(nx, slab_rows, chunk_rows)
     nzr = nz // 2 + 1
     nbins = max(shape) // 2 - 1
     adt = accum_dtype()
@@ -327,7 +337,7 @@ def streamed_turbulence_summary(
     (tests/test_outofcore.py).
     """
     nx, ny, nz = (int(s) for s in shape)
-    assert nx % slab_rows == 0 and nx % chunk_rows == 0
+    _check_divisible(nx, slab_rows, chunk_rows)
     nzr = nz // 2 + 1
     adt = accum_dtype()
     ntot = nx * ny * nz
@@ -408,16 +418,23 @@ def streamed_turbulence_summary(
 
 
 @lru_cache(maxsize=8)
-def _corr_chunk_fn(full_shape: Tuple[int, int, int]):
+def _corr_chunk_fn(full_shape: Tuple[int, int, int], precision=None):
     """Per-kx-chunk power-marginal accumulators for the streamed
     velocity correlations: for each component's chunk spectrum returns
-    (mx_rows (chunk,), my (ny,), mz (nz//2+1,)) — the Hermitian-weighted
-    plane sums whose 1D inverse transforms are the axis line
-    correlations (ops/twopoint.py module docstring; the trailing-axis
-    marginal stays half-layout, irfft applies the pair weights itself)."""
+    (mx_rows (chunk,), my (ny,), mz (nz//2+1,), corner) — the
+    Hermitian-weighted plane sums whose 1D inverse transforms are the
+    axis line correlations (ops/twopoint.py module docstring; the
+    trailing-axis marginal stays half-layout, irfft applies the pair
+    weights itself). ``corner`` is this chunk's row-0 p[0, 0, 0] —
+    only meaningful for the kx0 = 0 chunk, where it is the SAME
+    f32 value embedded in the marginals, so the caller's mean removal
+    cancels bit-exactly (a host-recomputed (sum v)^2 differs by the
+    DFT's emulation error and catastrophically cancels for mean
+    flows)."""
     from fava_tpu.ops.velocity import _hermitian_weights
 
     nx, ny, nz = full_shape
+    precision = dft.PRECISION if precision is None else precision
 
     def run(bufs, dxr, dxi):
         adt = accum_dtype()
@@ -425,7 +442,7 @@ def _corr_chunk_fn(full_shape: Tuple[int, int, int]):
         outs = []
         for b_re, b_im in bufs:
             wre, wim = dft.planar_complex_matmul(
-                "kx,xyz->kyz", dxr, dxi, b_re, b_im, precision=dft.PRECISION
+                "kx,xyz->kyz", dxr, dxi, b_re, b_im, precision=precision
             )
             p = (wre.astype(adt) ** 2 + wim.astype(adt) ** 2)
             ph = p * hw
@@ -434,6 +451,7 @@ def _corr_chunk_fn(full_shape: Tuple[int, int, int]):
                     jnp.sum(ph, axis=(1, 2)),  # x marginal rows (signed kx)
                     jnp.sum(ph, axis=(0, 2)),  # y marginal
                     jnp.sum(p, axis=(0, 1)),  # z half-marginal (no hw)
+                    p[0, 0, 0],  # hw there is 1
                 )
             )
         return tuple(outs)
@@ -453,18 +471,21 @@ def streamed_velocity_correlations(
     """Out-of-core twin of ops/twopoint.velocity_correlations.
 
     Same streamed two-stage plan as the summary: raw-velocity zy
-    buffers, then per-kx-chunk POWER MARGINALS (plane sums) — the axis
-    line correlations are 1D inverse transforms of those tiny
-    marginals, so no correlation volume (and no inverse volume
-    transform) ever exists. Component means are removed exactly by
-    subtracting the k = 0 corner power (mean removal only changes the
-    k = 0 mode) using the slab-accumulated component sums. Outputs
-    match velocity_correlations (tests/test_outofcore.py).
+    buffers (dens is never read — the correlations are unweighted),
+    then per-kx-chunk POWER MARGINALS (plane sums) — the axis line
+    correlations are 1D inverse transforms of those tiny marginals, so
+    no correlation volume (and no inverse volume transform) ever
+    exists. Component means are removed exactly by subtracting the
+    k = 0 corner power taken from the SAME transformed data (mean
+    removal only changes the k = 0 mode; the corner is the identical
+    f32 value embedded in the marginals, so the subtraction cancels
+    bit-exactly even for strong mean flows). Outputs match
+    velocity_correlations (tests/test_outofcore.py).
     """
-    from fava_tpu.ops.twopoint import _integral_scale
+    from fava_tpu.ops.twopoint import assemble_karman_howarth
 
     nx, ny, nz = (int(s) for s in shape)
-    assert nx % slab_rows == 0 and nx % chunk_rows == 0
+    _check_divisible(nx, slab_rows, chunk_rows)
     nzr = nz // 2 + 1
     ntot = nx * ny * nz
 
@@ -474,37 +495,38 @@ def streamed_velocity_correlations(
     ]
     stage_a = _stage_a_comp_fn((nx, ny, nz), dft.PRECISION, weighted=False)
 
-    sums = np.zeros(3, dtype=np.float64)  # per-component sum(v) -> corner mode
-    sum_fns = []
     for x0 in range(0, nx, slab_rows):
+        # weighted=False never touches the density operand: pass the
+        # component itself so the dens volume is never read/transferred
+        # (~4.3 GB of tunnel traffic at 1024^3 for discarded data)
         slabs = [
-            jnp.asarray(field_slab(name, x0, x0 + slab_rows), dtype=dtype) for name in FIELDS
+            jnp.asarray(field_slab(f"vel{a}", x0, x0 + slab_rows), dtype=dtype)
+            for a in "xyz"
         ]
         i0 = jnp.asarray(x0, dtype=jnp.int32)
         for c in range(3):
-            bufs[c] = stage_a(*bufs[c], slabs[0], slabs[1 + c], i0)
-        sum_fns.append(jnp.stack([jnp.sum(s.astype(accum_dtype())) for s in slabs[1:]]))
-    sums += np.asarray(jnp.stack(sum_fns), dtype=np.float64).sum(axis=0)
+            bufs[c] = stage_a(*bufs[c], slabs[c], slabs[c], i0)
 
-    chunk_fn = _corr_chunk_fn((nx, ny, nz))
+    chunk_fn = _corr_chunk_fn((nx, ny, nz), dft.PRECISION)
     dmat = dft._dft_mat(nx, jnp.dtype(dtype).name)  # unnormalized
     mx = [[] for _ in range(3)]
     my = [None] * 3
     mz = [None] * 3
+    corners = [None] * 3
     for kx0 in range(0, nx, chunk_rows):
         dxr = jnp.asarray(dmat[kx0 : kx0 + chunk_rows].real.copy())
         dxi = jnp.asarray(dmat[kx0 : kx0 + chunk_rows].imag.copy())
         outs = chunk_fn(bufs, dxr, dxi)
-        for c, (rx, ry, rz) in enumerate(outs):
+        for c, (rx, ry, rz, pc) in enumerate(outs):
             mx[c].append(rx)
             my[c] = ry if my[c] is None else my[c] + ry
             mz[c] = rz if mz[c] is None else mz[c] + rz
+            if kx0 == 0:
+                corners[c] = pc
 
-    ls = tuple(float(L) for L in lengths) if lengths is not None else (1.0,) * 3
-    out: Dict[str, np.ndarray] = {}
     lines = [[None] * 3 for _ in range(3)]  # [comp][axis]
     for c in range(3):
-        corner = sums[c] ** 2  # |F(0,0,0)|^2 of the raw component
+        corner = float(np.asarray(corners[c], dtype=np.float64))
         marg_x = np.concatenate([np.asarray(r, dtype=np.float64) for r in mx[c]])
         marg_y = np.array(my[c], dtype=np.float64)
         marg_z = np.array(mz[c], dtype=np.float64)
@@ -515,29 +537,10 @@ def streamed_velocity_correlations(
         def fold_signed(m, n):
             # signed-axis marginal -> even part -> rfft layout
             # (ops/twopoint._power_marginal; x AND y are signed axes)
-            m_sym = 0.5 * (m + np.roll(m[::-1], 1))
-            return np.concatenate([m_sym[: n // 2], m_sym[n // 2 : n // 2 + 1]])
+            return (0.5 * (m + np.roll(m[::-1], 1)))[: n // 2 + 1]
 
         marg_x = fold_signed(marg_x, nx)
         marg_y = fold_signed(marg_y, ny)
         for a, (marg, n) in enumerate(((marg_x, nx), (marg_y, ny), (marg_z, nz))):
-            line = np.fft.irfft(marg, n=n)[: n // 2 + 1] * (n / float(ntot) ** 2)
-            lines[c][a] = line
-    for a, ax in enumerate("xyz"):
-        n = (nx, ny, nz)[a]
-        dx = ls[a] / n
-        f_line = lines[a][a]
-        f0 = f_line[0] if f_line[0] > 0 else 1.0
-        g_lines = [lines[i][a] for i in range(3) if i != a]
-        g0s = [g[0] if g[0] > 0 else 1.0 for g in g_lines]
-        g_norm = np.mean([g / g0 for g, g0 in zip(g_lines, g0s)], axis=0)
-        out[f"r_{ax}"] = np.arange(f_line.size, dtype=np.float64) * dx
-        out[f"f_{ax}"] = f_line / f0
-        out[f"g_{ax}"] = g_norm
-        out[f"L11_{ax}"] = _integral_scale(f_line, dx)
-        l22 = _integral_scale(g_norm, dx)
-        out[f"L22_{ax}"] = l22
-        out[f"isotropy_ratio_{ax}"] = (
-            out[f"L11_{ax}"] / (2.0 * l22) if l22 and np.isfinite(l22) else float("nan")
-        )
-    return out
+            lines[c][a] = np.fft.irfft(marg, n=n)[: n // 2 + 1] * (n / float(ntot) ** 2)
+    return assemble_karman_howarth(lines, (nx, ny, nz), lengths)

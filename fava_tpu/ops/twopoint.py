@@ -263,6 +263,15 @@ def velocity_correlations(
             per_axis.append(packed[off : off + m])
             off += m
         lines.append(per_axis)
+    return assemble_karman_howarth(lines, shape, lengths)
+
+
+def assemble_karman_howarth(lines, shape, lengths) -> Dict[str, np.ndarray]:
+    """lines[comp][axis] (raw half line correlations) -> the public
+    f/g/L11/L22/isotropy record. The normalization conventions here
+    are load-bearing for the documented exact equality between the
+    in-core and streamed (ops/outofcore.py) paths — one definition."""
+    nd = len(shape)
     ls = tuple(float(L) for L in lengths) if lengths is not None else (1.0,) * nd
     out: Dict[str, np.ndarray] = {}
     for a, ax in enumerate("xyz"[:nd]):

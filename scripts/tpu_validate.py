@@ -698,6 +698,54 @@ def validate_analyses() -> dict:
         "max_scaled_error": vc_errs,
     }
 
+    # --- out-of-core twins on chip ---------------------------------------
+    # The streamed summary/correlations use donated-buffer
+    # dynamic_update_slice writes and chunked matmuls whose TPU
+    # behavior the CPU-f64 equality tests cannot certify (CLAUDE.md).
+    print("== analyses: streamed (out-of-core) twins ==", flush=True)
+    from fava_tpu.ops import twopoint as tp_ops
+    from fava_tpu.ops.outofcore import (
+        streamed_turbulence_summary,
+        streamed_velocity_correlations,
+    )
+
+    host_fields = {
+        "dens": np.asarray(dens_dev, dtype=np.float32),
+        "pres": np.asarray(pres_dev, dtype=np.float32),
+        "velx": np.asarray(vels_dev[0], dtype=np.float32),
+        "vely": np.asarray(vels_dev[1], dtype=np.float32),
+        "velz": np.asarray(vels_dev[2], dtype=np.float32),
+    }
+
+    def loader(name, x0, x1):
+        if name not in host_fields:
+            raise KeyError(name)
+        return host_fields[name][x0:x1]
+
+    got_ss = streamed_turbulence_summary(
+        loader, (nn, nn, nn), slab_rows=32, chunk_rows=32, with_mach=True, gamma=1.4
+    )
+    ref_ss = vel_ops.turbulence_summary(
+        *vels_dev, dens=dens_dev, pres=pres_dev, gamma=1.4
+    )
+    got_sc = streamed_velocity_correlations(
+        loader, (nn, nn, nn), slab_rows=32, chunk_rows=32
+    )
+    ref_sc = tp_ops.velocity_correlations(*vels_dev)
+    out["streamed_twins"] = {
+        "config": {"n": 128, "slab_rows": 32, "chunk_rows": 32},
+        "oracle": "the IN-CORE f32 paths on the same chip (streaming must not change the numbers)",
+        "max_scaled_error": {
+            "turbulence_summary": max(
+                _scaled_err(got_ss[k], ref_ss[k], floor=abs(ref_ss["sigma_s"]))
+                for k in ref_ss
+            ),
+            "velocity_correlations": max(
+                _scaled_err(got_sc[f"f_{ax}"], ref_sc[f"f_{ax}"]) for ax in "xyz"
+            ),
+        },
+    }
+
     # --- structure functions (same-draw oracle) ------------------------
     print("== analyses: structure functions ==", flush=True)
     out["structure_functions"] = validate_structure_functions()
