@@ -230,3 +230,27 @@ def test_streamed_velocity_correlations_match_incore(tmp_path):
     streamed = m.velocity_correlations(streamed=True, slab_rows=4, chunk_rows=8)
     for key, r in incore.items():
         np.testing.assert_allclose(streamed[key], r, rtol=1e-8, atol=1e-10, err_msg=key)
+
+
+def test_streamed_velocity_correlations_mean_flow():
+    # Strong mean flow: the corner (k=0) power dominates the marginals;
+    # the mean removal must cancel against the SAME transformed data
+    # (a host-recomputed (sum v)^2 catastrophically cancels in f32).
+    from fava_tpu.ops import twopoint as tp_ops
+    from fava_tpu.ops.outofcore import streamed_velocity_correlations
+
+    rng = np.random.default_rng(34)
+    n = 16
+    fields = {"velx": 10.0 + rng.standard_normal((n, n, n))}
+    for a in "yz":
+        fields[f"vel{a}"] = rng.standard_normal((n, n, n)) - 5.0
+
+    def loader(name, x0, x1):
+        return fields[name][x0:x1]
+
+    got = streamed_velocity_correlations(
+        loader, (n, n, n), slab_rows=4, chunk_rows=8, dtype=jnp.float64
+    )
+    ref = tp_ops.velocity_correlations(*(jnp.asarray(fields[f"vel{a}"]) for a in "xyz"))
+    for key, r in ref.items():
+        np.testing.assert_allclose(got[key], r, rtol=1e-8, atol=1e-10, err_msg=key)
