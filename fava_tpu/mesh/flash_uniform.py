@@ -387,12 +387,42 @@ class FlashUniform(FLASH):
         return {"map": m, "coord1": coords[0], "coord2": coords[1]}
 
     @timer
-    def two_point_correlation(self, field: str = "dens", **kwargs) -> Dict[str, Any]:
+    def two_point_correlation(
+        self,
+        field: str = "dens",
+        streamed: bool = False,
+        slab_rows: Optional[int] = None,
+        chunk_rows: Optional[int] = None,
+        **kwargs,
+    ) -> Dict[str, Any]:
         """Scalar two-point autocorrelation R(r) = <f'(x)f'(x+r)>/var:
         shell-averaged isotropic curve + per-axis lines with integral
         length scales (ops/twopoint.two_point_correlation; beyond the
-        reference — its auto_correlations are TIME correlations)."""
+        reference — its auto_correlations are TIME correlations).
+        ``streamed=True`` takes the out-of-core path for beyond-HBM 3D
+        volumes: per-axis lines + integral scales only (the shell curve
+        needs the full correlation volume;
+        ops/outofcore.streamed_two_point_lines)."""
         from fava_tpu.ops import twopoint as tp_ops
+
+        if streamed:
+            import jax.numpy as jnp
+
+            from fava_tpu.ops import outofcore
+            from fava_tpu.utils import compute_dtype
+
+            if self.ndim != 3:
+                raise ValueError("streamed two_point_correlation requires a 3D dataset")
+            shape = tuple(int(n) for n in (self.nxb, self.nyb, self.nzb))
+            return outofcore.streamed_two_point_lines(
+                self._streamed_loader(),
+                shape,
+                field,
+                slab_rows=self._largest_divisor(shape[0], slab_rows),
+                chunk_rows=self._largest_divisor(shape[0], chunk_rows),
+                dtype=jnp.dtype(compute_dtype()),
+                lengths=self._domain_lengths(),
+            )
 
         return tp_ops.two_point_correlation(
             self._scalar_volume(field), lengths=self._domain_lengths(), **kwargs

@@ -544,3 +544,78 @@ def streamed_velocity_correlations(
         for a, (marg, n) in enumerate(((marg_x, nx), (marg_y, ny), (marg_z, nz))):
             lines[c][a] = np.fft.irfft(marg, n=n)[: n // 2 + 1] * (n / float(ntot) ** 2)
     return assemble_karman_howarth(lines, (nx, ny, nz), lengths)
+
+
+def streamed_two_point_lines(
+    field_slab: SlabLoader,
+    shape: Tuple[int, int, int],
+    field: str = "dens",
+    *,
+    slab_rows: int = 64,
+    chunk_rows: int = 128,
+    dtype=jnp.float32,
+    lengths=None,
+) -> Dict[str, np.ndarray]:
+    """Out-of-core axis-line two-point correlation of one scalar field.
+
+    The line subset of ops/twopoint.two_point_correlation for
+    beyond-HBM volumes, via the same per-kx-chunk power marginals as
+    streamed_velocity_correlations (one component). The shell-averaged
+    R(|r|) curve is NOT produced — it needs the full correlation
+    volume, which is exactly what streaming avoids; the per-axis lines
+    and integral scales (and ``variance`` = R(0)) match the in-core
+    analysis (tests/test_outofcore.py).
+    """
+    from fava_tpu.ops.twopoint import _integral_scale
+
+    nx, ny, nz = (int(s) for s in shape)
+    _check_divisible(nx, slab_rows, chunk_rows)
+    nzr = nz // 2 + 1
+    ntot = nx * ny * nz
+
+    bufs = [(jnp.zeros((nx, ny, nzr), dtype=dtype), jnp.zeros((nx, ny, nzr), dtype=dtype))]
+    stage_a = _stage_a_comp_fn((nx, ny, nz), dft.PRECISION, weighted=False)
+    for x0 in range(0, nx, slab_rows):
+        slab = jnp.asarray(field_slab(field, x0, x0 + slab_rows), dtype=dtype)
+        bufs[0] = stage_a(*bufs[0], slab, slab, jnp.asarray(x0, dtype=jnp.int32))
+
+    chunk_fn = _corr_chunk_fn((nx, ny, nz), dft.PRECISION)
+    dmat = dft._dft_mat(nx, jnp.dtype(dtype).name)  # unnormalized
+    mx = []
+    my = mz = corner_dev = None
+    for kx0 in range(0, nx, chunk_rows):
+        dxr = jnp.asarray(dmat[kx0 : kx0 + chunk_rows].real.copy())
+        dxi = jnp.asarray(dmat[kx0 : kx0 + chunk_rows].imag.copy())
+        ((rx, ry, rz, pc),) = chunk_fn(bufs, dxr, dxi)
+        mx.append(rx)
+        my = ry if my is None else my + ry
+        mz = rz if mz is None else mz + rz
+        if kx0 == 0:
+            corner_dev = pc
+
+    corner = float(np.asarray(corner_dev, dtype=np.float64))
+    marg_x = np.concatenate([np.asarray(r, dtype=np.float64) for r in mx])
+    marg_y = np.array(my, dtype=np.float64)
+    marg_z = np.array(mz, dtype=np.float64)
+    marg_x[0] -= corner
+    marg_y[0] -= corner
+    marg_z[0] -= corner
+
+    def fold_signed(m, n):
+        return (0.5 * (m + np.roll(m[::-1], 1)))[: n // 2 + 1]
+
+    margs = (fold_signed(marg_x, nx), fold_signed(marg_y, ny), marg_z)
+    ls = tuple(float(L) for L in lengths) if lengths is not None else (1.0,) * 3
+    out: Dict[str, np.ndarray] = {}
+    var = None
+    for a, (marg, n, ax) in enumerate(zip(margs, (nx, ny, nz), "xyz")):
+        line = np.fft.irfft(marg, n=n)[: n // 2 + 1] * (n / float(ntot) ** 2)
+        if var is None:
+            var = float(line[0])
+            out["variance"] = var
+        scale = var if var > 0 else 1.0
+        dx = ls[a] / n
+        out[f"r_{ax}"] = np.arange(line.size, dtype=np.float64) * dx
+        out[f"R_{ax}"] = line / scale
+        out[f"integral_scale_{ax}"] = _integral_scale(line, dx)
+    return out

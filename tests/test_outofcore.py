@@ -254,3 +254,42 @@ def test_streamed_velocity_correlations_mean_flow():
     ref = tp_ops.velocity_correlations(*(jnp.asarray(fields[f"vel{a}"]) for a in "xyz"))
     for key, r in ref.items():
         np.testing.assert_allclose(got[key], r, rtol=1e-8, atol=1e-10, err_msg=key)
+
+
+def test_streamed_two_point_lines_match_incore(tmp_path):
+    from fava_tpu.ops import twopoint as tp_ops
+    from fava_tpu.ops.outofcore import streamed_two_point_lines
+
+    rng = np.random.default_rng(35)
+    n = 32
+    f = 2.0 + rng.standard_normal((n, n, n))  # nonzero mean
+
+    def loader(name, x0, x1):
+        assert name == "dens"
+        return f[x0:x1]
+
+    lengths = (1.0, 0.75, 0.5)
+    got = streamed_two_point_lines(
+        loader, (n, n, n), "dens", slab_rows=8, chunk_rows=16,
+        dtype=jnp.float64, lengths=lengths,
+    )
+    ref = tp_ops.two_point_correlation(jnp.asarray(f), lengths=lengths)
+    np.testing.assert_allclose(got["variance"], ref["variance"], rtol=1e-9)
+    for ax in "xyz":
+        np.testing.assert_allclose(got[f"R_{ax}"], ref[f"R_{ax}"], rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(
+            got[f"integral_scale_{ax}"], ref[f"integral_scale_{ax}"], rtol=1e-8
+        )
+    assert "R_shell" not in got  # needs the full correlation volume
+
+    # mesh hook
+    import fava_tpu
+    from fava_tpu.io import synthetic
+
+    path = tmp_path / "rt_hdf5_uniform_0001"
+    synthetic.make_uniform_file(path, ncells=(16, 16, 16), seed=12)
+    m = fava_tpu.FLASH(tmp_path)
+    m.load(file_type="uni")
+    incore = m.two_point_correlation(field="dens")
+    streamed = m.two_point_correlation(field="dens", streamed=True, slab_rows=4, chunk_rows=8)
+    np.testing.assert_allclose(streamed["R_x"], incore["R_x"], rtol=1e-8, atol=1e-10)
