@@ -368,23 +368,23 @@ class FlashUniform(FLASH):
         """Line-of-sight projection map integral(field dl) along
         ``axis`` (column density for field="dens"); ``weight`` gives
         the w-weighted line average (ops/projection.project_uniform;
-        beyond the reference). Map is over the two kept axes, with
-        cell-center coordinates."""
+        beyond the reference). Map is over the kept axes with
+        cell-center coordinates (2D datasets give a 1D column
+        profile: "map" + "coord1")."""
         from fava_tpu.ops import projection as proj_ops
 
         vol = self._scalar_volume(field)
-        if vol.ndim != 3:
-            raise ValueError("projection requires a 3D dataset")
+        nd = vol.ndim
         lengths = self._domain_lengths()
-        deltas = [lengths[a] / vol.shape[a] for a in range(3)]
+        deltas = [lengths[a] / vol.shape[a] for a in range(nd)]
         w = self._scalar_volume(weight) if weight is not None else None
         m = proj_ops.project_uniform(vol, deltas, axis=axis, weight=w)
         b = np.asarray(self.domain_bounds, dtype=np.float64)
-        keep = [a for a in range(3) if a != axis]
-        coords = [
-            b[a, 0] + (np.arange(vol.shape[a]) + 0.5) * deltas[a] for a in keep
-        ]
-        return {"map": m, "coord1": coords[0], "coord2": coords[1]}
+        keep = [a for a in range(nd) if a != axis]
+        out: Dict[str, Any] = {"map": m}
+        for i, a in enumerate(keep, start=1):
+            out[f"coord{i}"] = b[a, 0] + (np.arange(vol.shape[a]) + 0.5) * deltas[a]
+        return out
 
     @timer
     def two_point_correlation(

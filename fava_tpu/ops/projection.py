@@ -54,10 +54,11 @@ def project_uniform(
     weight: Optional[jax.Array] = None,
 ) -> np.ndarray:
     """Projection of one uniform volume: integral f dl (or the
-    w-weighted line average when ``weight`` is given)."""
+    w-weighted line average when ``weight`` is given). 2D volumes
+    project to 1D column profiles."""
     nd = vol.ndim
-    if nd != 3:
-        raise ValueError(f"projection requires a 3D volume, got {nd}D")
+    if nd not in (2, 3):
+        raise ValueError(f"projection requires a 2D or 3D volume, got {nd}D")
     if not 0 <= axis < nd:
         raise ValueError(f"axis must be in [0, {nd}), got {axis}")
     return np.asarray(_project_uniform_fn(int(axis), float(deltas[axis]))(vol, weight))

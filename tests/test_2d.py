@@ -130,3 +130,11 @@ def test_2d_decomposed_weighted_spectra(mesh2d):
     vels = [np.asarray(mesh2d.data(f"vel{a}"), dtype=np.float64)[:, :, 0] for a in "xy"]
     ref = vel_oracle.decomposed_ke_spectra_oracle(vels, dens, mesh2d._domain_lengths())
     np.testing.assert_allclose(out["total"], ref["total"], rtol=1e-9, atol=1e-15)
+
+
+def test_2d_projection_column_profile(mesh2d):
+    out = mesh2d.projection(field="dens", axis=0)
+    dens = np.asarray(mesh2d.data("dens"), dtype=np.float64)[:, :, 0]
+    dx = mesh2d._domain_lengths()[0] / dens.shape[0]
+    np.testing.assert_allclose(out["map"], dens.sum(axis=0) * dx, rtol=1e-9)
+    assert "coord2" not in out and out["coord1"].size == dens.shape[1]

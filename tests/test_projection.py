@@ -24,10 +24,14 @@ def test_uniform_projection_matches_numpy():
 
 
 def test_uniform_projection_validation():
-    with pytest.raises(ValueError, match="3D"):
-        proj_ops.project_uniform(jnp.zeros((4, 4)), (1.0, 1.0))
+    with pytest.raises(ValueError, match="2D or 3D"):
+        proj_ops.project_uniform(jnp.zeros(4), (1.0,))
     with pytest.raises(ValueError, match="axis"):
         proj_ops.project_uniform(jnp.zeros((4, 4, 4)), (1.0, 1.0, 1.0), axis=3)
+    # 2D volumes project to 1D column profiles
+    f2 = np.arange(12.0).reshape(3, 4)
+    got = proj_ops.project_uniform(jnp.asarray(f2), (0.5, 0.25), axis=1)
+    np.testing.assert_allclose(got, f2.sum(axis=1) * 0.25, rtol=1e-12)
 
 
 @pytest.fixture(scope="module")
