@@ -9,6 +9,7 @@ surface preserved.
 
 from fava_tpu._version import __version__, __version_tuple__
 from fava_tpu.models import FLASH, FileSubStem, FileType, Model
+from fava_tpu.models.arrays import InMemoryModel, from_arrays
 from fava_tpu.mesh import FlashParticles, FlashUniform
 from fava_tpu.mesh import FLASH as FlashAMR
 from fava_tpu import analysis  # noqa: F401  (registers analyses onto Model)
@@ -26,6 +27,8 @@ __all__ = [
     "FlashParticles",
     "FileSubStem",
     "FileType",
+    "InMemoryModel",
+    "from_arrays",
     "analysis",
     "geometry",
     "io",

@@ -42,6 +42,85 @@ class FlashUniform(FLASH):
     def is_this_your_mesh(cls, filename: str | Path, *args, **kwargs) -> bool:
         return "hdf5_uniform_" in str(filename)
 
+    @classmethod
+    def from_arrays(
+        cls,
+        fields: Dict[str, np.ndarray],
+        domain_bounds: Optional[np.ndarray] = None,
+        time: float = 0.0,
+    ) -> "FlashUniform":
+        """In-memory uniform mesh from plain arrays — no FLASH file.
+
+        Every uniform-grid analysis (spectra, summary, correlations,
+        PDFs, projections, SGS flux, ...) works on the result; use
+        ``fava_tpu.from_arrays`` for a Model-level handle with the
+        registered analysis methods. Beyond the reference, which can
+        only read its own HDF5 files: this is the adoption path for
+        data from any other code. ``fields`` maps FLASH-style names
+        (dens/velx/vely/velz/pres/...) to same-shaped 1D/2D/3D arrays;
+        ``domain_bounds`` is (ndim, 2) physical bounds (unit box
+        default). File-backed features (streamed=True paths, lazy
+        reads, writers) are unavailable — everything is resident.
+        """
+        shapes = {tuple(int(s) for s in np.shape(v)) for v in fields.values()}
+        if not fields or len(shapes) != 1:
+            raise ValueError(f"fields must share one shape, got {sorted(shapes)}")
+        shape = shapes.pop()
+        nd = len(shape)
+        if nd not in (1, 2, 3):
+            raise ValueError(f"fields must be 1D/2D/3D, got {nd}D")
+        full = shape + (1,) * (3 - nd)
+        b = np.asarray(
+            domain_bounds if domain_bounds is not None else [[0.0, 1.0]] * nd,
+            dtype=np.float64,
+        )
+        if b.shape != (nd, 2):
+            raise ValueError(f"domain_bounds must be ({nd}, 2), got {b.shape}")
+        bounds3 = np.concatenate([b, np.tile([[0.0, 1.0]], (3 - nd, 1))])
+
+        mesh = cls(None)
+        mesh.scalars = {
+            "integer": {
+                "dimensionality": nd,
+                "nxb": full[0],
+                "nyb": full[1],
+                "nzb": full[2],
+                "total blocks": 1,
+            },
+            "real": {"time": float(time)},
+            "string": {"geometry": "cartesian"},
+            "logical": {},
+        }
+        mesh.runtime_parameters = {
+            "integer": {"nblockx": 1, "nblocky": 1, "nblockz": 1},
+            "real": {
+                f"{a}{mm}": float(bounds3[i, j])
+                for i, a in enumerate("xyz")
+                for j, mm in enumerate(("min", "max"))
+            },
+            "string": {},
+            "logical": {},
+        }
+        mesh._set_integers()
+        mesh._set_reals()
+        mesh.fields = list(fields)
+        mesh.block_bounds = bounds3[None]
+        mesh.node_type = np.ones(1, dtype=np.int64)
+        mesh.refine_level = np.ones(1, dtype=np.int64)
+        mesh.coordinates = 0.5 * bounds3.sum(axis=1)[None]
+        mesh._data = {}
+        from fava_tpu.utils import compute_dtype
+
+        for name, v in fields.items():
+            host = np.ascontiguousarray(np.asarray(v, dtype=compute_dtype()).reshape(full))
+            sharding = runtime.volume_sharding(ndim=3)
+            if sharding is not None and full[0] % runtime.space_axis_size() == 0:
+                mesh._data[name] = jax.device_put(host, sharding)
+            else:
+                mesh._data[name] = jax.device_put(host)
+        mesh._loaded = True
+        return mesh
+
     def load(self) -> None:
         """Metadata-only load (reference: FlashUniform.py:37-83)."""
         if self._filename is None or not self._filename.is_file():
@@ -150,6 +229,12 @@ class FlashUniform(FLASH):
         fields absent from this file (the streamed summary's gamc
         fallback relies on it)."""
         from fava_tpu.utils import compute_dtype
+
+        if self._filename is None:
+            raise ValueError(
+                "streamed paths need a file-backed mesh; from_arrays data "
+                "is fully resident — use the in-core analyses"
+            )
 
         def loader(name: str, x0: int, x1: int) -> np.ndarray:
             if check_fields and name not in self.fields:
