@@ -82,6 +82,20 @@ def main() -> None:
     pm = model.projection(field="dens", axis=0)
     print("column-density map:", pm["map"].shape, " total:", float(pm["map"].sum()))
 
+    print("\n=== In-memory arrays (no FLASH file) ===")
+    import numpy as _np
+
+    rng = _np.random.default_rng(7)
+    mm = fava_tpu.from_arrays(
+        {
+            "dens": 1.0 + 0.3 * rng.random((16, 16, 16)),
+            "velx": rng.standard_normal((16, 16, 16)),
+            "vely": rng.standard_normal((16, 16, 16)),
+            "velz": rng.standard_normal((16, 16, 16)),
+        }
+    )
+    print("from_arrays u_rms:", mm.turbulence_summary()["u_rms"])
+
     print("\n=== Time series (async ingest) ===")
     series = model.favre_series(file_type="plt")
     print("favre series shape:", series["favre_mean_velx"].shape)
