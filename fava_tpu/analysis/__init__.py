@@ -32,6 +32,7 @@ from fava_tpu.analysis.filtered_ke_flux import (
     structure_function_exponents,
 )
 from fava_tpu.analysis.dispersion import dispersion_statistics
+from fava_tpu.analysis.particle_structure import particle_structure_functions
 from fava_tpu.analysis.structure_functions import structure_functions
 from fava_tpu.analysis.two_point import (
     two_point_correlation,
@@ -77,6 +78,7 @@ __all__ = [
     "filtered_kinetic_energy_flux",
     "structure_function_exponents",
     "dispersion_statistics",
+    "particle_structure_functions",
     "structure_functions",
     "two_point_correlation",
     "velocity_correlations",

@@ -10,7 +10,7 @@ exposes device-resident columns plus vectorized particle statistics
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 import h5py
 import jax
@@ -194,6 +194,20 @@ class FlashParticles(Unstructured):
             }
             for i, f in enumerate(present)
         }
+
+    def structure_functions(self, **kwargs) -> Dict[str, Any]:
+        """Velocity structure functions from tracer PAIRS (no grid
+        interpolation; ops/structure.pair_structure_functions — beyond
+        the reference, whose particle module only loads/sorts tables).
+        Keyword arguments pass through (num_pairs, nbins, sep_bounds,
+        orders, lengths, seed)."""
+        from fava_tpu.ops.structure import pair_structure_functions
+
+        coords = self.get_coords()
+        vels = np.stack(
+            [self.data[f"vel{a}"] for a in "xyz"[: self.ndim]], axis=-1
+        )
+        return pair_structure_functions(coords, vels, **kwargs)
 
     def select_by_tags(self, tags: np.ndarray) -> Dict[str, np.ndarray]:
         """Rows whose tag matches each requested tag (vectorized).
