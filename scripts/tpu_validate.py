@@ -746,6 +746,46 @@ def validate_analyses() -> dict:
         },
     }
 
+    # --- particle-pair structure functions ------------------------------
+    print("== analyses: particle-pair structure functions ==", flush=True)
+    import jax as _jx
+
+    from fava_tpu.ops.structure import pair_structure_functions
+
+    prng = np.random.default_rng(61)
+    npart = 4096
+    # oracle runs on the SAME f32-rounded table the device sees (bin
+    # membership near edges would otherwise differ)
+    ppos = prng.random((npart, 3)).astype(np.float32).astype(np.float64)
+    pvel = prng.standard_normal((npart, 3)).astype(np.float32).astype(np.float64)
+    got_ps = pair_structure_functions(
+        jnp.asarray(ppos, dtype=jnp.float32),
+        jnp.asarray(pvel, dtype=jnp.float32),
+        num_pairs=65536,
+        nbins=8,
+        sep_bounds=(0.05, 0.5),
+        orders=4,
+        seed=7,
+    )
+    idxp = np.asarray(_jx.random.randint(_jx.random.PRNGKey(7), (2, 65536), 0, npart))
+    drp = ppos[idxp[1]] - ppos[idxp[0]]
+    rp = np.sqrt((drp**2).sum(axis=-1))
+    dvp = pvel[idxp[1]] - pvel[idxp[0]]
+    dlp = np.abs((dvp * drp).sum(axis=-1) / np.maximum(rp, 1e-30))
+    tp = (np.log(np.maximum(rp, 0.05)) - np.log(0.05)) / (np.log(0.5) - np.log(0.05))
+    bidxp = np.clip(np.floor(tp * 8).astype(int), 0, 7)
+    maskp = (rp >= 0.05) & (rp <= 0.5)
+    cnt = np.bincount(bidxp[maskp], minlength=8).astype(np.float64)
+    s2 = np.bincount(bidxp[maskp], weights=dlp[maskp] ** 2, minlength=8) / np.maximum(cnt, 1)
+    out["particle_structure_functions"] = {
+        "config": {"nparticles": npart, "num_pairs": 65536, "nbins": 8, "orders": 4},
+        "oracle": "f64 NumPy on the SAME on-chip pair draws",
+        "max_scaled_error": {
+            "counts": _scaled_err(got_ps["counts"], cnt),
+            "longitudinal_2": _scaled_err(got_ps["longitudinal"]["2"], s2),
+        },
+    }
+
     # --- structure functions (same-draw oracle) ------------------------
     print("== analyses: structure functions ==", flush=True)
     out["structure_functions"] = validate_structure_functions()
