@@ -4,9 +4,12 @@ TPU-native redesign of the reference implementation
 (reference: fava/mesh/FLASH/FlashUniform.py:306-447). The reference
 loops over separations per MPI rank, drawing NumPy-random point pairs
 into shared windows; here all (order, separation, point) samples are
-drawn with a counter-based JAX PRNG and evaluated in one fused jitted
-program — fresh samples per order, matching the reference's structure
-(its sampling loop sits inside the order loop).
+drawn with a counter-based Threefry PRNG (utils/prng.py — NOT
+``jax.random``, whose first dispatch stalls minutes uncached on the
+tunnel backend) and evaluated in one fused jitted program — fresh
+samples per order, matching the reference's structure (its sampling
+loop sits inside the order loop). Stream layout: order ``o`` uses
+streams ``(o-1)*3 + {0,1,2}`` for (position, phi, theta).
 
 Semantics preserved exactly:
  * isotropic direction sampling via (phi, acos) angles,
@@ -27,20 +30,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from fava_tpu.utils import accum_dtype
+from fava_tpu.utils import prng
 
 
 @lru_cache(maxsize=16)
 def _build_vsf_fn(num_seps: int, num_points: int, ndim: int, anisotropic: bool, vol_shape):
     @jax.jit
-    def run(vels, separations, domain_lo, domain_width, cell_size, key):
-        def one_order(okey, order):
-            k1, k2, k3 = jax.random.split(okey, 3)
+    def run(vels, separations, domain_lo, domain_width, cell_size, seed):
+        def one_order(order):
+            base = (order.astype(jnp.uint32) - 1) * 3
             shape = (num_seps, num_points)
+            dt = domain_lo.dtype
 
-            p1 = domain_lo + jax.random.uniform(k1, shape + (ndim,), dtype=domain_lo.dtype) * domain_width
+            p1 = domain_lo + prng.uniform(seed, base, shape + (ndim,), dt) * domain_width
 
-            phi = 2.0 * jnp.pi * jax.random.uniform(k2, shape, dtype=domain_lo.dtype)
-            theta = jnp.arccos(2.0 * jax.random.uniform(k3, shape, dtype=domain_lo.dtype) - 1.0)
+            phi = 2.0 * jnp.pi * prng.uniform(seed, base + 1, shape, dt)
+            theta = jnp.arccos(2.0 * prng.uniform(seed, base + 2, shape, dt) - 1.0)
             sep = separations[:, None]
             direction = jnp.stack(
                 [
@@ -86,9 +91,8 @@ def _build_vsf_fn(num_seps: int, num_points: int, ndim: int, anisotropic: bool, 
 
             return vsf(long_comp), vsf(trans_comp)
 
-        keys = jax.random.split(key, 10)
         orders = jnp.arange(1, 11)
-        return jax.vmap(one_order)(keys, orders)
+        return jax.vmap(one_order)(orders)
 
     return run
 
@@ -138,7 +142,7 @@ def structure_functions(
         jnp.asarray(lo, dtype=dt),
         jnp.asarray(width, dtype=dt),
         jnp.asarray(cell_size, dtype=dt),
-        jax.random.PRNGKey(seed),
+        jnp.asarray(np.uint32(int(seed) % (1 << 32))),
     )
     long_v = np.asarray(long_v, dtype=np.float64)
     trans_v = np.asarray(trans_v, dtype=np.float64)
@@ -243,13 +247,19 @@ def scaling_exponents(
     return out
 
 
+def pair_indices(seed, num_pairs: int, n: int):
+    """The pair-sampling index draw (streams 0/1 of ``seed``), exposed
+    so same-draw oracles (tests, tpu_validate.py) reproduce it."""
+    return prng.randint(seed, 0, (2, int(num_pairs)), int(n))
+
+
 @lru_cache(maxsize=16)
 def _pair_vsf_fn(num_pairs: int, nbins: int, ndim: int, norders: int, periodic: bool, log_bins: bool):
     @jax.jit
-    def run(pos, vel, lo, hi, lengths, key):
+    def run(pos, vel, lo, hi, lengths, seed):
         adt = accum_dtype()
         n = pos.shape[0]
-        idx = jax.random.randint(key, (2, num_pairs), 0, n)
+        idx = pair_indices(seed, num_pairs, n)
         dr = pos[idx[1]] - pos[idx[0]]
         if periodic:
             dr = dr - lengths * jnp.round(dr / lengths)  # minimum image
@@ -344,7 +354,7 @@ def pair_structure_functions(
             jnp.asarray(lo, dtype=pos.dtype),
             jnp.asarray(hi, dtype=pos.dtype),
             L,
-            jax.random.PRNGKey(seed),
+            jnp.asarray(np.uint32(int(seed) % (1 << 32))),
         ),
         dtype=np.float64,
     )

@@ -179,23 +179,20 @@ def validate_structure_functions() -> dict:
         seed=seed,
     )
 
-    # Reproduce the exact on-chip uniforms (same key tree/shape/dtype).
-    @jax.jit
-    def draws(key):
-        keys = jax.random.split(key, 10)
+    # Reproduce the exact on-chip uniforms (same streams/shape/dtype;
+    # utils/prng.py stream layout: order o -> (o-1)*3 + {0,1,2}).
+    from fava_tpu.utils import prng
 
-        def one(okey):
-            k1, k2, k3 = jax.random.split(okey, 3)
-            shape = (num_seps, num_points)
-            return (
-                jax.random.uniform(k1, shape + (3,), dtype=jnp.float32),
-                jax.random.uniform(k2, shape, dtype=jnp.float32),
-                jax.random.uniform(k3, shape, dtype=jnp.float32),
-            )
-
-        return jax.vmap(one)(keys)
-
-    u1, u2, u3 = (np.asarray(u, dtype=np.float64) for u in draws(jax.random.PRNGKey(seed)))
+    shape = (num_seps, num_points)
+    u1 = np.stack(
+        [np.asarray(prng.uniform(seed, (o - 1) * 3, shape + (3,)), dtype=np.float64) for o in range(1, 11)]
+    )
+    u2 = np.stack(
+        [np.asarray(prng.uniform(seed, (o - 1) * 3 + 1, shape), dtype=np.float64) for o in range(1, 11)]
+    )
+    u3 = np.stack(
+        [np.asarray(prng.uniform(seed, (o - 1) * 3 + 2, shape), dtype=np.float64) for o in range(1, 11)]
+    )
     vels64 = [np.asarray(v, dtype=np.float64) for v in vels_dev]
     seps = np.geomspace(sep_bounds[0], sep_bounds[1], num_seps)
     lo, width = 0.0, 1.0
@@ -748,9 +745,7 @@ def validate_analyses() -> dict:
 
     # --- particle-pair structure functions ------------------------------
     print("== analyses: particle-pair structure functions ==", flush=True)
-    import jax as _jx
-
-    from fava_tpu.ops.structure import pair_structure_functions
+    from fava_tpu.ops.structure import pair_indices, pair_structure_functions
 
     prng = np.random.default_rng(61)
     npart = 4096
@@ -767,7 +762,7 @@ def validate_analyses() -> dict:
         orders=4,
         seed=7,
     )
-    idxp = np.asarray(_jx.random.randint(_jx.random.PRNGKey(7), (2, 65536), 0, npart))
+    idxp = np.asarray(pair_indices(7, 65536, npart))
     drp = ppos[idxp[1]] - ppos[idxp[0]]
     rp = np.sqrt((drp**2).sum(axis=-1))
     dvp = pvel[idxp[1]] - pvel[idxp[0]]

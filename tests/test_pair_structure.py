@@ -6,13 +6,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from fava_tpu.ops.structure import pair_structure_functions
+from fava_tpu.ops.structure import pair_indices, pair_structure_functions
 
 
 def _oracle(pos, vel, lo, hi, nbins, orders, num_pairs, seed, lengths=None):
     """f64 NumPy on the SAME device PRNG draws."""
     n = pos.shape[0]
-    idx = np.asarray(jax.random.randint(jax.random.PRNGKey(seed), (2, num_pairs), 0, n))
+    idx = np.asarray(pair_indices(seed, num_pairs, n))
     dr = pos[idx[1]] - pos[idx[0]]
     if lengths is not None:
         L = np.asarray(lengths, dtype=np.float64)
