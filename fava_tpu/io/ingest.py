@@ -17,6 +17,7 @@ from typing import Dict, Iterator, List, Sequence
 
 import h5py
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from fava_tpu.io import flash_file
@@ -36,8 +37,15 @@ class Snapshot:
     nbytes: int
 
 
-def _read_snapshot(path: Path, fields: Sequence[str], sharding=None, strict: bool = True) -> Snapshot:
+def _read_snapshot(
+    path: Path,
+    fields: Sequence[str],
+    sharding=None,
+    strict: bool = True,
+    wire_dtype=None,
+) -> Snapshot:
     dtype = compute_dtype()
+    wd = None if wire_dtype is None else jnp.dtype(wire_dtype)
     with h5py.File(path, "r") as f:
         scalars = flash_file.read_scalars(f)
         runtime = flash_file.read_runtime_parameters(f)
@@ -57,15 +65,21 @@ def _read_snapshot(path: Path, fields: Sequence[str], sharding=None, strict: boo
                     )
                 continue
             host = flash_file.read_field(f, name, dtype=dtype)
+            if wd is not None:
+                # opt-in bf16 wire format: cast on host, widen on
+                # device — halves bytes over a 0.035-0.045 GB/s tunnel
+                # at the cost of bf16 rounding of the raw field
+                host = host.astype(wd)
             nbytes += host.nbytes
             # device_put is async: the transfer overlaps the next read.
             # ``sharding`` may be a callback (name, shape) -> sharding so
             # shape-dependent placement (divisibility) is decided here
             # (see parallel.runtime.ingest_sharding_fn).
             s = sharding(name, host.shape) if callable(sharding) else sharding
-            device_fields[name] = (
-                jax.device_put(host, s) if s is not None else jax.device_put(host)
-            )
+            dev = jax.device_put(host, s) if s is not None else jax.device_put(host)
+            if wd is not None:
+                dev = dev.astype(dtype)
+            device_fields[name] = dev
     return Snapshot(
         path=Path(path),
         time=float(scalars["real"].get("time", 0.0)),
@@ -91,12 +105,14 @@ class SnapshotPrefetcher:
         depth: int = 2,
         sharding=None,
         strict: bool = True,
+        wire_dtype=None,
     ) -> None:
         self.paths = [Path(p) for p in paths]
         self.fields = list(fields)
         self.depth = max(1, int(depth))
         self.sharding = sharding
         self.strict = bool(strict)
+        self.wire_dtype = wire_dtype
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -108,7 +124,9 @@ class SnapshotPrefetcher:
             pending: List[cf.Future] = []
             for p in self.paths[: self.depth]:
                 pending.append(
-                    pool.submit(_read_snapshot, p, self.fields, self.sharding, self.strict)
+                    pool.submit(
+                        _read_snapshot, p, self.fields, self.sharding, self.strict, self.wire_dtype
+                    )
                 )
             next_idx = self.depth
             while pending:
@@ -121,19 +139,25 @@ class SnapshotPrefetcher:
                             self.fields,
                             self.sharding,
                             self.strict,
+                            self.wire_dtype,
                         )
                     )
                     next_idx += 1
                 yield fut.result()
 
 
-def ingest_bandwidth_gbps(paths: Sequence[str | Path], fields: Sequence[str], depth: int = 2) -> float:
-    """Measure HDF5 -> HBM ingest bandwidth over a series (GB/s)."""
+def ingest_bandwidth_gbps(
+    paths: Sequence[str | Path], fields: Sequence[str], depth: int = 2, wire_dtype=None
+) -> float:
+    """Measure HDF5 -> HBM ingest bandwidth over a series (GB/s).
+
+    With ``wire_dtype`` the reported rate counts WIRE bytes (what moved
+    over the link); the effective field GB/s is 2x that for bf16."""
     import time
 
     total = 0
     t0 = time.perf_counter()
-    for snap in SnapshotPrefetcher(paths, fields, depth=depth):
+    for snap in SnapshotPrefetcher(paths, fields, depth=depth, wire_dtype=wire_dtype):
         total += snap.nbytes
         # Sync by FETCHING a scalar from every array of every snapshot:
         # block_until_ready does not reliably synchronize on the axon

@@ -328,6 +328,8 @@ class FlashUniform(FLASH):
         streamed: bool = False,
         slab_rows: Optional[int] = None,
         chunk_rows: Optional[int] = None,
+        wire_dtype=None,
+        prefetch_depth: int = 2,
     ) -> Dict[str, float]:
         """One-call scalar turbulence report (beyond the reference):
         u_rms/KE, integral + Taylor scales from spectral moments,
@@ -358,6 +360,8 @@ class FlashUniform(FLASH):
                 gamma=gamma,
                 lengths=self._domain_lengths(),
                 with_mach="pres" in self.fields,
+                wire_dtype=wire_dtype,
+                prefetch_depth=prefetch_depth,
             )
 
         def opt(name):
@@ -478,6 +482,8 @@ class FlashUniform(FLASH):
         streamed: bool = False,
         slab_rows: Optional[int] = None,
         chunk_rows: Optional[int] = None,
+        wire_dtype=None,
+        prefetch_depth: int = 2,
         **kwargs,
     ) -> Dict[str, Any]:
         """Scalar two-point autocorrelation R(r) = <f'(x)f'(x+r)>/var:
@@ -496,6 +502,15 @@ class FlashUniform(FLASH):
             from fava_tpu.ops import outofcore
             from fava_tpu.utils import compute_dtype
 
+            if kwargs:
+                # silently dropping e.g. nbins= would return a result
+                # that ignored the request (ADVICE r3): the streamed
+                # path computes axis lines only — no shell-curve knobs
+                raise TypeError(
+                    f"{sorted(kwargs)} not supported with streamed=True: the "
+                    "shell curve (and its nbins) needs the full correlation "
+                    "volume; the streamed path returns per-axis lines only"
+                )
             if self.ndim != 3:
                 raise ValueError("streamed two_point_correlation requires a 3D dataset")
             shape = tuple(int(n) for n in (self.nxb, self.nyb, self.nzb))
@@ -507,6 +522,8 @@ class FlashUniform(FLASH):
                 chunk_rows=self._largest_divisor(shape[0], chunk_rows),
                 dtype=jnp.dtype(compute_dtype()),
                 lengths=self._domain_lengths(),
+                wire_dtype=wire_dtype,
+                prefetch_depth=prefetch_depth,
             )
 
         return tp_ops.two_point_correlation(
@@ -519,6 +536,8 @@ class FlashUniform(FLASH):
         streamed: bool = False,
         slab_rows: Optional[int] = None,
         chunk_rows: Optional[int] = None,
+        wire_dtype=None,
+        prefetch_depth: int = 2,
     ) -> Dict[str, Any]:
         """Karman-Howarth longitudinal f(r) / transverse g(r) velocity
         correlations per axis with L11/L22 integral scales and the
@@ -544,6 +563,8 @@ class FlashUniform(FLASH):
                 chunk_rows=self._largest_divisor(shape[0], chunk_rows),
                 dtype=jnp.dtype(compute_dtype()),
                 lengths=self._domain_lengths(),
+                wire_dtype=wire_dtype,
+                prefetch_depth=prefetch_depth,
             )
 
         return tp_ops.velocity_correlations(
@@ -613,6 +634,8 @@ class FlashUniform(FLASH):
         streamed: Optional[bool] = None,
         slab_rows: Optional[int] = None,
         chunk_rows: Optional[int] = None,
+        wire_dtype=None,
+        prefetch_depth: int = 2,
     ) -> Dict[str, np.ndarray]:
         """Fused spectra + Reynolds/Favre x-profiles in one program.
 
@@ -650,6 +673,8 @@ class FlashUniform(FLASH):
                 slab_rows=self._largest_divisor(shape[0], slab_rows),
                 chunk_rows=self._largest_divisor(shape[0], chunk_rows),
                 dtype=jnp.dtype(compute_dtype()),
+                wire_dtype=wire_dtype,
+                prefetch_depth=prefetch_depth,
             )
 
         dmesh = runtime.get_mesh()

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fava_tpu.flagship import uniform_analysis_step
 from fava_tpu.ops.outofcore import streamed_uniform_analysis
@@ -293,3 +294,52 @@ def test_streamed_two_point_lines_match_incore(tmp_path):
     incore = m.two_point_correlation(field="dens")
     streamed = m.two_point_correlation(field="dens", streamed=True, slab_rows=4, chunk_rows=8)
     np.testing.assert_allclose(streamed["R_x"], incore["R_x"], rtol=1e-8, atol=1e-10)
+
+    # kwargs the streamed path cannot honor must raise, not vanish (ADVICE r3)
+    with pytest.raises(TypeError, match="nbins"):
+        m.two_point_correlation(field="dens", streamed=True, nbins=32)
+
+
+def test_streamed_bf16_wire_approximates_incore():
+    """wire_dtype=bfloat16 halves tunnel bytes; results must match the
+    in-core step to bf16 input-rounding accuracy (opt-in trade)."""
+    rng = np.random.default_rng(31)
+    n = 16
+    fields = {"dens": 1.0 + 0.4 * rng.random((n, n, n))}
+    for a in "xyz":
+        fields[f"vel{a}"] = rng.standard_normal((n, n, n))
+
+    def loader(name, x0, x1):
+        return fields[name][x0:x1]
+
+    ref = uniform_analysis_step(*[jnp.asarray(fields[k]) for k in ("dens", "velx", "vely", "velz")], mesh=None)
+    got = streamed_uniform_analysis(
+        loader, (n, n, n), slab_rows=4, chunk_rows=8, dtype=jnp.float64, wire_dtype=jnp.bfloat16
+    )
+    for key in ("mean_dens", "reynolds_stress", "spectra_total"):
+        scale = float(np.max(np.abs(np.asarray(ref[key])))) or 1.0
+        err = float(np.max(np.abs(got[key] - np.asarray(ref[key])))) / scale
+        assert err < 2e-2, (key, err)  # bf16 has ~3 decimal digits
+        assert err > 0.0, (key, "bf16 wire should not be bit-identical")
+
+
+def test_slab_stream_order_and_prefetch():
+    """Slabs must arrive in x order whatever the worker timing."""
+    import time
+
+    from fava_tpu.ops.outofcore import _slab_stream
+
+    calls = []
+
+    def loader(name, x0, x1):
+        if x0 == 0:
+            time.sleep(0.05)  # first slab slowest: later slabs finish first
+        calls.append((name, x0))
+        return np.full((x1 - x0, 4, 4), float(x0))
+
+    seen = []
+    for x0, (slab,) in _slab_stream(loader, ("dens",), 16, 4, jnp.float64, depth=3):
+        seen.append(x0)
+        np.testing.assert_array_equal(np.asarray(slab), float(x0))
+    assert seen == [0, 4, 8, 12]
+    assert {c[1] for c in calls} == {0, 4, 8, 12}

@@ -181,3 +181,16 @@ def test_sharded_inputs_match_unsharded(uniform_file_32, eight_device_mesh):
     np.testing.assert_allclose(got_dp["sigma_s"], ref_dp["sigma_s"], rtol=1e-9)
     np.testing.assert_allclose(got_dp["counts"], ref_dp["counts"], rtol=1e-9)
     np.testing.assert_allclose(got_pm["map"], ref_pm["map"], rtol=1e-9)
+
+
+def test_amr_model_gets_clear_error(amr_file):
+    """Spatial correlations on an AMR snapshot must point at from_amr,
+    not die with a bare AttributeError (ADVICE r3)."""
+    import fava_tpu
+
+    m = fava_tpu.FLASH(amr_file.parent)
+    m.load(file_type="plt")
+    with pytest.raises(AttributeError, match="from_amr"):
+        m.two_point_correlation(field="dens")
+    with pytest.raises(AttributeError, match="from_amr"):
+        m.velocity_correlations()
