@@ -159,7 +159,12 @@ def she_leveque(orders) -> np.ndarray:
     """She-Leveque (1994) model exponents zeta_p = p/9 + 2(1-(2/3)^(p/3)).
 
     The standard intermittency benchmark for the ESS exponents below
-    (zeta_3 = 1 exactly in the model, matching the ESS normalization).
+    (zeta_3 = 1 exactly in the model, matching the ESS normalization):
+
+    >>> she_leveque([3]).round(12)
+    array([1.])
+    >>> she_leveque([1, 2]).round(4)
+    array([0.364 , 0.6959])
     """
     p = np.asarray(orders, dtype=np.float64)
     return p / 9.0 + 2.0 * (1.0 - (2.0 / 3.0) ** (p / 3.0))

@@ -36,7 +36,15 @@ def _rotl(x, r: int):
 
 
 def threefry2x32(k0, k1, x0, x1):
-    """Threefry-2x32, 20 rounds. All args uint32 (arrays broadcast)."""
+    """Threefry-2x32, 20 rounds. All args uint32 (arrays broadcast).
+
+    Random123 known-answer vector (zero key, zero counter):
+
+    >>> import numpy as np
+    >>> x0, x1 = threefry2x32(np.uint32(0), np.uint32(0), np.uint32(0), np.uint32(0))
+    >>> (hex(int(x0)), hex(int(x1)))
+    ('0x6b200159', '0x99ba4efe')
+    """
     k0 = jnp.asarray(k0, jnp.uint32)
     k1 = jnp.asarray(k1, jnp.uint32)
     ks = (k0, k1, k0 ^ k1 ^ _PARITY)
