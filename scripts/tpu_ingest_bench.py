@@ -69,6 +69,26 @@ def main() -> None:
             results[f"ingest_gbps_depth{depth}"] = gbps
             print(f"ingest depth={depth}: {gbps:.2f} GB/s", flush=True)
 
+        # bf16 wire format (opt-in): cast on host, transfer half the
+        # bytes, widen on device. Reported as EFFECTIVE field GB/s
+        # (f32 field bytes delivered per second) for comparability.
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        moved = 0
+        for snap in SnapshotPrefetcher(paths, fields, depth=2, wire_dtype=jnp.bfloat16):
+            moved += snap.nbytes  # wire (bf16) bytes
+            for arr in snap.fields.values():
+                np.asarray(jax.device_get(arr.ravel()[:1]))
+        dt = time.perf_counter() - t0
+        results["ingest_bf16_wire_gbps"] = moved / dt / 1e9
+        results["ingest_bf16_effective_gbps"] = 2 * moved / dt / 1e9
+        print(
+            f"ingest bf16 wire: {results['ingest_bf16_wire_gbps']:.3f} GB/s wire, "
+            f"{results['ingest_bf16_effective_gbps']:.3f} GB/s effective",
+            flush=True,
+        )
+
         # Component breakdown on one snapshot: disk read, swap+cast
         # (NumPy vs native C++), host->device transfer.
         import h5py
