@@ -1,0 +1,142 @@
+"""Fused joint-histogram (pdf2d) Pallas kernel.
+
+The scatter-free pdf2d contracts interval one-hot matrices over the
+sample axis on the MXU (ops/volume._hist2d_fn; the reference declares
+pdf2d and never implements it — fava/analysis/pdf2d.py:6). The XLA
+formulation is memory-bound: it MATERIALIZES the two (chunk, nbins)
+one-hot operands in HBM (~27 GB written+read per 512^3 call, measured
+~125 ms on-chip; pdf2d_probe_512.json shows int8/bf16/f32 dots all
+identical — the dot is not the bottleneck, the operand traffic is).
+
+This kernel never lets the one-hots exist outside VMEM: per grid step
+it loads K samples of x and y as (1, K) lane rows, broadcasts them
+against the 128-row edge columns to synthesize the (128, K) interval
+one-hots in registers/VMEM, and contracts over the lane (sample) axis
+on the MXU into a persistent (128, 128) accumulator:
+
+    counts[i, j] = sum_s 1[xedges[i] <= x_s < xedges[i+1]]
+                         * 1[yedges[j] <= y_s < yedges[j+1]]
+
+HBM traffic: the two sample streams are read exactly ONCE (8 bytes per
+sample vs ~200 in the XLA form). Exactness: one-hots are exact in
+bf16 (0/1), each K-sample dot accumulates integers <= K < 2^24 in f32
+(exact), and the cross-step accumulator is int32 — counts are EXACT
+to 2^31 per bin, same contract as the XLA path. np.histogram bin
+semantics (half-open intervals, last bin closed) are applied per edge
+row inside the kernel against the host-exact np.linspace edges.
+
+Constraints: nbins <= 128 per axis (default is (100, 100));
+ops/volume.pdf2d falls back to the XLA path beyond that or off-TPU.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from . import pallas_kernels as pk
+
+LANE = pk.LANE
+
+# Samples per grid step: 3 bf16 (128, K) one-hot temporaries + the two
+# (1, K) f32 sample rows. K = 8192 keeps that under ~7 MB of VMEM.
+_K = 8192
+
+
+def _col(e_ref, k: int):
+    """Column k of a (128, 128) VMEM ref as (128, 1) via masked sum
+    (sub-128 lane slicing does not lower on TPU)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+    return jnp.sum(jnp.where(lane == k, e_ref[...], 0.0), axis=1, keepdims=True)
+
+
+def _onehot_bins(v_row, e_ref, nbins: int):
+    """(128, K) bf16 interval one-hot of the (1, K) sample row against
+    the edge columns in ``e_ref`` (col 0 = lower edges, col 1 = upper
+    edges, rows past nbins are +inf sentinels that match nothing).
+    np.histogram semantics: half-open bins, LAST bin closed."""
+    lo = _col(e_ref, 0)
+    hi = _col(e_ref, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (LANE, v_row.shape[1]), 0)
+    last = row == (nbins - 1)
+    m = (lo <= v_row) & ((v_row < hi) | (last & (v_row == hi)))
+    return m.astype(jnp.bfloat16)
+
+
+def _pdf2d_kernel(x_ref, y_ref, xe_ref, ye_ref, out_ref, *, nbx, nby):
+    a = _onehot_bins(x_ref[...], xe_ref, nbx)  # (128, K) x-bin one-hot
+    b = _onehot_bins(y_ref[...], ye_ref, nby)  # (128, K) y-bin one-hot
+    # Contract the lane (sample) axis of both operands on the MXU.
+    h = jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += h.astype(jnp.int32)
+
+
+def _edge_cols(edges: np.ndarray) -> np.ndarray:
+    """(128, 128) f32 host constant: col 0 = lower edges, col 1 = upper
+    edges, +inf sentinel rows beyond nbins (inf <= v is never true)."""
+    e = np.full((LANE, LANE), np.inf, dtype=np.float32)
+    nb = len(edges) - 1
+    e[:nb, 0] = edges[:-1]
+    e[:nb, 1] = edges[1:]
+    return e
+
+
+@lru_cache(maxsize=8)
+def _build_pdf2d_fn(nbx: int, nby: int, interpret: bool):
+    kernel = lambda *refs: _pdf2d_kernel(*refs, nbx=nbx, nby=nby)
+
+    def run(x, y, xe, ye):
+        n = x.shape[0]
+        steps = n // _K
+        samp = pl.BlockSpec((1, _K), lambda i: (i, 0))
+        edge = pl.BlockSpec((LANE, LANE), lambda i: (0, 0))
+        out = pl.pallas_call(
+            kernel,
+            grid=(steps,),
+            in_specs=[samp, samp, edge, edge],
+            out_specs=pl.BlockSpec((LANE, LANE), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((LANE, LANE), jnp.int32),
+            interpret=interpret,
+        )(x.reshape(steps, _K), y.reshape(steps, _K), xe, ye)
+        return out[:nbx, :nby]
+
+    return jax.jit(run)
+
+
+def pdf2d_counts_ok(n: int, nbx: int, nby: int) -> bool:
+    """Kernel-path legality: on TPU (or interpret), both bin counts fit
+    the 128-row edge columns. Ragged sample counts are padded by the
+    caller (inf lands in no bin)."""
+    return (pk.on_tpu() or pk.FORCE_INTERPRET) and nbx <= LANE and nby <= LANE
+
+
+def pdf2d_counts(x, y, xedges: np.ndarray, yedges: np.ndarray):
+    """Joint histogram counts (int32, exact) of flat sample arrays via
+    the fused kernel. Pads ragged tails with +inf on device."""
+    nbx = len(xedges) - 1
+    nby = len(yedges) - 1
+    xf = x.ravel().astype(jnp.float32)
+    yf = y.ravel().astype(jnp.float32)
+    npad = (-xf.shape[0]) % _K
+    if npad:
+        fill = jnp.full((npad,), jnp.inf, dtype=jnp.float32)
+        xf = jnp.concatenate([xf, fill])
+        yf = jnp.concatenate([yf, fill])
+    fn = _build_pdf2d_fn(nbx, nby, pk.FORCE_INTERPRET)
+    return fn(
+        xf,
+        yf,
+        jnp.asarray(_edge_cols(np.asarray(xedges, dtype=np.float64))),
+        jnp.asarray(_edge_cols(np.asarray(yedges, dtype=np.float64))),
+    )

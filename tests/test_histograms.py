@@ -110,3 +110,47 @@ def test_density_pdf_invalid_fixed_srange_raises():
         vol.density_pdf(rho, nbins=4, srange=(1.0, 1.0))
     with pytest.raises(ValueError, match="srange"):
         vol.density_pdf(rho, nbins=4, srange=(2.0, -1.0))
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas pdf2d kernel (interpret mode; Mosaic path validated on TPU by
+# scripts/tpu_pdf2d_probe.py -> pdf2d_probe_512.json)
+
+
+@pytest.fixture()
+def force_interpret_pdf2d():
+    from fava_tpu.ops import pallas_kernels as pk
+
+    pk.FORCE_INTERPRET = True
+    yield
+    pk.FORCE_INTERPRET = False
+
+
+def test_pallas_pdf2d_counts_exact(force_interpret_pdf2d):
+    from fava_tpu.ops import pallas_pdf2d as pp
+
+    rng = np.random.default_rng(21)
+    n = 2 * pp._K + 517  # ragged tail exercises the inf padding
+    x = rng.normal(1.5, 0.4, n).astype(np.float32)
+    y = rng.normal(-0.2, 1.1, n).astype(np.float32)
+    xe = np.linspace(float(x.min()), float(x.max()), 101)
+    ye = np.linspace(float(y.min()), float(y.max()), 65)
+    got = np.asarray(pp.pdf2d_counts(jnp.asarray(x), jnp.asarray(y), xe, ye))
+    # oracle on the same f32-rounded edges (the kernel compares in f32)
+    bins = (xe.astype(np.float32).astype(np.float64), ye.astype(np.float32).astype(np.float64))
+    ref, _, _ = np.histogram2d(x, y, bins=bins)
+    assert got.sum() == n  # full range: every sample lands in a bin
+    np.testing.assert_array_equal(got, ref.astype(np.int64))
+
+
+def test_pallas_pdf2d_last_bin_closed_and_oor(force_interpret_pdf2d):
+    from fava_tpu.ops import pallas_pdf2d as pp
+
+    xe = np.linspace(0.0, 1.0, 5)
+    ye = np.linspace(0.0, 1.0, 5)
+    x = np.array([1.0, 1.0, -0.1, 2.0, 0.5], dtype=np.float32)
+    y = np.array([1.0, 0.5, 0.5, 0.5, 1.5], dtype=np.float32)
+    got = np.asarray(pp.pdf2d_counts(jnp.asarray(x), jnp.asarray(y), xe, ye))
+    ref, _, _ = np.histogram2d(x, y, bins=(xe, ye))
+    np.testing.assert_array_equal(got, ref.astype(np.int64))
+    assert got.sum() == 2  # top-edge pairs kept, out-of-range dropped
