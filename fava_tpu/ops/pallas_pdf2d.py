@@ -37,14 +37,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from . import pallas_kernels as pk
 
 LANE = pk.LANE
 
-# Samples per grid step: 3 bf16 (128, K) one-hot temporaries + the two
-# (1, K) f32 sample rows. K = 8192 keeps that under ~7 MB of VMEM.
-_K = 8192
+# Sample blocks are (8, _ROW): Mosaic requires sublane dims divisible
+# by 8, so each grid step loads 8 sublane rows of _ROW samples and
+# unrolls over them (pl.ds row reads — leading-dim slicing is
+# unconstrained). The (128, _ROW) bf16 one-hot temporaries are ~2 MB
+# each and are reused across the 8 rows.
+_ROW = 8192
+_K = 8 * _ROW  # samples per grid step
 
 
 def _col(e_ref, k: int):
@@ -68,18 +73,47 @@ def _onehot_bins(v_row, e_ref, nbins: int):
 
 
 def _pdf2d_kernel(x_ref, y_ref, xe_ref, ye_ref, out_ref, *, nbx, nby):
-    a = _onehot_bins(x_ref[...], xe_ref, nbx)  # (128, K) x-bin one-hot
-    b = _onehot_bins(y_ref[...], ye_ref, nby)  # (128, K) y-bin one-hot
-    # Contract the lane (sample) axis of both operands on the MXU.
-    h = jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    dims = (((1,), (1,)), ((), ()))  # contract the lane (sample) axis
+    h = None
+    for r in range(x_ref.shape[0]):
+        a = _onehot_bins(x_ref[pl.ds(r, 1), :], xe_ref, nbx)  # (128, ROW)
+        b = _onehot_bins(y_ref[pl.ds(r, 1), :], ye_ref, nby)
+        hr = jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
+        h = hr if h is None else h + hr
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
     out_ref[...] += h.astype(jnp.int32)
+
+
+def _pdf2d_weighted_kernel(x_ref, y_ref, w_ref, xe_ref, ye_ref, out_ref, *, nbx, nby):
+    """Weighted joint histogram: fold w into the x one-hot via a
+    three-term Dekker split (w == w1 + w2 + w3 exactly at f32
+    precision; each wi is bf16, and bf16 * {0,1} products are exact),
+    so three bf16 MXU passes reproduce the f32-weighted contraction —
+    the in-kernel analog of Precision.HIGH, which Mosaic rejects as a
+    dot attribute (see CLAUDE.md)."""
+    dims = (((1,), (1,)), ((), ()))
+    h = None
+    for r in range(x_ref.shape[0]):
+        a = _onehot_bins(x_ref[pl.ds(r, 1), :], xe_ref, nbx)
+        b = _onehot_bins(y_ref[pl.ds(r, 1), :], ye_ref, nby)
+        w = w_ref[pl.ds(r, 1), :]  # (1, ROW) f32
+        for _ in range(3):
+            wi = w.astype(jnp.bfloat16)
+            hi = jax.lax.dot_general(
+                a * wi, b, dims, preferred_element_type=jnp.float32
+            )
+            h = hi if h is None else h + hi
+            w = w - wi.astype(jnp.float32)  # exact residual (Dekker)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += h
 
 
 def _edge_cols(edges: np.ndarray) -> np.ndarray:
@@ -93,22 +127,32 @@ def _edge_cols(edges: np.ndarray) -> np.ndarray:
 
 
 @lru_cache(maxsize=8)
-def _build_pdf2d_fn(nbx: int, nby: int, interpret: bool):
-    kernel = lambda *refs: _pdf2d_kernel(*refs, nbx=nbx, nby=nby)
+def _build_pdf2d_fn(nbx: int, nby: int, interpret: bool, weighted: bool = False):
+    if weighted:
+        kernel = lambda *refs: _pdf2d_weighted_kernel(*refs, nbx=nbx, nby=nby)
+        out_dtype = jnp.float32
+    else:
+        kernel = lambda *refs: _pdf2d_kernel(*refs, nbx=nbx, nby=nby)
+        out_dtype = jnp.int32
 
-    def run(x, y, xe, ye):
+    def run(x, y, *rest):
         n = x.shape[0]
         steps = n // _K
-        samp = pl.BlockSpec((1, _K), lambda i: (i, 0))
+        samp = pl.BlockSpec((8, _ROW), lambda i: (i, 0))
         edge = pl.BlockSpec((LANE, LANE), lambda i: (0, 0))
+        nsamp = 3 if weighted else 2
+        args = [v.reshape(steps * 8, _ROW) for v in (x, y, *rest[: nsamp - 2])]
         out = pl.pallas_call(
             kernel,
             grid=(steps,),
-            in_specs=[samp, samp, edge, edge],
+            in_specs=[samp] * nsamp + [edge, edge],
             out_specs=pl.BlockSpec((LANE, LANE), lambda i: (0, 0)),
-            out_shape=jax.ShapeDtypeStruct((LANE, LANE), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((LANE, LANE), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
             interpret=interpret,
-        )(x.reshape(steps, _K), y.reshape(steps, _K), xe, ye)
+        )(*args, *rest[nsamp - 2 :])
         return out[:nbx, :nby]
 
     return jax.jit(run)
@@ -121,22 +165,29 @@ def pdf2d_counts_ok(n: int, nbx: int, nby: int) -> bool:
     return (pk.on_tpu() or pk.FORCE_INTERPRET) and nbx <= LANE and nby <= LANE
 
 
-def pdf2d_counts(x, y, xedges: np.ndarray, yedges: np.ndarray):
-    """Joint histogram counts (int32, exact) of flat sample arrays via
-    the fused kernel. Pads ragged tails with +inf on device."""
+def pdf2d_counts(x, y, xedges: np.ndarray, yedges: np.ndarray, weights=None):
+    """Joint histogram of flat sample arrays via the fused kernel:
+    int32 exact counts, or f32 weighted sums (exact f32 weights via the
+    in-kernel Dekker split). Pads ragged tails with +inf on device
+    (lands in no bin; pad weights are zero)."""
     nbx = len(xedges) - 1
     nby = len(yedges) - 1
     xf = x.ravel().astype(jnp.float32)
     yf = y.ravel().astype(jnp.float32)
+    args = []
+    if weights is not None:
+        args.append(weights.ravel().astype(jnp.float32))
     npad = (-xf.shape[0]) % _K
     if npad:
         fill = jnp.full((npad,), jnp.inf, dtype=jnp.float32)
         xf = jnp.concatenate([xf, fill])
         yf = jnp.concatenate([yf, fill])
-    fn = _build_pdf2d_fn(nbx, nby, pk.FORCE_INTERPRET)
+        args = [jnp.concatenate([w, jnp.zeros((npad,), dtype=jnp.float32)]) for w in args]
+    fn = _build_pdf2d_fn(nbx, nby, pk.FORCE_INTERPRET, weighted=weights is not None)
     return fn(
         xf,
         yf,
+        *args,
         jnp.asarray(_edge_cols(np.asarray(xedges, dtype=np.float64))),
         jnp.asarray(_edge_cols(np.asarray(yedges, dtype=np.float64))),
     )

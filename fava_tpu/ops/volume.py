@@ -281,13 +281,23 @@ def pdf2d(
     w = weights if weights is not None else xvalues  # ignored when counting
     xedges = np.linspace(xlo, xhi, nbins[0] + 1)
     yedges = np.linspace(ylo, yhi, nbins[1] + 1)
-    adt = accum_dtype()
-    counts = np.asarray(
-        _hist2d_fn(int(nbins[0]), int(nbins[1]), counting)(
-            xvalues, yvalues, w, jnp.asarray(xedges, dtype=adt), jnp.asarray(yedges, dtype=adt)
-        ),
-        dtype=np.float64,
-    )
+    from fava_tpu.ops import pallas_pdf2d as _pp
+
+    if _pp.pdf2d_counts_ok(0, int(nbins[0]), int(nbins[1])):
+        # Fused kernel: one-hots synthesized in VMEM, MXU contraction
+        # (the XLA path materializes them in HBM — see pallas_pdf2d).
+        counts = np.asarray(
+            _pp.pdf2d_counts(xvalues, yvalues, xedges, yedges, weights=weights),
+            dtype=np.float64,
+        )
+    else:
+        adt = accum_dtype()
+        counts = np.asarray(
+            _hist2d_fn(int(nbins[0]), int(nbins[1]), counting)(
+                xvalues, yvalues, w, jnp.asarray(xedges, dtype=adt), jnp.asarray(yedges, dtype=adt)
+            ),
+            dtype=np.float64,
+        )
     out = counts
     if density:
         total = counts.sum()

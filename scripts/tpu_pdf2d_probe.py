@@ -133,6 +133,32 @@ def main() -> None:
         report["pallas_fused"] = {"error": repr(e)[:500]}
         print(f"pallas FAILED: {e!r}", flush=True)
 
+    try:
+        import jax.numpy as jnp2
+
+        w = jnp.abs(vx) + 0.5
+        wfn = lambda: np.asarray(pp.pdf2d_counts(dens, vx, xedges, yedges, weights=w))
+        t0 = time.perf_counter()
+        outw = wfn()
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            outw = wfn()
+        warm = (time.perf_counter() - t0) / reps
+        # oracle: the XLA weighted path on the same draws
+        ref_w = np.asarray(
+            vol._hist2d_fn(nbx, nby, False)(dens, vx, w, xe, ye), dtype=np.float64
+        )
+        scale = np.abs(ref_w).max()
+        err = float(np.abs(outw - ref_w).max() / scale)
+        report["pallas_weighted"] = {"cold_s": cold, "warm_s": warm, "max_scaled_err_vs_xla": err}
+        print(f"pallas weighted: cold {cold:.2f} s, warm {warm*1e3:.1f} ms, err={err:.2e}",
+              flush=True)
+    except Exception as e:
+        report["pallas_weighted"] = {"error": repr(e)[:500]}
+        print(f"pallas weighted FAILED: {e!r}", flush=True)
+
     # end-to-end pdf2d: fixed range (no minmax fetch) vs auto-range
     for tag, kw in (
         ("pdf2d_fixed", dict(xrange=(1.0, 2.0), yrange=(-2.0, 2.0))),

@@ -154,3 +154,22 @@ def test_pallas_pdf2d_last_bin_closed_and_oor(force_interpret_pdf2d):
     ref, _, _ = np.histogram2d(x, y, bins=(xe, ye))
     np.testing.assert_array_equal(got, ref.astype(np.int64))
     assert got.sum() == 2  # top-edge pairs kept, out-of-range dropped
+
+
+def test_pallas_pdf2d_weighted(force_interpret_pdf2d):
+    from fava_tpu.ops import pallas_pdf2d as pp
+
+    rng = np.random.default_rng(22)
+    n = pp._K + 301
+    x = rng.normal(1.5, 0.4, n).astype(np.float32)
+    y = rng.normal(-0.2, 1.1, n).astype(np.float32)
+    w = np.exp(rng.standard_normal(n)).astype(np.float32)
+    xe = np.linspace(float(x.min()), float(x.max()), 33)
+    ye = np.linspace(float(y.min()), float(y.max()), 101)
+    got = np.asarray(
+        pp.pdf2d_counts(jnp.asarray(x), jnp.asarray(y), xe, ye, weights=jnp.asarray(w))
+    )
+    bins = (xe.astype(np.float32).astype(np.float64), ye.astype(np.float32).astype(np.float64))
+    ref, _, _ = np.histogram2d(x, y, bins=bins, weights=w.astype(np.float64))
+    # f32 weights, f32 accumulation: summation-order rounding only
+    np.testing.assert_allclose(got, ref, rtol=2e-6, atol=1e-5)
