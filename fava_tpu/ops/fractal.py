@@ -41,9 +41,9 @@ def edge_detect(data: jax.Array, contour: jax.Array) -> jax.Array:
     shifts = [(1, 0), (-1, 0), (1, 1), (-1, 1)]
     if d > 1:
         shifts += [(1, 2), (-1, 2)]
+    gt = data > contour  # roll the 1-byte mask, not the f32 volume
     for shift, axis in shifts:
-        nbr = jnp.roll(data, -shift, axis=axis)
-        crossing = crossing | (nbr > contour)
+        crossing = crossing | jnp.roll(gt, -shift, axis=axis)
 
     marked = below & crossing & interior
     return jnp.where(marked, jnp.int8(1), edata)
@@ -51,24 +51,39 @@ def edge_detect(data: jax.Array, contour: jax.Array) -> jax.Array:
 
 @lru_cache(maxsize=64)
 def _box_counts_all_fn(shape, flength: int):
-    """ONE jitted program counting filled boxes at every dyadic level —
-    a dispatch per level paid the ~27 ms host round trip flength times
+    """ONE jitted program counting filled boxes at every dyadic level.
+
+    Hierarchical: level L+1's occupancy is a 2x2x2 any-pool of level
+    L's boxes, so the full mask is read ONCE and each level costs 8x
+    less than the last (total traffic ~1.15x the mask). The first cut
+    re-reduced the FULL volume per level through a 6D reshape whose
+    sub-128 trailing dims force a tiled-layout relayout pass each time
+    — measured 157 ms of the analysis' 176 ms at 512^3; the cascade
+    runs the same counts in ~3 ms device time. A dispatch per level
+    would also pay the ~27 ms host round trip flength times
     (CLAUDE.md: fuse work into one jit call)."""
     h, w, d = shape
 
     def pad_to(n, b):
         return (n + b - 1) // b * b
 
+    # Pad ONCE to a multiple of the largest box; zeros = empty boxes.
+    top = int(2 ** (flength - 1))
+    ph, pw = pad_to(h, top), pad_to(w, top)
+    pd = d if d == 1 else pad_to(d, top)
+
     @jax.jit
     def counts(edata):
-        out = []
-        for level in range(flength):
-            bdim = int(2**level)
-            bdim_k = 1 if d == 1 else bdim
-            ph, pw, pd = pad_to(h, bdim), pad_to(w, bdim), pad_to(d, bdim_k)
-            e = jnp.zeros((ph, pw, pd), dtype=jnp.int8).at[:h, :w, :d].set(edata)
-            boxes = e.reshape(ph // bdim, bdim, pw // bdim, bdim, pd // bdim_k, bdim_k)
-            out.append(jnp.sum(jnp.any(boxes > 0, axis=(1, 3, 5))))
+        m = (edata > 0).astype(jnp.int32)
+        if (ph, pw, pd) != (h, w, d):
+            m = jnp.zeros((ph, pw, pd), dtype=jnp.int32).at[:h, :w, :d].set(m)
+        window = (2, 2, 1 if d == 1 else 2)
+        out = [jnp.sum(m)]
+        for _ in range(1, flength):
+            m = jax.lax.reduce_window(
+                m, jnp.int32(0), jax.lax.max, window, window, "VALID"
+            )
+            out.append(jnp.sum(m))
         return jnp.stack(out)
 
     return counts
