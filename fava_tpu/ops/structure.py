@@ -66,10 +66,20 @@ def _build_vsf_fn(num_seps: int, num_points: int, ndim: int, anisotropic: bool, 
             i1 = cell_index(p1)
             i2 = cell_index(p2)
 
+            ncells = int(np.prod(vol_shape[:ndim]))
+
             def sample(vol, idx):
-                # ndim-generic tuple gather (no flat index: a 3D-only
-                # flat computation crashed 2D data, and int32 flattening
-                # would overflow beyond ~1290^3 cells).
+                # Flat int32 gather where it fits (measured 12% faster
+                # than the tuple-index gather at 512^3; sorted-index and
+                # interleaved-component variants measured NO better —
+                # the TPU gather cost is per random access, locality is
+                # not exploited). Tuple gather handles 2D data and
+                # volumes beyond int32 flattening (~1290^3 cells).
+                if ndim == 3 and ncells < 2**31:
+                    flat = (
+                        idx[..., 0] * vol_shape[1] + idx[..., 1]
+                    ) * vol_shape[2] + idx[..., 2]
+                    return vol.reshape(-1)[flat]
                 return vol[tuple(idx[..., a] for a in range(ndim))]
 
             dv = jnp.stack([sample(v, i2) - sample(v, i1) for v in vels], axis=-1)
