@@ -9,6 +9,10 @@ from fava_tpu.models.model import Model
 def _uniform_mesh_method(mesh, name: str):
     """AMR meshes implement neither spatial correlation — fail with a
     route forward instead of a bare AttributeError (ADVICE r3)."""
+    if mesh is None:
+        raise AttributeError(
+            f"{name} needs a loaded dataset — call model.load(...) first"
+        )
     method = getattr(mesh, name, None)
     if method is None:
         raise AttributeError(

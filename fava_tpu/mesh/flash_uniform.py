@@ -321,6 +321,23 @@ class FlashUniform(FLASH):
             lengths=self._domain_lengths(),
         )
 
+    @staticmethod
+    def _reject_stream_knobs(**knobs):
+        """Streaming knobs passed without streamed=True would be
+        silently ignored by the in-core path (ADVICE r3 failure mode:
+        a user asking for the bf16 wire must not silently get the
+        in-core full-precision run instead)."""
+        ignored = sorted(
+            k
+            for k, (v, default) in knobs.items()
+            if v is not None and v != default
+        )
+        if ignored:
+            raise TypeError(
+                f"{ignored} only apply to the streamed out-of-core path; "
+                "pass streamed=True (these knobs have no effect in-core)"
+            )
+
     @timer
     def turbulence_summary(
         self,
@@ -342,6 +359,13 @@ class FlashUniform(FLASH):
         chip's HBM (ops/outofcore.streamed_turbulence_summary)."""
         from fava_tpu.ops import velocity as vel_ops
 
+        if not streamed:
+            self._reject_stream_knobs(
+                slab_rows=(slab_rows, None),
+                chunk_rows=(chunk_rows, None),
+                wire_dtype=(wire_dtype, None),
+                prefetch_depth=(prefetch_depth, 2),
+            )
         if streamed:
             import jax.numpy as jnp
 
@@ -496,6 +520,13 @@ class FlashUniform(FLASH):
         ops/outofcore.streamed_two_point_lines)."""
         from fava_tpu.ops import twopoint as tp_ops
 
+        if not streamed:
+            self._reject_stream_knobs(
+                slab_rows=(slab_rows, None),
+                chunk_rows=(chunk_rows, None),
+                wire_dtype=(wire_dtype, None),
+                prefetch_depth=(prefetch_depth, 2),
+            )
         if streamed:
             import jax.numpy as jnp
 
@@ -547,6 +578,13 @@ class FlashUniform(FLASH):
         (ops/outofcore.streamed_velocity_correlations)."""
         from fava_tpu.ops import twopoint as tp_ops
 
+        if not streamed:
+            self._reject_stream_knobs(
+                slab_rows=(slab_rows, None),
+                chunk_rows=(chunk_rows, None),
+                wire_dtype=(wire_dtype, None),
+                prefetch_depth=(prefetch_depth, 2),
+            )
         if streamed:
             import jax.numpy as jnp
 
@@ -652,6 +690,16 @@ class FlashUniform(FLASH):
         from fava_tpu.ops import outofcore
 
         shape = tuple(int(n) for n in (self.nxb, self.nyb, self.nzb))
+        if streamed is False:
+            # Explicit in-core request: streaming knobs would be
+            # silently ignored. (streamed=None auto-resolves — knobs
+            # are legitimate there in case the volume streams.)
+            self._reject_stream_knobs(
+                slab_rows=(slab_rows, None),
+                chunk_rows=(chunk_rows, None),
+                wire_dtype=(wire_dtype, None),
+                prefetch_depth=(prefetch_depth, 2),
+            )
         if streamed is None:
             ntot = int(np.prod(shape))
             # 4 resident fields + 3 half-spectra + working set.

@@ -158,10 +158,10 @@ def _build_pdf2d_fn(nbx: int, nby: int, interpret: bool, weighted: bool = False)
     return jax.jit(run)
 
 
-def pdf2d_counts_ok(n: int, nbx: int, nby: int) -> bool:
+def pdf2d_counts_ok(nbx: int, nby: int) -> bool:
     """Kernel-path legality: on TPU (or interpret), both bin counts fit
-    the 128-row edge columns. Ragged sample counts are padded by the
-    caller (inf lands in no bin)."""
+    the 128-row edge columns. Any sample count is legal (ragged tails
+    are inf-padded; empty inputs are handled by the caller)."""
     return (pk.on_tpu() or pk.FORCE_INTERPRET) and nbx <= LANE and nby <= LANE
 
 

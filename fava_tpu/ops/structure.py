@@ -36,7 +36,8 @@ from fava_tpu.utils import prng
 @lru_cache(maxsize=16)
 def _build_vsf_fn(num_seps: int, num_points: int, ndim: int, anisotropic: bool, vol_shape):
     @jax.jit
-    def run(vels, separations, domain_lo, domain_width, cell_size, seed):
+    def run(vels, separations, domain_lo, domain_width, cell_size, seed_hi, seed_lo):
+        seed = (seed_hi, seed_lo)  # full 64-bit key through uint32 args
         def one_order(order):
             base = (order.astype(jnp.uint32) - 1) * 3
             shape = (num_seps, num_points)
@@ -152,7 +153,7 @@ def structure_functions(
         jnp.asarray(lo, dtype=dt),
         jnp.asarray(width, dtype=dt),
         jnp.asarray(cell_size, dtype=dt),
-        jnp.asarray(np.uint32(int(seed) % (1 << 32))),
+        *(jnp.asarray(w) for w in prng._key(int(seed))),
     )
     long_v = np.asarray(long_v, dtype=np.float64)
     trans_v = np.asarray(trans_v, dtype=np.float64)
@@ -262,16 +263,25 @@ def scaling_exponents(
     return out
 
 
+# Pair sampling draws from a dedicated stream far outside the
+# structure-function stream range (orders 1-10 use streams 0..29), so
+# the two analyses never reuse Threefry words under a shared seed.
+_PAIR_STREAM = 1 << 16
+
+
 def pair_indices(seed, num_pairs: int, n: int):
-    """The pair-sampling index draw (streams 0/1 of ``seed``), exposed
-    so same-draw oracles (tests, tpu_validate.py) reproduce it."""
-    return prng.randint(seed, 0, (2, int(num_pairs)), int(n))
+    """The pair-sampling index draw: ONE (2, num_pairs) block from
+    stream ``_PAIR_STREAM`` of ``seed`` (row 0 = first endpoints, row 1
+    = second), exposed so same-draw oracles (tests, tpu_validate.py)
+    reproduce it."""
+    return prng.randint(seed, _PAIR_STREAM, (2, int(num_pairs)), int(n))
 
 
 @lru_cache(maxsize=16)
 def _pair_vsf_fn(num_pairs: int, nbins: int, ndim: int, norders: int, periodic: bool, log_bins: bool):
     @jax.jit
-    def run(pos, vel, lo, hi, lengths, seed):
+    def run(pos, vel, lo, hi, lengths, seed_hi, seed_lo):
+        seed = (seed_hi, seed_lo)  # full 64-bit key through uint32 args
         adt = accum_dtype()
         n = pos.shape[0]
         idx = pair_indices(seed, num_pairs, n)
@@ -369,7 +379,7 @@ def pair_structure_functions(
             jnp.asarray(lo, dtype=pos.dtype),
             jnp.asarray(hi, dtype=pos.dtype),
             L,
-            jnp.asarray(np.uint32(int(seed) % (1 << 32))),
+            *(jnp.asarray(w) for w in prng._key(int(seed))),
         ),
         dtype=np.float64,
     )

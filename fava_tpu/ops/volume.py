@@ -224,6 +224,8 @@ def pdf1d(
     dtype (f32 on TPU — integer-exact only below 2^24 per bin).
     """
     if vrange is None:
+        if values.size == 0:
+            raise ValueError("pdf1d cannot auto-range an empty array; pass vrange")
         mm = np.asarray(_minmax_fn(values), dtype=np.float64)  # one fetch
         vrange = (float(mm[0]), float(mm[1]))
     lo, hi = float(vrange[0]), float(vrange[1])
@@ -259,6 +261,8 @@ def pdf2d(
     mesh implementation). np.histogram2d bin semantics against
     host-exact linspace edges; unweighted counts are int32-exact to
     2^31 per bin (the weighted path accumulates in f32 on TPU)."""
+    if xvalues.size == 0 and (xrange is None or yrange is None):
+        raise ValueError("pdf2d cannot auto-range empty arrays; pass xrange/yrange")
     if xrange is None and yrange is None:
         mm = np.asarray(_minmax2_fn(xvalues, yvalues), dtype=np.float64)
         xrange = (float(mm[0]), float(mm[1]))
@@ -283,7 +287,11 @@ def pdf2d(
     yedges = np.linspace(ylo, yhi, nbins[1] + 1)
     from fava_tpu.ops import pallas_pdf2d as _pp
 
-    if _pp.pdf2d_counts_ok(0, int(nbins[0]), int(nbins[1])):
+    if xvalues.size == 0:
+        # np.histogram2d([], [], range=...) semantics: all-zero counts
+        # (both device paths assume at least one data chunk).
+        counts = np.zeros((int(nbins[0]), int(nbins[1])), dtype=np.float64)
+    elif _pp.pdf2d_counts_ok(int(nbins[0]), int(nbins[1])):
         # Fused kernel: one-hots synthesized in VMEM, MXU contraction
         # (the XLA path materializes them in HBM — see pallas_pdf2d).
         counts = np.asarray(

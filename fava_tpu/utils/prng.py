@@ -62,9 +62,15 @@ def threefry2x32(k0, k1, x0, x1):
 def _key(seed) -> tuple:
     """64-bit seed -> (hi, lo) uint32 key words.
 
-    Accepts python ints and traced scalars. Matches jax.random.PRNGKey's
-    seed split (hi = seed >> 32, lo = low word).
+    Accepts python ints, traced scalars, and pre-split ``(hi, lo)``
+    tuples (how jitted callers pass the FULL 64-bit seed through
+    uint32 scalar arguments — a single traced uint32 would silently
+    collapse the key space to the low word). Matches
+    jax.random.PRNGKey's seed split (hi = seed >> 32, lo = low word).
     """
+    if isinstance(seed, tuple):
+        hi, lo = seed
+        return jnp.asarray(hi, jnp.uint32), jnp.asarray(lo, jnp.uint32)
     if isinstance(seed, (int, np.integer)):
         s = int(seed) % (1 << 64)
         return np.uint32(s >> 32), np.uint32(s & 0xFFFFFFFF)

@@ -82,12 +82,15 @@ def main() -> None:
     results["incore_estimate_gb"] = round(4 * field_gb + 3 * 2 * field_gb * ((n // 2 + 1) / n), 1)
     results["wire_gb_per_pass_f32"] = round(4 * field_gb, 2)
 
-    host_s = {"t": 0.0}
+    host_samples: list = []
 
     def loader(name, x0, x1):
         t0 = time.perf_counter()
         s = synth_slab(name, x0, x1, n)
-        host_s["t"] += time.perf_counter() - t0  # GIL-serialized, safe
+        # list.append is atomic under the GIL; a += on a shared float
+        # is load/add/store and loses increments across the prefetch
+        # worker threads (under-reporting the loader sum).
+        host_samples.append(time.perf_counter() - t0)
         return s
 
     # --- per-slab component micro-measurements ------------------------
@@ -113,7 +116,7 @@ def main() -> None:
     out_path = ROOT / "BENCH_1024.json"
 
     def full_pass(tag, **kw):
-        host_s["t"] = 0.0
+        host_samples.clear()
         t0 = time.perf_counter()
         out = streamed_uniform_analysis(
             loader, (n, n, n), slab_rows=slab_rows, chunk_rows=chunk_rows,
@@ -121,10 +124,10 @@ def main() -> None:
         )
         wall = time.perf_counter() - t0
         results[f"wall_s_{tag}"] = wall
-        results[f"host_loader_s_{tag}"] = round(host_s["t"], 1)
+        results[f"host_loader_s_{tag}"] = round(sum(host_samples), 1)
         assert np.isfinite(out["spectra_total"]).all()
         assert np.isfinite(out["reynolds_stress"]).all()
-        print(f"{tag}: {wall:.1f} s (host loader {host_s['t']:.1f} s)", flush=True)
+        print(f"{tag}: {wall:.1f} s (host loader {sum(host_samples):.1f} s)", flush=True)
         out_path.write_text(json.dumps(results, indent=2))
         return out
 

@@ -173,3 +173,15 @@ def test_pallas_pdf2d_weighted(force_interpret_pdf2d):
     ref, _, _ = np.histogram2d(x, y, bins=bins, weights=w.astype(np.float64))
     # f32 weights, f32 accumulation: summation-order rounding only
     np.testing.assert_allclose(got, ref, rtol=2e-6, atol=1e-5)
+
+
+def test_pdf_empty_inputs():
+    e = jnp.asarray(np.empty((0,), dtype=np.float64))
+    out = vol.pdf2d(e, e, nbins=(4, 5), xrange=(0.0, 1.0), yrange=(0.0, 1.0), density=False)
+    np.testing.assert_array_equal(out["counts"], np.zeros((4, 5)))
+    with pytest.raises(ValueError, match="auto-range"):
+        vol.pdf2d(e, e, nbins=(4, 5))
+    with pytest.raises(ValueError, match="auto-range"):
+        vol.pdf1d(e, nbins=4)
+    out1 = vol.pdf1d(e, nbins=4, vrange=(0.0, 1.0), density=False)
+    np.testing.assert_array_equal(out1["counts"], np.zeros(4))

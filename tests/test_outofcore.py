@@ -299,6 +299,17 @@ def test_streamed_two_point_lines_match_incore(tmp_path):
     with pytest.raises(TypeError, match="nbins"):
         m.two_point_correlation(field="dens", streamed=True, nbins=32)
 
+    # ... and streaming knobs without streamed=True must raise too — a
+    # user asking for the bf16 wire must not silently get the in-core run
+    for call in (
+        lambda: m.two_point_correlation(field="dens", wire_dtype=jnp.bfloat16),
+        lambda: m.mesh.velocity_correlations(prefetch_depth=4),
+        lambda: m.mesh.turbulence_summary(slab_rows=4),
+        lambda: m.mesh.flagship_analysis(streamed=False, wire_dtype=jnp.bfloat16),
+    ):
+        with pytest.raises(TypeError, match="streamed"):
+            call()
+
 
 def test_streamed_bf16_wire_approximates_incore():
     """wire_dtype=bfloat16 halves tunnel bytes; results must match the

@@ -92,3 +92,15 @@ def test_anisotropic_mode_accepts_reference_spelling(uniform_file):
     mesh.load()
     out = mesh.structure_functions(num_seps=3, num_points=16, sep_bounds=(0.1, 0.3), anistropic=True)
     assert "separations" in out
+
+
+def test_structure_functions_seed_keeps_all_64_bits():
+    """seed=2^32+k must NOT collapse to seed=k (the jitted path passes
+    the full (hi, lo) Threefry key through uint32 scalar args)."""
+    rng = np.random.default_rng(5)
+    vels = [jnp.asarray(rng.standard_normal((8, 8, 8))) for _ in range(3)]
+    domain = np.array([[0.0, 1.0]] * 3)
+    kw = dict(domain_bounds=domain, num_seps=4, num_points=64, sep_bounds=[0.1, 0.4])
+    a = structure_functions(vels, seed=7, **kw)
+    b = structure_functions(vels, seed=(1 << 32) + 7, **kw)
+    assert not np.allclose(a["longitudinal"]["2"], b["longitudinal"]["2"])

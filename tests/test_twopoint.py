@@ -194,3 +194,11 @@ def test_amr_model_gets_clear_error(amr_file):
         m.two_point_correlation(field="dens")
     with pytest.raises(AttributeError, match="from_amr"):
         m.velocity_correlations()
+
+
+def test_registered_correlations_unloaded_model_message():
+    import fava_tpu
+
+    m = fava_tpu.FLASH(".")
+    with pytest.raises(AttributeError, match="load"):
+        m.two_point_correlation()
