@@ -99,6 +99,11 @@ def main() -> None:
     synth_slab("vely", 0, slab_rows, n)
     results["slab_host_synth_s"] = time.perf_counter() - t0
     t0 = time.perf_counter()
+    warm = jax.device_put(one)  # first put can stall on allocator setup
+    np.asarray(warm.ravel()[:1])
+    results["slab_device_put_first_s"] = time.perf_counter() - t0
+    del warm
+    t0 = time.perf_counter()
     dev = jax.device_put(one)
     np.asarray(dev.ravel()[:1])
     results["slab_device_put_s"] = time.perf_counter() - t0
