@@ -624,16 +624,23 @@ class FlashUniform(FLASH):
         log_scale: bool = True,
         anisotropic: bool = False,
         seed: int = 0,
+        resample_per_order: bool = True,
         **kwargs,
     ) -> Dict[str, Any]:
         """Velocity structure functions (reference: FlashUniform.py:306-447).
 
         Accepts the reference settings-file spelling ``anistropic`` too.
         ``sep_bounds`` defaults to the resolvable separation range (see
-        ops.structure.structure_functions).
+        ops.structure.structure_functions). ``resample_per_order=False``
+        evaluates all ten orders on one shared pair draw (~10x cheaper;
+        see ops.structure.structure_functions).
         """
         if "anistropic" in kwargs:
             anisotropic = kwargs.pop("anistropic")
+        if kwargs:
+            raise TypeError(
+                f"structure_functions got unexpected keyword arguments {sorted(kwargs)}"
+            )
         vels = [self._volume(f"vel{a}") for a in "xyz"[: self.ndim]]
         return structure_ops.structure_functions(
             vels,
@@ -644,6 +651,7 @@ class FlashUniform(FLASH):
             log_scale=log_scale,
             anisotropic=anisotropic,
             seed=seed,
+            resample_per_order=resample_per_order,
         )
 
     @timer

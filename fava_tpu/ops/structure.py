@@ -34,12 +34,19 @@ from fava_tpu.utils import prng
 
 
 @lru_cache(maxsize=16)
-def _build_vsf_fn(num_seps: int, num_points: int, ndim: int, anisotropic: bool, vol_shape):
+def _build_vsf_fn(
+    num_seps: int,
+    num_points: int,
+    ndim: int,
+    anisotropic: bool,
+    vol_shape,
+    resample_per_order: bool = True,
+):
     @jax.jit
     def run(vels, separations, domain_lo, domain_width, cell_size, seed_hi, seed_lo):
         seed = (seed_hi, seed_lo)  # full 64-bit key through uint32 args
-        def one_order(order):
-            base = (order.astype(jnp.uint32) - 1) * 3
+
+        def increments(base):
             shape = (num_seps, num_points)
             dt = domain_lo.dtype
 
@@ -94,16 +101,45 @@ def _build_vsf_fn(num_seps: int, num_points: int, ndim: int, anisotropic: bool, 
             long_comp = jnp.abs(jnp.sum(dv * rhat, axis=-1))
             long_dvel = long_comp[..., None] * rhat
             trans_comp = jnp.sqrt(jnp.sum((dv - long_dvel) ** 2, axis=-1))
+            return long_comp, trans_comp
 
-            def vsf(comp):
-                # (num_seps,): mean over points of comp^order.
-                powed = comp ** order.astype(comp.dtype)
-                return jnp.sum(powed.astype(accum_dtype()), axis=-1) / float(num_points)
+        if resample_per_order:
+            # Reference structure: its sampling loop sits INSIDE the
+            # order loop, so each order sees fresh pairs (reference:
+            # FlashUniform.py:348-416). Costs 10x the gather work.
+            def one_order(order):
+                base = (order.astype(jnp.uint32) - 1) * 3
+                long_comp, trans_comp = increments(base)
 
-            return vsf(long_comp), vsf(trans_comp)
+                def vsf(comp):
+                    # (num_seps,): mean over points of comp^order.
+                    powed = comp ** order.astype(comp.dtype)
+                    return jnp.sum(powed.astype(accum_dtype()), axis=-1) / float(num_points)
 
-        orders = jnp.arange(1, 11)
-        return jax.vmap(one_order)(orders)
+                return vsf(long_comp), vsf(trans_comp)
+
+            orders = jnp.arange(1, 11)
+            return jax.vmap(one_order)(orders)
+
+        # Shared-sample estimator: ONE pair draw (streams 0-2 — the
+        # same draw order 1 sees in resample mode) feeds every order,
+        # like pair_structure_functions. The volume gathers dominate
+        # the wall time on TPU, so this is ~an-order-of-magnitude
+        # cheaper with the same per-order estimator variance (orders
+        # become correlated across p, which no downstream use here
+        # cares about).
+        long_comp, trans_comp = increments(jnp.uint32(0))
+        adt = accum_dtype()
+
+        def vsf_all(comp):
+            out = []
+            powed = jnp.ones_like(comp)
+            for _ in range(10):
+                powed = powed * comp
+                out.append(jnp.sum(powed.astype(adt), axis=-1) / float(num_points))
+            return jnp.stack(out)
+
+        return vsf_all(long_comp), vsf_all(trans_comp)
 
     return run
 
@@ -118,6 +154,7 @@ def structure_functions(
     log_scale: bool = True,
     anisotropic: bool = False,
     seed: int = 0,
+    resample_per_order: bool = True,
 ) -> Dict[str, Dict[str, np.ndarray] | np.ndarray]:
     """Longitudinal/transverse velocity structure functions, orders 1-10.
 
@@ -125,6 +162,16 @@ def structure_functions(
     domain width) — the resolvable separation range. (The reference's
     default, (0, 1), crashes its own geomspace; SURVEY.md flags it as a
     latent bug not to replicate: reference FlashUniform.py:310-320.)
+
+    ``resample_per_order=True`` (default) mirrors the reference's loop
+    nesting — fresh random pairs for every order (reference:
+    FlashUniform.py:348, sampling inside ``for order in range(1, 11)``).
+    ``False`` draws ONE pair set and evaluates all ten orders on it —
+    the estimator pair_structure_functions already uses. The random
+    volume gathers dominate on TPU (828 ms of the 512**3 default-config
+    call), so the shared-sample mode is ~10x cheaper with the same
+    per-order variance; order 1 is bit-identical between modes (the
+    shared draw IS order 1's stream).
     """
     ndim = len(vels)
     vol_shape = tuple(int(s) for s in vels[0].shape)
@@ -145,7 +192,10 @@ def structure_functions(
     else:
         separations = np.linspace(sep_bounds[0], sep_bounds[1], num_seps)
 
-    fn = _build_vsf_fn(int(num_seps), int(num_points), ndim, bool(anisotropic), vol_shape)
+    fn = _build_vsf_fn(
+        int(num_seps), int(num_points), ndim, bool(anisotropic), vol_shape,
+        bool(resample_per_order),
+    )
     dt = vels[0].dtype
     long_v, trans_v = fn(
         tuple(jnp.asarray(v) for v in vels),

@@ -68,6 +68,16 @@ def main() -> None:
             [vx, vy, vz], domain_bounds=domain, num_seps=100, num_points=10000
         ),
     )
+    timed(
+        "structure_functions_shared_draw",
+        lambda: st_ops.structure_functions(
+            [vx, vy, vz],
+            domain_bounds=domain,
+            num_seps=100,
+            num_points=10000,
+            resample_per_order=False,
+        ),
+    )
     timed("fractal_dimension", lambda: fr_ops.fractal_dimension(dens, 1.0))
     timed("pdf1d", lambda: pdf1d(dens, nbins=100))
     timed("pdf1d_fixed_range", lambda: pdf1d(dens, nbins=100, vrange=(0.0, 3.0)))

@@ -94,6 +94,50 @@ def test_anisotropic_mode_accepts_reference_spelling(uniform_file):
     assert "separations" in out
 
 
+def test_shared_sample_mode_order1_matches_resample_mode():
+    """resample_per_order=False uses the SAME draw as order 1 of the
+    default mode (streams 0-2), so order 1 is bit-identical; higher
+    orders remain consistent moments of that shared draw."""
+    rng = np.random.default_rng(2)
+    vels = [jnp.asarray(rng.standard_normal((8, 8, 8))) for _ in range(3)]
+    kw = dict(
+        domain_bounds=_domain(), num_seps=4, num_points=256, sep_bounds=(0.1, 0.4), seed=9
+    )
+    ref = structure_functions(vels, resample_per_order=True, **kw)
+    fast = structure_functions(vels, resample_per_order=False, **kw)
+    np.testing.assert_array_equal(ref["longitudinal"]["1"], fast["longitudinal"]["1"])
+    np.testing.assert_array_equal(ref["transverse"]["1"], fast["transverse"]["1"])
+    # Power-mean inequality on the shared draw: (S_p)^(1/p) nondecreasing in p.
+    for comp in ("longitudinal", "transverse"):
+        root_means = [fast[comp][f"{o}"] ** (1.0 / o) for o in range(1, 11)]
+        for a, b in zip(root_means[:-1], root_means[1:]):
+            assert (b >= a - 1e-12).all()
+
+
+def test_shared_sample_mode_constant_field_gives_zero():
+    vels = [jnp.ones((8, 8, 8)) for _ in range(3)]
+    out = structure_functions(
+        vels,
+        domain_bounds=_domain(),
+        num_seps=4,
+        num_points=64,
+        sep_bounds=(0.1, 0.4),
+        resample_per_order=False,
+    )
+    for o in range(1, 11):
+        np.testing.assert_allclose(out["longitudinal"][f"{o}"], 0.0, atol=1e-12)
+        np.testing.assert_allclose(out["transverse"][f"{o}"], 0.0, atol=1e-12)
+
+
+def test_mesh_wrapper_rejects_unknown_kwargs(uniform_file):
+    from fava_tpu.mesh import FlashUniform
+
+    mesh = FlashUniform(uniform_file)
+    mesh.load()
+    with pytest.raises(TypeError, match="unexpected keyword"):
+        mesh.structure_functions(num_seps=3, num_points=16, sep_bounds=(0.1, 0.3), nonsense=1)
+
+
 def test_structure_functions_seed_keeps_all_64_bits():
     """seed=2^32+k must NOT collapse to seed=k (the jitted path passes
     the full (hi, lo) Threefry key through uint32 scalar args)."""
