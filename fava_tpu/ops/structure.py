@@ -31,6 +31,7 @@ import numpy as np
 
 from fava_tpu.utils import accum_dtype
 from fava_tpu.utils import prng
+from fava_tpu.utils import twofloat as tf
 
 
 @lru_cache(maxsize=16)
@@ -319,6 +320,14 @@ def scaling_exponents(
 _PAIR_STREAM = 1 << 16
 
 
+def pair_bin_edges(lo: float, hi: float, nbins: int, log_bins: bool) -> np.ndarray:
+    """The f64 separation-bin edges (nbins+1,) shared by the device
+    kernel (as squared two-float splits) and the same-draw oracles."""
+    if log_bins:
+        return np.geomspace(float(lo), float(hi), nbins + 1)
+    return np.linspace(float(lo), float(hi), nbins + 1)
+
+
 def pair_indices(seed, num_pairs: int, n: int):
     """The pair-sampling index draw: ONE (2, num_pairs) block from
     stream ``_PAIR_STREAM`` of ``seed`` (row 0 = first endpoints, row 1
@@ -328,29 +337,52 @@ def pair_indices(seed, num_pairs: int, n: int):
 
 
 @lru_cache(maxsize=16)
-def _pair_vsf_fn(num_pairs: int, nbins: int, ndim: int, norders: int, periodic: bool, log_bins: bool):
+def _pair_vsf_fn(num_pairs: int, nbins: int, ndim: int, norders: int, periodic: bool):
     @jax.jit
-    def run(pos, vel, lo, hi, lengths, seed_hi, seed_lo):
+    def run(pos, vel, e2h, e2l, lengths, seed_hi, seed_lo):
         seed = (seed_hi, seed_lo)  # full 64-bit key through uint32 args
         adt = accum_dtype()
         n = pos.shape[0]
         idx = pair_indices(seed, num_pairs, n)
-        dr = pos[idx[1]] - pos[idx[0]]
+
+        # Two-float pair separations: binning decisions must match the
+        # f64 oracle, and one f32 rounding (2^-24 relative) flips a
+        # pair across a bin edge (measured 1.1e-4 scaled count error
+        # at 65536 pairs). The (hi, lo) pair carries the separation
+        # exactly; edges arrive as (e2h, e2l) splits of the SQUARED
+        # f64 edges, so every comparison is an exact double-word
+        # compare (r monotone <-> r^2, no sqrt in the decision path).
+        d = tf.two_diff(pos[idx[1]], pos[idx[0]])
         if periodic:
-            dr = dr - lengths * jnp.round(dr / lengths)  # minimum image
-        r = jnp.sqrt(jnp.sum(dr * dr, axis=-1))
+            # Minimum image with the round() decided on the EXACT
+            # separation: correct the f32 round(dh/L) wherever the
+            # true value sits on the other side of the half-cell
+            # boundary (exact two-float compares against (q +- 0.5) L).
+            q = jnp.round(d[0] / lengths)
+            inc = tf.ge(d, tf.two_prod(q + 0.5, lengths))
+            dec = tf.lt(d, tf.two_prod(q - 0.5, lengths))
+            q = q + inc.astype(q.dtype) - dec.astype(q.dtype)
+            d = tf.sub(d, tf.two_prod(q, lengths))
+        sq = tf.square(d)
+        r2 = (sq[0][..., 0], sq[1][..., 0])
+        for a in range(1, ndim):
+            r2 = tf.add(r2, (sq[0][..., a], sq[1][..., a]))
+
+        dr = d[0]  # correctly-rounded separation vector for projections
+        r = jnp.sqrt(jnp.maximum(r2[0], 0.0))
         dv = vel[idx[1]] - vel[idx[0]]
         rsafe = jnp.maximum(r, jnp.asarray(1e-30, r.dtype))
         dl = jnp.abs(jnp.sum(dv * dr, axis=-1) / rsafe)
         dt2 = jnp.maximum(jnp.sum(dv * dv, axis=-1) - dl * dl, 0.0)
         dt = jnp.sqrt(dt2)
 
-        if log_bins:
-            t = (jnp.log(r) - jnp.log(lo)) / (jnp.log(hi) - jnp.log(lo))
-        else:
-            t = (r - lo) / (hi - lo)
-        bidx = jnp.clip(jnp.floor(t * nbins).astype(jnp.int32), 0, nbins - 1)
-        mask = (r >= lo) & (r <= hi)  # also drops i == j pairs when lo > 0
+        # bin k covers [e_k, e_{k+1}); the top edge is inclusive (its
+        # hits land in bin nbins-1 via the mask + count of inner edges).
+        inner = (e2h[None, 1:nbins], e2l[None, 1:nbins])
+        ge_inner = tf.ge((r2[0][:, None], r2[1][:, None]), inner)
+        bidx = jnp.sum(ge_inner, axis=1, dtype=jnp.int32)
+        mask = tf.ge(r2, (e2h[0], e2l[0])) & tf.le(r2, (e2h[nbins], e2l[nbins]))
+        # also drops i == j pairs when lo > 0
         w = mask.astype(adt)
         counts = jnp.zeros(nbins, dtype=adt).at[bidx].add(w)
         sums = []
@@ -389,7 +421,11 @@ def pair_structure_functions(
     increments onto the pair separation (longitudinal |du_L|, transverse
     magnitude), and bins by separation into ``nbins`` log bins over
     ``sep_bounds``. With ``lengths`` the separations use the periodic
-    minimum image. Output convention matches the grid
+    minimum image. Bin membership is decided in two-float (double-f32)
+    arithmetic against the squared f64 edges (utils/twofloat.py), so
+    counts match the f64 oracle exactly despite f32 device compute —
+    single-f32 distances measurably flip pairs across edges (1.1e-4
+    scaled count error at 65536 pairs, VALIDATION.json history). Output convention matches the grid
     ``structure_functions``: {"longitudinal": {"1".."orders"},
     "transverse": {...}, "separations" (per-bin MEAN pair distance),
     "counts"}. Beyond the reference, whose particle module only loads
@@ -421,13 +457,15 @@ def pair_structure_functions(
         if periodic
         else jnp.ones(ndim, dtype=pos.dtype)
     )
-    fn = _pair_vsf_fn(int(num_pairs), int(nbins), ndim, int(orders), periodic, bool(log_bins))
+    edges = pair_bin_edges(lo, hi, int(nbins), bool(log_bins))
+    e2h, e2l = tf.split_f64(edges**2, np.dtype(pos.dtype))
+    fn = _pair_vsf_fn(int(num_pairs), int(nbins), ndim, int(orders), periodic)
     packed = np.asarray(
         fn(
             pos,
             vel,
-            jnp.asarray(lo, dtype=pos.dtype),
-            jnp.asarray(hi, dtype=pos.dtype),
+            jnp.asarray(e2h),
+            jnp.asarray(e2l),
             L,
             *(jnp.asarray(w) for w in prng._key(int(seed))),
         ),

@@ -6,25 +6,26 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from fava_tpu.ops.structure import pair_indices, pair_structure_functions
+from fava_tpu.ops.structure import pair_bin_edges, pair_indices, pair_structure_functions
 
 
 def _oracle(pos, vel, lo, hi, nbins, orders, num_pairs, seed, lengths=None):
-    """f64 NumPy on the SAME device PRNG draws."""
+    """f64 NumPy on the SAME device PRNG draws, binning r^2 against the
+    SAME squared f64 edges the device compares against (two-float)."""
     n = pos.shape[0]
     idx = np.asarray(pair_indices(seed, num_pairs, n))
-    dr = pos[idx[1]] - pos[idx[0]]
+    dr = pos[idx[1]].astype(np.float64) - pos[idx[0]].astype(np.float64)
     if lengths is not None:
         L = np.asarray(lengths, dtype=np.float64)
         dr = dr - L * np.round(dr / L)
-    r = np.sqrt((dr**2).sum(axis=-1))
+    r2 = (dr**2).sum(axis=-1)
+    r = np.sqrt(r2)
     dv = vel[idx[1]] - vel[idx[0]]
     dl = np.abs((dv * dr).sum(axis=-1) / np.maximum(r, 1e-30))
     dt = np.sqrt(np.maximum((dv**2).sum(axis=-1) - dl**2, 0.0))
-    rsafe = np.maximum(r, lo)  # out-of-range pairs are masked below anyway
-    t = (np.log(rsafe) - np.log(lo)) / (np.log(hi) - np.log(lo))
-    bidx = np.clip(np.floor(t * nbins).astype(int), 0, nbins - 1)
-    mask = (r >= lo) & (r <= hi)
+    e2 = pair_bin_edges(lo, hi, nbins, log_bins=True) ** 2
+    bidx = (r2[:, None] >= e2[None, 1:nbins]).sum(axis=1)
+    mask = (r2 >= e2[0]) & (r2 <= e2[nbins])
     out = {"longitudinal": {}, "transverse": {}}
     counts = np.bincount(bidx[mask], minlength=nbins)[:nbins].astype(np.float64)
     out["counts"] = counts
@@ -61,6 +62,30 @@ def test_matches_same_draw_oracle(periodic):
         np.testing.assert_allclose(
             got["transverse"][o], ref["transverse"][o], rtol=1e-8, atol=1e-12, err_msg=o
         )
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+def test_f32_counts_exactly_match_f64_oracle(periodic):
+    """The two-float binning contract: with FLOAT32 inputs (the TPU
+    production dtype) bin membership must still match the f64 oracle
+    exactly — single-f32 distances measurably flip pairs across edges
+    at this pair count (1.1e-4 scaled, VALIDATION.json history)."""
+    rng = np.random.default_rng(61)
+    n = 4096
+    pos32 = rng.random((n, 3), dtype=np.float32)
+    vel32 = rng.standard_normal((n, 3)).astype(np.float32)
+    lengths = (1.0, 1.0, 1.0) if periodic else None
+    got = pair_structure_functions(
+        jnp.asarray(pos32), jnp.asarray(vel32),
+        num_pairs=65536, nbins=8, sep_bounds=(0.05, 0.5),
+        orders=2, lengths=lengths, seed=7,
+    )
+    ref = _oracle(
+        pos32.astype(np.float64), vel32.astype(np.float64),
+        0.05, 0.5, 8, 2, 65536, 7, lengths,
+    )
+    np.testing.assert_array_equal(got["counts"], ref["counts"])
+    np.testing.assert_allclose(got["longitudinal"]["2"], ref["longitudinal"]["2"], rtol=2e-5)
 
 
 def test_uniform_expansion_closed_form():
