@@ -55,3 +55,12 @@ def anisotropic_kinetic_energy_spectra(self, *args, **kwargs):
 @Model.register_analysis(use_timer=True)
 def turbulence_summary(self, *args, **kwargs):
     return self.mesh.turbulence_summary(*args, **kwargs)
+
+
+@Model.register_analysis(use_timer=True)
+def velocity_gradient_statistics(self, *args, **kwargs):
+    from fava_tpu.analysis.two_point import _uniform_mesh_method
+
+    return _uniform_mesh_method(self.mesh, "velocity_gradient_statistics")(
+        *args, **kwargs
+    )

@@ -304,6 +304,25 @@ class FlashUniform(FLASH):
         return vel_ops.helicity_spectrum(*self._vel_volumes(), lengths=self._domain_lengths())
 
     @timer
+    def velocity_gradient_statistics(
+        self, boundary: str = "periodic"
+    ) -> Dict[str, Any]:
+        """Velocity-gradient tensor statistics (beyond the reference):
+        central-difference g_ij fluctuation moments to fourth order —
+        derivative skewness/flatness, pseudo-dissipation, FD enstrophy
+        and dilatation mean squares, Taylor microscales — in ONE device
+        pass with a single packed fetch (ops/gradients.py).
+        ``boundary="interior"`` drops the periodic wrap for windowed
+        uniform extracts (e.g. the pipeline's flame windows)."""
+        from fava_tpu.ops import gradients as grad_ops
+
+        return grad_ops.velocity_gradient_statistics(
+            *self._vel_volumes(),
+            lengths=self._domain_lengths(),
+            boundary=boundary,
+        )
+
+    @timer
     def decomposed_kinetic_energy_spectra(
         self, weighted: bool = False
     ) -> Dict[str, np.ndarray]:

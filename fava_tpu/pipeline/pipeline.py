@@ -57,6 +57,7 @@ _ANALYSIS_KEYS = {
     "anisotropic spectra": (),
     "flame surface": (),
     "turbulence summary": (),
+    "velocity gradient statistics": (),
     "filtered ke flux": (),
     "structure function exponents": (),
     "two point correlation": ("field",),
@@ -354,6 +355,9 @@ class Pipeline:
             ),
             "flame surface": lambda **kw: self.model.flame_surface(**kw),
             "turbulence summary": lambda **kw: self.model.turbulence_summary(**kw),
+            "velocity gradient statistics": lambda **kw: self.model.velocity_gradient_statistics(
+                **kw
+            ),
             "filtered ke flux": lambda **kw: self.model.filtered_kinetic_energy_flux(**kw),
             "structure function exponents": lambda **kw: _exponents_as_dict(
                 self.model.structure_function_exponents(**kw)
