@@ -68,6 +68,70 @@ def _ensure_block_axis(fields: Dict) -> Dict:
     return {k: (v[None] if v.ndim == 3 else v) for k, v in fields.items()}
 
 
+def _uniform_volume(snap: Snapshot, name: str, what: str):
+    """A snapshot field as a bare volume (single-block files only)."""
+    v = snap.fields.get(name)
+    if v is None:
+        return None
+    if v.ndim == 4:
+        if v.shape[0] != 1:
+            raise ValueError(
+                f"{what} needs single-block uniform volumes; "
+                "regrid AMR series with from_amr first."
+            )
+        v = v[0]
+    return v
+
+
+def _packed_stat_series(paths, fields, make_vec, prefetch_depth: int, group: int = 16):
+    """Shared packed-vector series loop (summary_series and friends).
+
+    Async-prefetch each snapshot, call ``make_vec(snap) -> (device
+    vec, names)``, keep results DEVICE-resident and fetch one stacked
+    array per ``group`` snapshots: jit dispatch is async, so the host
+    round-trip floor (~27 ms on this tunnel) is paid once per group
+    instead of once per snapshot (docs/architecture.md host-link
+    rule). Returns ``(times (nfiles,), names, table (nfiles, nstats)
+    or None)``; raises on ragged stat columns (a catalog where some
+    files carry optional fields only sometimes would silently misalign
+    the stacked columns against "times").
+    """
+    import jax.numpy as jnp
+
+    times: list = []
+    names: Optional[tuple] = None
+    pending: list = []  # device-resident packed stat vectors
+    rows: list = []  # fetched (group, nstats) blocks
+
+    def flush():
+        if pending:
+            rows.append(np.asarray(jnp.stack(pending), dtype=np.float64))
+            pending.clear()
+
+    for snap in SnapshotPrefetcher(
+        paths,
+        fields,
+        depth=prefetch_depth,
+        sharding=prt.ingest_sharding_fn(),
+        strict=False,  # optional extras (pres/gamc) may be absent
+    ):
+        vec, snap_names = make_vec(snap)
+        if names is None:
+            names = tuple(snap_names)
+        elif tuple(snap_names) != names:
+            raise ValueError(
+                f"{snap.path}: inconsistent stat columns across the series "
+                f"(got {sorted(set(snap_names) ^ set(names))} only sometimes)"
+            )
+        times.append(snap.time)
+        pending.append(vec)
+        if len(pending) >= group:
+            flush()
+    flush()
+    table = np.concatenate(rows, axis=0) if rows else None
+    return np.asarray(times), names, table
+
+
 @Model.register_analysis(use_timer=True)
 def favre_series(
     self,
@@ -343,42 +407,7 @@ def summary_series(
     paths = [catalog["by index"][i] for i in indices]
     fields = ["dens", "velx", "vely", "velz", "pres", "gamc"]
 
-    def vol(snap: Snapshot, name: str):
-        v = snap.fields.get(name)
-        if v is None:
-            return None
-        if v.ndim == 4:
-            if v.shape[0] != 1:
-                raise ValueError(
-                    "summary_series needs single-block uniform volumes; "
-                    "regrid AMR series with from_amr first."
-                )
-            v = v[0]
-        return v
-
-    import jax.numpy as jnp
-
-    times: list = []
-    names: Optional[tuple] = None
-    pending: list = []  # device-resident packed stat vectors
-    rows: list = []  # fetched (group, nstats) blocks
-
-    def flush():
-        # ONE stacked fetch per group: jit dispatch is async, so the
-        # per-snapshot summaries pipeline on device while the host only
-        # pays the round-trip floor once per group
-        # (docs/architecture.md host-link rule).
-        if pending:
-            rows.append(np.asarray(jnp.stack(pending), dtype=np.float64))
-            pending.clear()
-
-    for snap in SnapshotPrefetcher(
-        paths,
-        fields,
-        depth=prefetch_depth,
-        sharding=prt.ingest_sharding_fn(),
-        strict=False,  # pres/gamc are optional extras
-    ):
+    def make_vec(snap: Snapshot):
         ints = snap.scalars["integer"]
         reals = snap.runtime_parameters["real"]
         ndim = int(ints["dimensionality"])
@@ -386,7 +415,7 @@ def summary_series(
             float(reals.get(f"{a}max", 1.0)) - float(reals.get(f"{a}min", 0.0))
             for a in "xyz"[:ndim]
         )
-        vels = [vol(snap, f"vel{a}") for a in "xyz"[:ndim]]
+        vels = [_uniform_volume(snap, f"vel{a}", "summary_series") for a in "xyz"[:ndim]]
         if any(v is None for v in vels):
             raise KeyError(f"{snap.path}: missing velocity components")
         if ndim < 3:
@@ -395,34 +424,73 @@ def summary_series(
         def squeeze(v):
             return None if v is None else (v.reshape(v.shape[:ndim]) if v.ndim > ndim else v)
 
-        dens = squeeze(vol(snap, "dens"))
-        pres = squeeze(vol(snap, "pres"))
-        gamc = squeeze(vol(snap, "gamc"))
-        vec, snap_names = vel_ops.turbulence_summary_device(
+        dens = squeeze(_uniform_volume(snap, "dens", "summary_series"))
+        pres = squeeze(_uniform_volume(snap, "pres", "summary_series"))
+        gamc = squeeze(_uniform_volume(snap, "gamc", "summary_series"))
+        return vel_ops.turbulence_summary_device(
             *vels,
             dens=dens,
             pres=pres,
             gamma=gamc if (pres is not None and gamc is not None) else gamma,
             lengths=lengths,
         )
-        if names is None:
-            names = snap_names
-        elif snap_names != names:
-            # A ragged catalog (pres in some files only) would silently
-            # misalign the stacked columns against "times".
-            raise ValueError(
-                f"{snap.path}: inconsistent summary columns across the series "
-                f"(got {sorted(set(snap_names) ^ set(names))} only sometimes)"
-            )
-        times.append(snap.time)
-        pending.append(vec)
-        if len(pending) >= 16:
-            flush()
-    flush()
 
-    result: Dict[str, np.ndarray] = {}
-    if rows:
-        table = np.concatenate(rows, axis=0)  # (nfiles, nstats)
-        result = {k: table[:, i] for i, k in enumerate(names)}
-    result["times"] = np.asarray(times)
+    times, names, table = _packed_stat_series(paths, fields, make_vec, prefetch_depth)
+    result: Dict[str, np.ndarray] = (
+        {k: table[:, i] for i, k in enumerate(names)} if table is not None else {}
+    )
+    result["times"] = times
+    return result
+
+
+@Model.register_analysis(use_timer=True)
+def gradient_series(
+    self,
+    file_type: str = "uni",
+    boundary: str = "periodic",
+    prefetch_depth: int = 2,
+    file_indices: Optional[Sequence[int]] = None,
+) -> Dict[str, np.ndarray]:
+    """Velocity-gradient statistics time series over a uniform catalog.
+
+    The intermittency-development plot: derivative skewness/flatness(t),
+    pseudo-dissipation(t), finite-difference enstrophy/dilatation mean
+    squares(t), Taylor microscales(t) (ops/gradients.py; moments
+    centered on device). Same async-prefetch + grouped single-fetch
+    machinery as :func:`summary_series` — one packed vector per
+    snapshot, host round-trip floor paid once per 16 snapshots. Beyond
+    the reference (no gradient diagnostics; its series loops re-load
+    files synchronously). Returns {"times": (nfiles,), <scalar>:
+    (nfiles,), <table>: (nfiles, nd, nd) / (nfiles, nd) arrays}.
+    """
+    from fava_tpu.ops import gradients as grad_ops
+
+    catalog = {"plt": self.plt_files, "chk": self.chk_files, "uni": self.uni_files}[file_type]
+    indices = sorted(catalog["by index"].keys()) if file_indices is None else list(file_indices)
+    paths = [catalog["by index"][i] for i in indices]
+    fields = ["velx", "vely", "velz"]
+
+    def make_vec(snap: Snapshot):
+        ints = snap.scalars["integer"]
+        reals = snap.runtime_parameters["real"]
+        ndim = int(ints["dimensionality"])
+        lengths = tuple(
+            float(reals.get(f"{a}max", 1.0)) - float(reals.get(f"{a}min", 0.0))
+            for a in "xyz"[:ndim]
+        )
+        vels = [_uniform_volume(snap, f"vel{a}", "gradient_series") for a in "xyz"[:ndim]]
+        if any(v is None for v in vels):
+            raise KeyError(f"{snap.path}: missing velocity components")
+        if ndim < 3:
+            vels = [v.reshape(v.shape[:ndim]) for v in vels]
+        return grad_ops.gradient_stats_device(vels, lengths=lengths, boundary=boundary)
+
+    times, names, table = _packed_stat_series(paths, fields, make_vec, prefetch_depth)
+    result: Dict[str, np.ndarray] = {"times": times}
+    if table is not None:
+        # packed layout length identifies nd (48 entries in 3D, 22 in 2D)
+        nd = 3 if len(names) == len(grad_ops.packed_names(3)) else 2
+        reports = [grad_ops.assemble_gradient_stats(row, nd) for row in table]
+        for key in reports[0]:
+            result[key] = np.stack([np.asarray(r[key]) for r in reports])
     return result

@@ -72,6 +72,12 @@ def main() -> None:
     rec["density_pdf"] = timed(
         "density_pdf", lambda: density_pdf(dens, nbins=200, mach=1.5)
     )
+    from fava_tpu.ops import gradients as grad_ops
+
+    rec["velocity_gradient_statistics"] = timed(
+        "velocity_gradient_statistics",
+        lambda: grad_ops.velocity_gradient_statistics(vx, vy, vz),
+    )
     rec["projection_uniform"] = timed(
         "projection_uniform",
         lambda: proj_ops.project_uniform(dens, (d, d, d), axis=0, weight=dens),

@@ -699,6 +699,34 @@ def validate_analyses() -> dict:
         "max_scaled_error": vc_errs,
     }
 
+    # --- velocity gradient statistics ------------------------------------
+    # FD gradient-tensor fluctuation moments (two-pass device centering)
+    # vs the f64 NumPy oracle on the same fields.
+    print("== analyses: velocity gradient statistics ==", flush=True)
+    from fava_tpu.ops import gradients as grad_ops
+    from tests.oracles.gradients import gradient_stats_oracle
+
+    got_vg = grad_ops.velocity_gradient_statistics(*vels_dev)
+    ref_vg = gradient_stats_oracle(vels64)
+    out["velocity_gradient_statistics"] = {
+        "config": {"n": 128, "field": "trig mix", "boundary": "periodic"},
+        "max_scaled_error": {
+            name: _scaled_err(got_vg[name], ref_vg[name])
+            for name in (
+                "gradient_moment2",
+                "gradient_moment3",
+                "gradient_moment4",
+                "derivative_skewness",
+                "derivative_flatness",
+                "transverse_flatness",
+                "pseudo_dissipation",
+                "enstrophy",
+                "dilatation_msq",
+                "taylor_microscale",
+            )
+        },
+    }
+
     # --- out-of-core twins on chip ---------------------------------------
     # The streamed summary/correlations use donated-buffer
     # dynamic_update_slice writes and chunked matmuls whose TPU

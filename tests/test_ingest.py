@@ -135,5 +135,23 @@ def test_summary_series_no_pres_and_ragged_guard(tmp_path):
         time=0.1,
     )
     m2 = fava_tpu.FLASH(tmp_path)
-    with pytest.raises(ValueError, match="inconsistent summary columns"):
+    with pytest.raises(ValueError, match="inconsistent stat columns"):
         m2.summary_series(file_type="uni")
+
+
+def test_gradient_series_matches_per_file(tmp_path):
+    for i, t in enumerate([0.0, 0.1, 0.2], start=1):
+        synthetic.make_uniform_file(
+            tmp_path / f"rt_hdf5_uniform_{i:04d}", ncells=(8, 8, 8), seed=10 + i, time=t
+        )
+    m = fava_tpu.FLASH(tmp_path)
+    out = m.gradient_series(file_type="uni")
+    np.testing.assert_allclose(out["times"], [0.0, 0.1, 0.2])
+    assert out["derivative_skewness"].shape == (3,)
+    assert out["gradient_moment2"].shape == (3, 3, 3)
+
+    for row, idx in enumerate([0, 1, 2]):
+        m.load(file_type="uni", file_index=idx)
+        single = m.velocity_gradient_statistics()
+        for k, v in single.items():
+            np.testing.assert_allclose(out[k][row], v, rtol=1e-12, err_msg=k)
