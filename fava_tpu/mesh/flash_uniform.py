@@ -305,7 +305,12 @@ class FlashUniform(FLASH):
 
     @timer
     def velocity_gradient_statistics(
-        self, boundary: str = "periodic"
+        self,
+        boundary: str = "periodic",
+        streamed: bool = False,
+        slab_rows: Optional[int] = None,
+        wire_dtype=None,
+        prefetch_depth: int = 2,
     ) -> Dict[str, Any]:
         """Velocity-gradient tensor statistics (beyond the reference):
         central-difference g_ij fluctuation moments to fourth order —
@@ -313,8 +318,41 @@ class FlashUniform(FLASH):
         and dilatation mean squares, Taylor microscales — in ONE device
         pass with a single packed fetch (ops/gradients.py).
         ``boundary="interior"`` drops the periodic wrap for windowed
-        uniform extracts (e.g. the pipeline's flame windows)."""
+        uniform extracts (e.g. the pipeline's flame windows).
+        ``streamed=True`` takes the out-of-core halo-slab path for 3D
+        volumes beyond one chip's HBM (periodic only;
+        ops/outofcore.streamed_gradient_stats)."""
         from fava_tpu.ops import gradients as grad_ops
+
+        if not streamed:
+            self._reject_stream_knobs(
+                slab_rows=(slab_rows, None),
+                wire_dtype=(wire_dtype, None),
+                prefetch_depth=(prefetch_depth, 2),
+            )
+        if streamed:
+            import jax.numpy as jnp
+
+            from fava_tpu.ops import outofcore
+            from fava_tpu.utils import compute_dtype
+
+            if self.ndim != 3:
+                raise ValueError("streamed gradient statistics require a 3D dataset")
+            if boundary != "periodic":
+                raise ValueError(
+                    "streamed gradient statistics are periodic-only (windowed "
+                    "interior extracts fit in core by construction)"
+                )
+            shape = tuple(int(n) for n in (self.nxb, self.nyb, self.nzb))
+            return outofcore.streamed_gradient_stats(
+                self._streamed_loader(),
+                shape,
+                slab_rows=self._largest_divisor(shape[0], slab_rows),
+                dtype=jnp.dtype(compute_dtype()),
+                lengths=self._domain_lengths(),
+                wire_dtype=wire_dtype,
+                prefetch_depth=prefetch_depth,
+            )
 
         return grad_ops.velocity_gradient_statistics(
             *self._vel_volumes(),

@@ -693,3 +693,197 @@ def streamed_two_point_lines(
         out[f"R_{ax}"] = line / scale
         out[f"integral_scale_{ax}"] = _integral_scale(line, dx)
     return out
+
+
+# --- streamed velocity-gradient statistics ------------------------------
+
+
+@lru_cache(maxsize=8)
+def _gradient_slab_fn(full_shape: Tuple[int, int, int], slab_rows: int, spacings):
+    """Per-slab central gradient moments on a halo-extended x-slab.
+
+    Input slabs carry ONE periodic halo row on each side
+    ((slab_rows + 2, ny, nz)): x-derivatives are interior central
+    differences of the extended slab; y/z derivatives wrap within the
+    interior rows (periodic axes untouched by the slab split). Returns
+    SLAB-LOCAL statistics — count-weighted means plus sums of centered
+    powers/products — which the host combines exactly across slabs with
+    the Chan/Pebay parallel-moment formulas (ops/gradients.py packs the
+    in-core twin per-volume instead). Per-slab centering keeps the f32
+    device sums well conditioned (each slab's mean is close to its own
+    data); the cross-slab combination happens in float64 on host.
+    """
+    from fava_tpu.ops.gradients import _DIV_PAIRS, _ROT_PAIRS
+
+    nx, ny, nz = full_shape
+    adt = accum_dtype()
+
+    def run(vx_e, vy_e, vz_e):
+        vels_e = (vx_e, vy_e, vz_e)
+
+        def grad(i, j):
+            u = vels_e[i]
+            if j == 0:
+                d = (u[2:] - u[:-2]) / jnp.asarray(2.0 * spacings[0], dtype=u.dtype)
+            else:
+                ui = u[1:-1]
+                d = (jnp.roll(ui, -1, axis=j) - jnp.roll(ui, 1, axis=j)) / jnp.asarray(
+                    2.0 * spacings[j], dtype=u.dtype
+                )
+            return d.astype(adt)
+
+        gmean = {(i, j): jnp.mean(grad(i, j)) for i in range(3) for j in range(3)}
+
+        def fluct(i, j):
+            return grad(i, j) - gmean[(i, j)]
+
+        acc = []
+        for i in range(3):
+            for j in range(3):
+                f = fluct(i, j)
+                f2 = f * f
+                acc += [gmean[(i, j)], jnp.sum(f2), jnp.sum(f2 * f), jnp.sum(f2 * f2)]
+        for a, b in _ROT_PAIRS[3]:
+            acc.append(jnp.sum(fluct(a, b) * fluct(b, a)))
+        for i, j in _DIV_PAIRS[3]:
+            acc.append(jnp.sum(fluct(i, i) * fluct(j, j)))
+        for c in range(3):
+            u = vels_e[c][1:-1].astype(adt)
+            um = jnp.mean(u)
+            acc += [um, jnp.sum((u - um) ** 2)]
+        return jnp.stack(acc)
+
+    return jax.jit(run)
+
+
+def _chan_combine(n_a, stats_a, n_b, stats_b):
+    """Exact pairwise combination of (mean, S2, S3, S4[, ...]) partition
+    statistics (Chan et al. 1979 / Pebay 2008), vectorized over entries.
+
+    ``stats`` rows: mean, S2, S3, S4 with S_p = sum (x - mean)^p over
+    the partition. Returns the merged row set.
+    """
+    mA, M2A, M3A, M4A = stats_a
+    mB, M2B, M3B, M4B = stats_b
+    n = n_a + n_b
+    d = mB - mA
+    mean = mA + d * (n_b / n)
+    M2 = M2A + M2B + d**2 * (n_a * n_b / n)
+    M3 = (
+        M3A
+        + M3B
+        + d**3 * (n_a * n_b * (n_a - n_b) / n**2)
+        + 3.0 * d * (n_a * M2B - n_b * M2A) / n
+    )
+    M4 = (
+        M4A
+        + M4B
+        + d**4 * (n_a * n_b * (n_a**2 - n_a * n_b + n_b**2) / n**3)
+        + 6.0 * d**2 * (n_a**2 * M2B + n_b**2 * M2A) / n**2
+        + 4.0 * d * (n_a * M3B - n_b * M3A) / n
+    )
+    return mean, M2, M3, M4
+
+
+def streamed_gradient_stats(
+    field_slab: SlabLoader,
+    shape: Tuple[int, int, int],
+    *,
+    slab_rows: int = 64,
+    dtype=jnp.float32,
+    lengths=None,
+    wire_dtype=None,
+    prefetch_depth: int = 2,
+) -> Dict[str, "np.ndarray | float"]:
+    """Out-of-core twin of ops/gradients.velocity_gradient_statistics.
+
+    One pass over halo-extended x-slabs (each slab loads its two
+    periodic neighbor rows, so the x central differences need no
+    cross-slab state); per-slab central moments on device, exact
+    float64 Chan/Pebay combination across slabs on host. Periodic
+    boundary only — the "interior" mode serves windowed extracts,
+    which fit in core by construction. Output dict matches the in-core
+    analysis exactly (tests/test_outofcore.py).
+    """
+    from fava_tpu.ops.gradients import (
+        _DIV_PAIRS,
+        _ROT_PAIRS,
+        _spacings,
+        assemble_gradient_stats,
+    )
+
+    nx, ny, nz = (int(s) for s in shape)
+    _check_divisible(nx, slab_rows, slab_rows)
+    lengths_key = None if lengths is None else tuple(float(L) for L in lengths)
+    spacings = _spacings((nx, ny, nz), lengths_key)
+    slab_fn = _gradient_slab_fn((nx, ny, nz), slab_rows, spacings)
+
+    def halo_loader(name: str, x0: int, x1: int) -> np.ndarray:
+        lo = np.asarray(field_slab(name, (x0 - 1) % nx, (x0 - 1) % nx + 1))
+        mid = np.asarray(field_slab(name, x0, x1))
+        hi = np.asarray(field_slab(name, x1 % nx, x1 % nx + 1))
+        return np.concatenate([lo, mid, hi], axis=0)
+
+    vel_names = ("velx", "vely", "velz")
+    accs = []  # device-resident per-slab stat vectors, ONE stacked fetch
+    for _x0, slabs in _slab_stream(
+        halo_loader, vel_names, nx, slab_rows, dtype,
+        depth=prefetch_depth, wire_dtype=wire_dtype,
+    ):
+        accs.append(slab_fn(*slabs))
+    per_slab = np.asarray(jnp.stack(accs), dtype=np.float64)
+
+    # --- exact cross-slab combination (float64, host) -------------------
+    n_slab = float(slab_rows * ny * nz)
+    rot_pairs, div_pairs = _ROT_PAIRS[3], _DIV_PAIRS[3]
+    n_g = 36  # 9 x [mean, S2, S3, S4]
+    n_rot, n_div = len(rot_pairs), len(div_pairs)
+
+    state = None  # (n, means(9,), M2, M3, M4, rot(3,), div(3,), u_mean(3,), u_M2(3,))
+    for row in per_slab:
+        g = row[:n_g].reshape(9, 4)
+        rot = row[n_g : n_g + n_rot]
+        div = row[n_g + n_rot : n_g + n_rot + n_div]
+        u = row[n_g + n_rot + n_div :].reshape(3, 2)
+        b = (n_slab, g[:, 0], g[:, 1], g[:, 2], g[:, 3], rot, div, u[:, 0], u[:, 1])
+        if state is None:
+            state = b
+            continue
+        nA = state[0]
+        nB = n_slab
+        n = nA + nB
+        mean, M2, M3, M4 = _chan_combine(
+            nA, state[1:5], nB, b[1:5]
+        )
+        # covariance combine: C = CA + CB + dx*dy*nA*nB/n, with dx/dy
+        # the mean gaps of the two constituent gradients
+        def gap(i, j):
+            return b[1][i * 3 + j] - state[1][i * 3 + j]
+
+        rot_c = np.array(
+            [
+                state[5][p] + b[5][p] + gap(a, bb) * gap(bb, a) * nA * nB / n
+                for p, (a, bb) in enumerate(rot_pairs)
+            ]
+        )
+        div_c = np.array(
+            [
+                state[6][p] + b[6][p] + gap(i, i) * gap(j, j) * nA * nB / n
+                for p, (i, j) in enumerate(div_pairs)
+            ]
+        )
+        du = b[7] - state[7]
+        u_mean = state[7] + du * (nB / n)
+        u_M2 = state[8] + b[8] + du**2 * (nA * nB / n)
+        state = (n, mean, M2, M3, M4, rot_c, div_c, u_mean, u_M2)
+
+    ntot, mean, M2, M3, M4, rot_c, div_c, u_mean, u_M2 = state
+    # Re-pack as the in-core layout of central-moment MEANS and reuse
+    # the shared assembly (one definition of every derived quantity).
+    packed = []
+    for k in range(9):
+        packed += [mean[k], M2[k] / ntot, M3[k] / ntot, M4[k] / ntot]
+    packed += list(rot_c / ntot) + list(div_c / ntot)
+    for c in range(3):
+        packed += [u_mean[c], u_M2[c] / ntot]
+    return assemble_gradient_stats(np.asarray(packed), 3)

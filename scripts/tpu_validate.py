@@ -708,10 +708,19 @@ def validate_analyses() -> dict:
 
     got_vg = grad_ops.velocity_gradient_statistics(*vels_dev)
     ref_vg = gradient_stats_oracle(vels64)
+    # Scale floors: the synthetic trig mix is built from symmetric
+    # sinusoids, so the oracle's THIRD gradient moments (and hence the
+    # skewness) are analytically ~zero — divide by the physical scale
+    # (c2^{3/2} for m3; 1.0 for the dimensionless skewness) instead of
+    # the degenerate max|oracle| (same rationale as the favre_mean
+    # floors above).
+    m3_floor = float(np.abs(ref_vg["gradient_moment2"]).max() ** 1.5)
+    vg_floors = {"gradient_moment3": m3_floor, "derivative_skewness": 1.0}
     out["velocity_gradient_statistics"] = {
         "config": {"n": 128, "field": "trig mix", "boundary": "periodic"},
+        "scale_floors": sorted(vg_floors),
         "max_scaled_error": {
-            name: _scaled_err(got_vg[name], ref_vg[name])
+            name: _scaled_err(got_vg[name], ref_vg[name], floor=vg_floors.get(name, 0.0))
             for name in (
                 "gradient_moment2",
                 "gradient_moment3",

@@ -131,3 +131,24 @@ def test_amr_model_gets_routed_error(tmp_path):
     model.load(file_type="plt")
     with pytest.raises(AttributeError, match="uniform-grid"):
         model.velocity_gradient_statistics()
+
+
+def test_gradient_stats_sharded_inputs_match_unsharded(uniform_file_32, eight_device_mesh):
+    """Under an active device mesh the uniform volumes arrive
+    slab-sharded; the gradient rolls become GSPMD halo exchanges and
+    must not change the numbers."""
+    from fava_tpu.mesh import FlashUniform
+    from fava_tpu.parallel import use_mesh
+
+    mesh0 = FlashUniform(uniform_file_32)
+    mesh0.load()
+    ref = mesh0.velocity_gradient_statistics()
+
+    with use_mesh(eight_device_mesh):
+        mesh1 = FlashUniform(uniform_file_32)
+        mesh1.load()
+        assert len(mesh1.data("velx").sharding.device_set) == 8
+        got = mesh1.velocity_gradient_statistics()
+
+    for k, r in ref.items():
+        np.testing.assert_allclose(got[k], r, rtol=1e-9, atol=1e-12, err_msg=k)

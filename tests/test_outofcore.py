@@ -354,3 +354,68 @@ def test_slab_stream_order_and_prefetch():
         np.testing.assert_array_equal(np.asarray(slab), float(x0))
     assert seen == [0, 4, 8, 12]
     assert {c[1] for c in calls} == {0, 4, 8, 12}
+
+
+def test_streamed_gradient_stats_match_incore(tmp_path):
+    from fava_tpu.ops.gradients import velocity_gradient_statistics
+    from fava_tpu.ops.outofcore import streamed_gradient_stats
+
+    rng = np.random.default_rng(33)
+    n = 16
+    # a mean flow + shear stresses the per-slab centering + Chan combine
+    y = (np.arange(n) + 0.5) / n
+    fields = {
+        "velx": 5.0 + 2.0 * np.sin(2 * np.pi * y)[None, :, None] + 0.3 * rng.standard_normal((n, n, n)),
+        "vely": rng.standard_normal((n, n, n)),
+        "velz": -3.0 + rng.standard_normal((n, n, n)),
+    }
+
+    def loader(name, x0, x1):
+        return fields[name][x0:x1]
+
+    got = streamed_gradient_stats(
+        loader, (n, n, n), slab_rows=4, dtype=jnp.float64, lengths=(2.0, 1.0, 1.0)
+    )
+    ref = velocity_gradient_statistics(
+        *(jnp.asarray(fields[f"vel{a}"]) for a in "xyz"), lengths=(2.0, 1.0, 1.0)
+    )
+    assert set(got) == set(ref)
+    for k, r in ref.items():
+        np.testing.assert_allclose(got[k], r, rtol=1e-10, atol=1e-12, err_msg=k)
+
+
+def test_streamed_gradient_stats_single_slab_and_halo_wrap():
+    # slab_rows == nx: the halo rows wrap onto the slab itself.
+    from fava_tpu.ops.gradients import velocity_gradient_statistics
+    from fava_tpu.ops.outofcore import streamed_gradient_stats
+
+    rng = np.random.default_rng(34)
+    n = 8
+    fields = {f"vel{a}": rng.standard_normal((n, n, n)) for a in "xyz"}
+
+    def loader(name, x0, x1):
+        return fields[name][x0:x1]
+
+    got = streamed_gradient_stats(loader, (n, n, n), slab_rows=n, dtype=jnp.float64)
+    ref = velocity_gradient_statistics(*(jnp.asarray(fields[f"vel{a}"]) for a in "xyz"))
+    for k, r in ref.items():
+        np.testing.assert_allclose(got[k], r, rtol=1e-10, atol=1e-12, err_msg=k)
+
+
+def test_mesh_gradient_stats_incore_vs_streamed(tmp_path):
+    import fava_tpu
+    from fava_tpu.io import synthetic
+
+    path = tmp_path / "rt_hdf5_uniform_0001"
+    synthetic.make_uniform_file(path, ncells=(16, 16, 16), seed=51)
+    m = fava_tpu.FLASH(tmp_path)
+    m.load(file_type="uni")
+    ref = m.velocity_gradient_statistics()
+    got = m.velocity_gradient_statistics(streamed=True, slab_rows=4)
+    for k, r in ref.items():
+        np.testing.assert_allclose(got[k], r, rtol=1e-9, atol=1e-11, err_msg=k)
+    # knobs without streamed=True must raise, and interior is in-core-only
+    with pytest.raises(TypeError, match="streamed"):
+        m.velocity_gradient_statistics(slab_rows=4)
+    with pytest.raises(ValueError, match="periodic-only"):
+        m.velocity_gradient_statistics(streamed=True, boundary="interior")
