@@ -79,6 +79,12 @@ def main() -> None:
     print("density PDF: sigma_s =", dp["sigma_s"], " lognormal residual =", dp["lognormal_residual"])
     vc = model.velocity_correlations()
     print("Karman-Howarth L11_x:", vc["L11_x"], " isotropy ratio:", vc["isotropy_ratio_x"])
+    vg = model.velocity_gradient_statistics()
+    print(
+        "gradient stats: skewness =", vg["derivative_skewness"],
+        " flatness =", vg["derivative_flatness"],
+        " taylor microscale =", vg["taylor_microscale_mean"],
+    )
     pm = model.projection(field="dens", axis=0)
     print("column-density map:", pm["map"].shape, " total:", float(pm["map"].sum()))
 
