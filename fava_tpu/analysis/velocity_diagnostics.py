@@ -64,3 +64,10 @@ def velocity_gradient_statistics(self, *args, **kwargs):
     return _uniform_mesh_method(self.mesh, "velocity_gradient_statistics")(
         *args, **kwargs
     )
+
+
+@Model.register_analysis(use_timer=True)
+def gradient_invariant_pdfs(self, *args, **kwargs):
+    from fava_tpu.analysis.two_point import _uniform_mesh_method
+
+    return _uniform_mesh_method(self.mesh, "gradient_invariant_pdfs")(*args, **kwargs)

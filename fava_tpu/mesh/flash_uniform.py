@@ -361,6 +361,28 @@ class FlashUniform(FLASH):
         )
 
     @timer
+    def gradient_invariant_pdfs(
+        self,
+        nbins=(100, 100),
+        qr_range: float = 8.0,
+        boundary: str = "periodic",
+    ) -> Dict[str, Any]:
+        """Joint PDF of the velocity-gradient invariants (Q, R) — the
+        Chong-Perry-Cantwell topology teardrop (beyond the reference).
+        Full compressible invariant definitions, axes normalized by
+        Q_w = <omega^2>/4, exact counts through the fused pdf2d kernel
+        (ops/gradients.gradient_invariant_pdfs). 3D datasets only."""
+        from fava_tpu.ops import gradients as grad_ops
+
+        return grad_ops.gradient_invariant_pdfs(
+            *self._vel_volumes(),
+            lengths=self._domain_lengths(),
+            nbins=nbins,
+            qr_range=qr_range,
+            boundary=boundary,
+        )
+
+    @timer
     def decomposed_kinetic_energy_spectra(
         self, weighted: bool = False
     ) -> Dict[str, np.ndarray]:

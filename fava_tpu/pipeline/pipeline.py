@@ -58,6 +58,7 @@ _ANALYSIS_KEYS = {
     "flame surface": (),
     "turbulence summary": (),
     "velocity gradient statistics": (),
+    "gradient invariant pdfs": (),
     "filtered ke flux": (),
     "structure function exponents": (),
     "two point correlation": ("field",),
@@ -358,6 +359,7 @@ class Pipeline:
             "velocity gradient statistics": lambda **kw: self.model.velocity_gradient_statistics(
                 **kw
             ),
+            "gradient invariant pdfs": lambda **kw: self.model.gradient_invariant_pdfs(**kw),
             "filtered ke flux": lambda **kw: self.model.filtered_kinetic_energy_flux(**kw),
             "structure function exponents": lambda **kw: _exponents_as_dict(
                 self.model.structure_function_exponents(**kw)

@@ -78,6 +78,10 @@ def main() -> None:
         "velocity_gradient_statistics",
         lambda: grad_ops.velocity_gradient_statistics(vx, vy, vz),
     )
+    rec["gradient_invariant_pdfs"] = timed(
+        "gradient_invariant_pdfs",
+        lambda: grad_ops.gradient_invariant_pdfs(vx, vy, vz),
+    )
     rec["projection_uniform"] = timed(
         "projection_uniform",
         lambda: proj_ops.project_uniform(dens, (d, d, d), axis=0, weight=dens),

@@ -736,6 +736,49 @@ def validate_analyses() -> dict:
         },
     }
 
+    # --- gradient invariant (Q, R) joint PDFs ----------------------------
+    # Exact-count check vs f64 NumPy invariants + np.histogram2d at the
+    # SAME (f32-derived) ranges: the fused pdf2d kernel must place every
+    # cell identically; only f32 rounding of Q/R near bin edges can move
+    # counts (report the scaled count error).
+    print("== analyses: gradient invariant pdfs ==", flush=True)
+    got_qr = grad_ops.gradient_invariant_pdfs(*vels_dev, nbins=(64, 64), qr_range=6.0)
+    g64 = [[None] * 3 for _ in range(3)]
+    dxs = [2.0 * np.pi / nn] * 3
+    for i in range(3):
+        for j in range(3):
+            g64[i][j] = (
+                np.roll(vels64[i], -1, axis=j) - np.roll(vels64[i], 1, axis=j)
+            ) / (2.0 * dxs[j])
+    P64 = -(g64[0][0] + g64[1][1] + g64[2][2])
+    trA2_64 = sum(g64[i][j] * g64[j][i] for i in range(3) for j in range(3))
+    Q64 = 0.5 * (P64 * P64 - trA2_64)
+    det64 = (
+        g64[0][0] * (g64[1][1] * g64[2][2] - g64[1][2] * g64[2][1])
+        - g64[0][1] * (g64[1][0] * g64[2][2] - g64[1][2] * g64[2][0])
+        + g64[0][2] * (g64[1][0] * g64[2][1] - g64[1][1] * g64[2][0])
+    )
+    R64 = -det64
+    qw_got = got_qr["q_w"]
+    ref_qr_counts, _, _ = np.histogram2d(
+        Q64.ravel(),
+        R64.ravel(),
+        bins=(64, 64),
+        range=[(-6.0 * qw_got, 6.0 * qw_got), (-6.0 * qw_got**1.5, 6.0 * qw_got**1.5)],
+    )
+    w2_64 = (
+        (g64[2][1] - g64[1][2]) ** 2
+        + (g64[0][2] - g64[2][0]) ** 2
+        + (g64[1][0] - g64[0][1]) ** 2
+    )
+    out["gradient_invariant_pdfs"] = {
+        "config": {"n": 128, "nbins": 64, "qr_range": 6.0},
+        "max_scaled_error": {
+            "q_w": _scaled_err(qw_got, w2_64.mean() / 4.0),
+            "counts": _scaled_err(got_qr["counts"], ref_qr_counts),
+        },
+    }
+
     # --- out-of-core twins on chip ---------------------------------------
     # The streamed summary/correlations use donated-buffer
     # dynamic_update_slice writes and chunked matmuls whose TPU

@@ -152,3 +152,83 @@ def test_gradient_stats_sharded_inputs_match_unsharded(uniform_file_32, eight_de
 
     for k, r in ref.items():
         np.testing.assert_allclose(got[k], r, rtol=1e-9, atol=1e-12, err_msg=k)
+
+
+def _qr_oracle(vels, lengths=None, boundary="periodic"):
+    """f64 NumPy invariants + Q_w with the same FD/normalization."""
+    nd = 3
+    shape = vels[0].shape
+    dx = (
+        [2.0 * np.pi / n for n in shape]
+        if lengths is None
+        else [float(L) / n for L, n in zip(lengths, shape)]
+    )
+    inner = tuple(slice(1, -1) for _ in range(nd))
+
+    def grad(i, j):
+        d = (np.roll(vels[i], -1, axis=j) - np.roll(vels[i], 1, axis=j)) / (2.0 * dx[j])
+        return d[inner] if boundary == "interior" else d
+
+    g = [[grad(i, j) for j in range(3)] for i in range(3)]
+    P = -(g[0][0] + g[1][1] + g[2][2])
+    trA2 = sum(g[i][j] * g[j][i] for i in range(3) for j in range(3))
+    Q = 0.5 * (P * P - trA2)
+    det = (
+        g[0][0] * (g[1][1] * g[2][2] - g[1][2] * g[2][1])
+        - g[0][1] * (g[1][0] * g[2][2] - g[1][2] * g[2][0])
+        + g[0][2] * (g[1][0] * g[2][1] - g[1][1] * g[2][0])
+    )
+    R = -det
+    w2 = (g[2][1] - g[1][2]) ** 2 + (g[0][2] - g[2][0]) ** 2 + (g[1][0] - g[0][1]) ** 2
+    return Q, R, w2.mean() / 4.0
+
+
+def test_invariant_pdfs_match_histogram2d_oracle():
+    vels = _fields((12, 12, 12), 21)
+    out = grad_ops.gradient_invariant_pdfs(
+        *[jnp.asarray(v) for v in vels], nbins=(24, 20), qr_range=6.0
+    )
+    Q, R, qw = _qr_oracle(vels)
+    np.testing.assert_allclose(out["q_w"], qw, rtol=1e-12)
+    counts, _, _ = np.histogram2d(
+        Q.ravel(),
+        R.ravel(),
+        bins=(24, 20),
+        range=[(-6.0 * qw, 6.0 * qw), (-6.0 * qw**1.5, 6.0 * qw**1.5)],
+    )
+    np.testing.assert_allclose(out["counts"], counts)
+    # pdf integrates to the inside fraction over the normalized axes
+    areas = np.diff(out["q_edges"])[:, None] * np.diff(out["r_edges"])[None, :]
+    np.testing.assert_allclose(
+        (out["pdf"] * areas).sum(), out["inside_fraction"], rtol=1e-12
+    )
+    np.testing.assert_allclose(out["inside_fraction"], counts.sum() / Q.size, rtol=1e-12)
+
+
+def test_invariant_pdfs_solid_body_rotation():
+    # u = Omega x r: A is constant antisymmetric, so every cell sits at
+    # (Q, R) = (Omega^2, 0) and Q_w = Omega^2 -> normalized (1, 0).
+    n, L, Om = 12, 1.0, 0.7
+    x = ((np.arange(n) + 0.5) * (L / n))
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    ux = np.broadcast_to((-Om * Y)[:, :, None], (n, n, n)).copy()
+    uy = np.broadcast_to((Om * X)[:, :, None], (n, n, n)).copy()
+    uz = np.zeros((n, n, n))
+    out = grad_ops.gradient_invariant_pdfs(
+        jnp.asarray(ux), jnp.asarray(uy), jnp.asarray(uz),
+        lengths=(L, L, L), nbins=(16, 16), qr_range=2.0, boundary="interior",
+    )
+    ncells = (n - 2) ** 3
+    assert out["inside_fraction"] == 1.0
+    np.testing.assert_allclose(out["q_w"], Om**2, rtol=1e-12)
+    # all counts in the bin containing normalized (Q, R) = (1, 0)
+    qi = np.searchsorted(out["q_edges"], 1.0) - 1
+    nz = np.nonzero(out["counts"])
+    assert set(nz[0].tolist()) == {qi}
+    assert out["counts"].sum() == ncells
+
+
+def test_invariant_pdfs_validation():
+    v = jnp.zeros((8, 8))
+    with pytest.raises(ValueError):
+        grad_ops.gradient_invariant_pdfs(v, v, v)  # 2D volumes

@@ -107,6 +107,7 @@ def test_pipeline_optional_analyses(pipeline_dir):
     settings["flame surface"] = {"skip": False, "settings": {"field": "flam"}}
     settings["turbulence summary"] = {"skip": False}
     settings["velocity gradient statistics"] = {"skip": False}
+    settings["gradient invariant pdfs"] = {"skip": False, "settings": {"nbins": [16, 16]}}
     settings["filtered ke flux"] = {"skip": False, "settings": {"cutoffs": [2.0, 4.0]}}
     settings["structure function exponents"] = {
         "skip": False,
@@ -118,7 +119,7 @@ def test_pipeline_optional_analyses(pipeline_dir):
     anl = sorted(out.glob("*hdf5_analysis_*"))
     found_favre = found_pdf = found_sspec = found_dpdf = found_tpc = found_vc = found_proj = False
     found_ens = found_hel = found_tr = found_cg = found_ex = found_dec = found_an = found_fs = found_ts = False
-    found_vg = False
+    found_vg = found_qr = False
     for p in anl:
         with h5py.File(p, "r") as f:
             found_favre |= "favre profiles" in f
@@ -136,11 +137,14 @@ def test_pipeline_optional_analyses(pipeline_dir):
             found_fs |= "flame surface" in f
             found_ts |= "turbulence summary" in f
             found_vg |= "velocity gradient statistics" in f
+            if "gradient invariant pdfs" in f:
+                assert f["gradient invariant pdfs"]["counts"].shape == (16, 16)
+                found_qr = True
             found_cg |= "filtered ke flux" in f
             found_ex |= "structure function exponents" in f
     assert found_favre and found_pdf and found_sspec and found_dpdf and found_tpc and found_vc and found_proj
     assert found_ens and found_hel and found_tr and found_cg and found_ex and found_dec and found_an and found_fs and found_ts
-    assert found_vg
+    assert found_vg and found_qr
 
 
 def test_shipped_settings_template_runs(pipeline_dir):
