@@ -33,7 +33,10 @@ from fava_tpu.analysis.filtered_ke_flux import (
 )
 from fava_tpu.analysis.dispersion import dispersion_statistics
 from fava_tpu.analysis.particle_structure import particle_structure_functions
-from fava_tpu.analysis.structure_functions import structure_functions
+from fava_tpu.analysis.structure_functions import (
+    structure_functions,
+    velocity_increment_pdfs,
+)
 from fava_tpu.analysis.two_point import (
     two_point_correlation,
     velocity_correlations,
@@ -80,6 +83,7 @@ __all__ = [
     "dispersion_statistics",
     "particle_structure_functions",
     "structure_functions",
+    "velocity_increment_pdfs",
     "two_point_correlation",
     "velocity_correlations",
     "density_pdf",

@@ -754,6 +754,36 @@ class FlashUniform(FLASH):
         )
 
     @timer
+    def velocity_increment_pdfs(
+        self,
+        num_seps: int = 8,
+        num_points: int = 65536,
+        sep_bounds: Optional[Sequence[float]] = None,
+        log_scale: bool = True,
+        nbins: int = 101,
+        nsigma: float = 10.0,
+        anisotropic: bool = False,
+        seed: int = 0,
+    ) -> Dict[str, Any]:
+        """PDFs of signed velocity increments vs separation — the
+        intermittency picture behind :meth:`structure_functions`
+        (beyond the reference; conventions in
+        ops.structure.velocity_increment_pdfs)."""
+        vels = [self._volume(f"vel{a}") for a in "xyz"[: self.ndim]]
+        return structure_ops.velocity_increment_pdfs(
+            vels,
+            domain_bounds=self.domain_bounds,
+            num_seps=num_seps,
+            num_points=num_points,
+            sep_bounds=tuple(sep_bounds) if sep_bounds is not None else None,
+            log_scale=log_scale,
+            nbins=nbins,
+            nsigma=nsigma,
+            anisotropic=anisotropic,
+            seed=seed,
+        )
+
+    @timer
     def flagship_analysis(
         self,
         streamed: Optional[bool] = None,

@@ -34,6 +34,80 @@ from fava_tpu.utils import prng
 from fava_tpu.utils import twofloat as tf
 
 
+def _draw_increments(
+    vels,
+    separations,
+    domain_lo,
+    domain_width,
+    cell_size,
+    seed,
+    base,
+    *,
+    num_seps: int,
+    num_points: int,
+    ndim: int,
+    vol_shape,
+    anisotropic: bool,
+):
+    """One (num_seps, num_points) pair draw from streams base..base+2:
+    random first endpoints, isotropic separation directions, periodic
+    wrap, nearest-cell velocity gathers. Returns ``(dv, rhat)`` — the
+    raw velocity-increment vectors and the separation unit vectors —
+    shared (trace-level) by the structure functions and the increment
+    PDFs so both see bit-identical draws for a given stream base."""
+    shape = (num_seps, num_points)
+    dt = domain_lo.dtype
+
+    p1 = domain_lo + prng.uniform(seed, base, shape + (ndim,), dt) * domain_width
+
+    phi = 2.0 * jnp.pi * prng.uniform(seed, base + 1, shape, dt)
+    theta = jnp.arccos(2.0 * prng.uniform(seed, base + 2, shape, dt) - 1.0)
+    sep = separations[:, None]
+    direction = jnp.stack(
+        [
+            jnp.sin(theta) * jnp.cos(phi),
+            jnp.sin(theta) * jnp.sin(phi),
+            jnp.cos(theta),
+        ],
+        axis=-1,
+    )[..., :ndim]
+    p2 = p1 + sep[..., None] * direction
+    # Periodic wrap (reference: FlashUniform.py:375-393).
+    p2 = domain_lo + jnp.mod(p2 - domain_lo, domain_width)
+
+    def cell_index(p):
+        idx = jnp.floor((p - domain_lo) / cell_size).astype(jnp.int32)
+        return jnp.clip(idx, 0, jnp.asarray(vol_shape[:ndim], dtype=jnp.int32) - 1)
+
+    i1 = cell_index(p1)
+    i2 = cell_index(p2)
+
+    ncells = int(np.prod(vol_shape[:ndim]))
+
+    def sample(vol, idx):
+        # Flat int32 gather where it fits (measured 12% faster
+        # than the tuple-index gather at 512^3; sorted-index and
+        # interleaved-component variants measured NO better —
+        # the TPU gather cost is per random access, locality is
+        # not exploited). Tuple gather handles 2D data and
+        # volumes beyond int32 flattening (~1290^3 cells).
+        if ndim == 3 and ncells < 2**31:
+            flat = (
+                idx[..., 0] * vol_shape[1] + idx[..., 1]
+            ) * vol_shape[2] + idx[..., 2]
+            return vol.reshape(-1)[flat]
+        return vol[tuple(idx[..., a] for a in range(ndim))]
+
+    dv = jnp.stack([sample(v, i2) - sample(v, i1) for v in vels], axis=-1)
+
+    sep_vec = p2 - p1
+    if anisotropic:
+        rhat = jnp.zeros_like(sep_vec).at[..., 0].set(1.0)
+    else:
+        rhat = sep_vec / jnp.sqrt(jnp.sum(sep_vec**2, axis=-1, keepdims=True))
+    return dv, rhat
+
+
 @lru_cache(maxsize=16)
 def _build_vsf_fn(
     num_seps: int,
@@ -48,57 +122,20 @@ def _build_vsf_fn(
         seed = (seed_hi, seed_lo)  # full 64-bit key through uint32 args
 
         def increments(base):
-            shape = (num_seps, num_points)
-            dt = domain_lo.dtype
-
-            p1 = domain_lo + prng.uniform(seed, base, shape + (ndim,), dt) * domain_width
-
-            phi = 2.0 * jnp.pi * prng.uniform(seed, base + 1, shape, dt)
-            theta = jnp.arccos(2.0 * prng.uniform(seed, base + 2, shape, dt) - 1.0)
-            sep = separations[:, None]
-            direction = jnp.stack(
-                [
-                    jnp.sin(theta) * jnp.cos(phi),
-                    jnp.sin(theta) * jnp.sin(phi),
-                    jnp.cos(theta),
-                ],
-                axis=-1,
-            )[..., :ndim]
-            p2 = p1 + sep[..., None] * direction
-            # Periodic wrap (reference: FlashUniform.py:375-393).
-            p2 = domain_lo + jnp.mod(p2 - domain_lo, domain_width)
-
-            def cell_index(p):
-                idx = jnp.floor((p - domain_lo) / cell_size).astype(jnp.int32)
-                return jnp.clip(idx, 0, jnp.asarray(vol_shape[:ndim], dtype=jnp.int32) - 1)
-
-            i1 = cell_index(p1)
-            i2 = cell_index(p2)
-
-            ncells = int(np.prod(vol_shape[:ndim]))
-
-            def sample(vol, idx):
-                # Flat int32 gather where it fits (measured 12% faster
-                # than the tuple-index gather at 512^3; sorted-index and
-                # interleaved-component variants measured NO better —
-                # the TPU gather cost is per random access, locality is
-                # not exploited). Tuple gather handles 2D data and
-                # volumes beyond int32 flattening (~1290^3 cells).
-                if ndim == 3 and ncells < 2**31:
-                    flat = (
-                        idx[..., 0] * vol_shape[1] + idx[..., 1]
-                    ) * vol_shape[2] + idx[..., 2]
-                    return vol.reshape(-1)[flat]
-                return vol[tuple(idx[..., a] for a in range(ndim))]
-
-            dv = jnp.stack([sample(v, i2) - sample(v, i1) for v in vels], axis=-1)
-
-            sep_vec = p2 - p1
-            if anisotropic:
-                rhat = jnp.zeros_like(sep_vec).at[..., 0].set(1.0)
-            else:
-                rhat = sep_vec / jnp.sqrt(jnp.sum(sep_vec**2, axis=-1, keepdims=True))
-
+            dv, rhat = _draw_increments(
+                vels,
+                separations,
+                domain_lo,
+                domain_width,
+                cell_size,
+                seed,
+                base,
+                num_seps=num_seps,
+                num_points=num_points,
+                ndim=ndim,
+                vol_shape=vol_shape,
+                anisotropic=anisotropic,
+            )
             long_comp = jnp.abs(jnp.sum(dv * rhat, axis=-1))
             long_dvel = long_comp[..., None] * rhat
             trans_comp = jnp.sqrt(jnp.sum((dv - long_dvel) ** 2, axis=-1))
@@ -215,6 +252,187 @@ def structure_functions(
         vsfs["transverse"][f"{o}"] = trans_v[o - 1]
     vsfs["separations"] = separations
     return vsfs
+
+
+# Increment-PDF sampling owns stream base 1<<17: structure-function
+# orders use streams 0..29 and the particle pair sampler uses 1<<16, so
+# the three analyses never reuse Threefry words under a shared seed.
+_INC_STREAM = 1 << 17
+
+
+@lru_cache(maxsize=16)
+def _inc_pdf_fn(num_seps: int, num_points: int, ndim: int, nbins: int, vol_shape, anisotropic: bool):
+    from fava_tpu.ops.volume import _interval_hist
+
+    @jax.jit
+    def run(vels, separations, domain_lo, domain_width, cell_size, edges, seed_hi, seed_lo):
+        seed = (seed_hi, seed_lo)  # full 64-bit key through uint32 args
+        dv, rhat = _draw_increments(
+            vels,
+            separations,
+            domain_lo,
+            domain_width,
+            cell_size,
+            seed,
+            jnp.uint32(_INC_STREAM),
+            num_seps=num_seps,
+            num_points=num_points,
+            ndim=ndim,
+            vol_shape=vol_shape,
+            anisotropic=anisotropic,
+        )
+        # SIGNED projections (the structure functions take magnitudes;
+        # the PDFs need the sign — negative-tail asymmetry of the
+        # longitudinal increments IS the energy cascade).
+        dl = jnp.sum(dv * rhat, axis=-1)
+        if ndim == 2:
+            that = jnp.stack([-rhat[..., 1], rhat[..., 0]], axis=-1)
+        else:
+            # One deterministic transverse direction: cross(a, rhat)
+            # with a = z-hat away from the pole, x-hat near it (the
+            # isotropic-turbulence transverse PDF is invariant to the
+            # choice of direction in the plane perpendicular to r).
+            xhat = jnp.zeros((3,), dtype=rhat.dtype).at[0].set(1.0)
+            zhat = jnp.zeros((3,), dtype=rhat.dtype).at[2].set(1.0)
+            polar = jnp.abs(rhat[..., 2:3]) > 0.9
+            a = jnp.where(polar, xhat, zhat)
+            that = jnp.cross(a, rhat)
+            that = that / jnp.sqrt(jnp.sum(that**2, axis=-1, keepdims=True))
+        dt_ = jnp.sum(dv * that, axis=-1)
+
+        adt = accum_dtype()
+
+        def stats_and_counts(x):
+            xa = x.astype(adt)
+            mean = jnp.mean(xa, axis=1)
+            c = xa - mean[:, None]  # two-pass centering (f32-safe)
+            m2 = jnp.mean(c * c, axis=1)
+            m3 = jnp.mean(c * c * c, axis=1)
+            m4 = jnp.mean((c * c) ** 2, axis=1)
+            std = jnp.sqrt(m2)
+            safe = jnp.where(std > 0, std, jnp.ones_like(std))
+            z = c / safe[:, None]
+            counts = jax.vmap(
+                lambda row: _interval_hist(row, None, edges, nbins, counting=True)
+            )(z)
+            s2 = jnp.where(m2 > 0, m2, jnp.ones_like(m2))
+            nan = jnp.asarray(jnp.nan, dtype=adt)
+            skew = jnp.where(m2 > 0, m3 / (s2 * jnp.sqrt(s2)), nan)
+            flat = jnp.where(m2 > 0, m4 / (s2 * s2), nan)
+            # counts <= num_points < 2^24 stay exact through the adt cast
+            return jnp.concatenate(
+                [counts.astype(adt).T, jnp.stack([mean, std, skew, flat])]
+            )
+
+        # one packed fetch: [long block; trans block], each (nbins+4, num_seps)
+        return jnp.concatenate([stats_and_counts(dl), stats_and_counts(dt_)])
+
+    return run
+
+
+def velocity_increment_pdfs(
+    vels: Sequence[jax.Array],
+    *,
+    domain_bounds: np.ndarray,
+    num_seps: int = 8,
+    num_points: int = 65536,
+    sep_bounds: Optional[Sequence[float]] = None,
+    log_scale: bool = True,
+    nbins: int = 101,
+    nsigma: float = 10.0,
+    anisotropic: bool = False,
+    seed: int = 0,
+) -> Dict[str, Dict[str, np.ndarray] | np.ndarray]:
+    """PDFs of signed velocity increments at a handful of separations.
+
+    The distributions whose moments are the structure functions — and
+    the classic intermittency picture the raw moments compress away:
+    near-Gaussian increment PDFs at integral-scale separations grow
+    fat stretched-exponential tails as r drops toward the dissipative
+    range, and the longitudinal PDF skews negative (the cascade).
+    Beyond the reference, which computes only the unsigned moments
+    (fava/mesh/FLASH/FlashUniform.py:306-447).
+
+    Sampling reuses the structure-function pair machinery
+    (:func:`_draw_increments`) on a dedicated Threefry stream base
+    (``1 << 17``) — same isotropic-direction draw, periodic wrap, and
+    nearest-cell gathers — but keeps the SIGN of the longitudinal
+    projection dv.rhat and of one deterministic transverse component
+    dv.that (that ⊥ rhat). Per separation, increments are centered and
+    normalized by their own standard deviation on device, then counted
+    into ``nbins`` equal bins spanning ``[-nsigma, +nsigma]`` standard
+    deviations (np.histogram semantics; out-of-range samples are
+    dropped, so counts may sum below ``num_points``). Everything comes
+    back in ONE packed fetch (counts + mean/std/skewness/flatness per
+    separation and component).
+
+    Returns ``{"separations", "edges" (normalized units, nbins+1),
+    "longitudinal": {"counts" (num_seps, nbins), "mean", "std",
+    "skewness", "flatness"}, "transverse": {...}}``. A constant field
+    gives std 0: all counts land in the center bin and
+    skewness/flatness are NaN.
+    """
+    ndim = len(vels)
+    vol_shape = tuple(int(s) for s in vels[0].shape)
+    if not 0 < int(num_points) < 2**24:
+        raise ValueError(
+            f"num_points must be in (0, 2^24) so packed f32 counts stay "
+            f"integer-exact, got {num_points}"
+        )
+    if nbins < 1:
+        raise ValueError(f"nbins must be positive, got {nbins}")
+    if not nsigma > 0:
+        raise ValueError(f"nsigma must be positive, got {nsigma}")
+
+    domain_bounds = np.asarray(domain_bounds, dtype=np.float64)
+    lo = domain_bounds[:ndim, 0]
+    width = domain_bounds[:ndim, 1] - domain_bounds[:ndim, 0]
+    cell_size = width / np.asarray(vol_shape[:ndim], dtype=np.float64)
+
+    if sep_bounds is None:
+        sep_bounds = (float(cell_size.min()), float(width.min()) / 2.0)
+    if log_scale and sep_bounds[0] <= 0.0:
+        raise ValueError(
+            f"sep_bounds lower bound must be positive with log_scale=True, got {sep_bounds[0]}"
+        )
+    if log_scale:
+        separations = np.geomspace(sep_bounds[0], sep_bounds[1], num_seps)
+    else:
+        separations = np.linspace(sep_bounds[0], sep_bounds[1], num_seps)
+
+    edges = np.linspace(-float(nsigma), float(nsigma), int(nbins) + 1)
+
+    fn = _inc_pdf_fn(
+        int(num_seps), int(num_points), ndim, int(nbins), vol_shape, bool(anisotropic)
+    )
+    dt = vels[0].dtype
+    packed = np.asarray(
+        fn(
+            tuple(jnp.asarray(v) for v in vels),
+            jnp.asarray(separations, dtype=dt),
+            jnp.asarray(lo, dtype=dt),
+            jnp.asarray(width, dtype=dt),
+            jnp.asarray(cell_size, dtype=dt),
+            jnp.asarray(edges, dtype=accum_dtype()),
+            *(jnp.asarray(w) for w in prng._key(int(seed))),
+        ),
+        dtype=np.float64,
+    )
+    rows = int(nbins) + 4
+    out: Dict[str, Dict[str, np.ndarray] | np.ndarray] = {
+        "separations": separations,
+        "edges": edges,
+    }
+    for i, comp in enumerate(("longitudinal", "transverse")):
+        block = packed[i * rows : (i + 1) * rows]
+        out[comp] = {
+            "counts": block[: int(nbins)].T,
+            "mean": block[int(nbins)],
+            "std": block[int(nbins) + 1],
+            "skewness": block[int(nbins) + 2],
+            "flatness": block[int(nbins) + 3],
+        }
+    return out
 
 
 def she_leveque(orders) -> np.ndarray:

@@ -59,6 +59,7 @@ _ANALYSIS_KEYS = {
     "turbulence summary": (),
     "velocity gradient statistics": (),
     "gradient invariant pdfs": (),
+    "velocity increment pdfs": (),
     "filtered ke flux": (),
     "structure function exponents": (),
     "two point correlation": ("field",),
@@ -360,6 +361,7 @@ class Pipeline:
                 **kw
             ),
             "gradient invariant pdfs": lambda **kw: self.model.gradient_invariant_pdfs(**kw),
+            "velocity increment pdfs": lambda **kw: self.model.velocity_increment_pdfs(**kw),
             "filtered ke flux": lambda **kw: self.model.filtered_kinetic_energy_flux(**kw),
             "structure function exponents": lambda **kw: _exponents_as_dict(
                 self.model.structure_function_exponents(**kw)

@@ -779,6 +779,89 @@ def validate_analyses() -> dict:
         },
     }
 
+    # --- velocity increment PDFs ------------------------------------------
+    # Same-draw oracle: identical Threefry words (fetched at the f32
+    # dtype the device path uses) + f64 host geometry/gathers/moments.
+    # f32 device geometry can flip a few nearest-cell lookups and bin
+    # memberships, so counts carry an O(flips/num_points) residual;
+    # moments see O(1/num_points) per flipped gather.
+    print("== analyses: velocity increment pdfs ==", flush=True)
+    from fava_tpu.ops import structure as struct_ops
+    from fava_tpu.utils import prng as _prng
+
+    inc_cfg = dict(num_seps=4, num_points=16384, nbins=31, nsigma=8.0)
+    inc_dom = np.array([[0.0, 2.0 * np.pi]] * 3)
+    got_inc = struct_ops.velocity_increment_pdfs(
+        vels_dev, domain_bounds=inc_dom, sep_bounds=(0.1, 2.0), seed=3, **inc_cfg
+    )
+
+    def _inc_oracle():
+        ns, npt, nbins, nsig = (
+            inc_cfg["num_seps"],
+            inc_cfg["num_points"],
+            inc_cfg["nbins"],
+            inc_cfg["nsigma"],
+        )
+        shape = np.asarray(vels64[0].shape)
+        lo, width = inc_dom[:, 0], inc_dom[:, 1] - inc_dom[:, 0]
+        cell = width / shape
+        base = struct_ops._INC_STREAM
+        seed = 3
+        u_pos = np.asarray(
+            _prng.uniform(seed, base, (ns, npt, 3), np.float32), dtype=np.float64
+        )
+        u_phi = np.asarray(_prng.uniform(seed, base + 1, (ns, npt), np.float32), dtype=np.float64)
+        u_the = np.asarray(_prng.uniform(seed, base + 2, (ns, npt), np.float32), dtype=np.float64)
+        seps = np.asarray(got_inc["separations"], dtype=np.float64)
+        p1 = lo + u_pos * width
+        phi = 2.0 * np.pi * u_phi
+        theta = np.arccos(2.0 * u_the - 1.0)
+        dirv = np.stack(
+            [np.sin(theta) * np.cos(phi), np.sin(theta) * np.sin(phi), np.cos(theta)],
+            axis=-1,
+        )
+        p2 = p1 + seps[:, None, None] * dirv
+        p2 = lo + np.mod(p2 - lo, width)
+        ci = lambda p: np.clip(np.floor((p - lo) / cell).astype(np.int64), 0, shape - 1)
+        i1, i2 = ci(p1), ci(p2)
+        gather = lambda v, ix: v[ix[..., 0], ix[..., 1], ix[..., 2]]
+        dv = np.stack([gather(v, i2) - gather(v, i1) for v in vels64], axis=-1)
+        sv = p2 - p1
+        rhat = sv / np.sqrt(np.sum(sv**2, axis=-1, keepdims=True))
+        dl = np.sum(dv * rhat, axis=-1)
+        a = np.where(
+            np.abs(rhat[..., 2:3]) > 0.9,
+            np.array([1.0, 0.0, 0.0]),
+            np.array([0.0, 0.0, 1.0]),
+        )
+        that = np.cross(a, rhat)
+        that = that / np.sqrt(np.sum(that**2, axis=-1, keepdims=True))
+        dt = np.sum(dv * that, axis=-1)
+        edges = np.linspace(-nsig, nsig, nbins + 1)
+        out = {}
+        for name, x in (("longitudinal", dl), ("transverse", dt)):
+            c = x - x.mean(axis=1)[:, None]
+            m2 = (c * c).mean(axis=1)
+            z = c / np.sqrt(m2)[:, None]
+            out[name] = {
+                "counts": np.stack([np.histogram(z[s], bins=edges)[0] for s in range(ns)]),
+                "std": np.sqrt(m2),
+                "skewness": (c**3).mean(axis=1) / m2**1.5,
+                "flatness": (c**4).mean(axis=1) / m2**2,
+            }
+        return out
+
+    ref_inc = _inc_oracle()
+    out["velocity_increment_pdfs"] = {
+        "config": {"n": 128, "field": "trig mix", **inc_cfg},
+        "note": "f32 device geometry flips a few nearest-cell gathers/bin edges vs the f64 oracle",
+        "max_scaled_error": {
+            f"{comp}_{k}": _scaled_err(got_inc[comp][k], ref_inc[comp][k])
+            for comp in ("longitudinal", "transverse")
+            for k in ("counts", "std", "skewness", "flatness")
+        },
+    }
+
     # --- out-of-core twins on chip ---------------------------------------
     # The streamed summary/correlations use donated-buffer
     # dynamic_update_slice writes and chunked matmuls whose TPU
