@@ -85,6 +85,11 @@ def main() -> None:
         " flatness =", vg["derivative_flatness"],
         " taylor microscale =", vg["taylor_microscale_mean"],
     )
+    ip = model.velocity_increment_pdfs(num_seps=4, num_points=4096, nbins=41)
+    print(
+        "increment PDFs: longitudinal flatness vs r =",
+        np.round(ip["longitudinal"]["flatness"], 3),
+    )
     pm = model.projection(field="dens", axis=0)
     print("column-density map:", pm["map"].shape, " total:", float(pm["map"].sum()))
 

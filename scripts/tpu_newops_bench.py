@@ -82,6 +82,15 @@ def main() -> None:
         "gradient_invariant_pdfs",
         lambda: grad_ops.gradient_invariant_pdfs(vx, vy, vz),
     )
+    from fava_tpu.ops import structure as st_ops
+
+    bounds = np.array([[0.0, 1.0]] * 3)
+    rec["velocity_increment_pdfs"] = timed(
+        "velocity_increment_pdfs",
+        lambda: st_ops.velocity_increment_pdfs(
+            [vx, vy, vz], domain_bounds=bounds, num_seps=8, num_points=65536
+        ),
+    )
     rec["projection_uniform"] = timed(
         "projection_uniform",
         lambda: proj_ops.project_uniform(dens, (d, d, d), axis=0, weight=dens),
