@@ -308,6 +308,50 @@ def _invariant_fields_fn(shape: Tuple[int, ...], spacings, boundary: str):
     return jax.jit(run)
 
 
+@lru_cache(maxsize=16)
+def _invariant_pdf_fn(
+    shape: Tuple[int, ...],
+    spacings,
+    boundary: str,
+    nbx: int,
+    nby: int,
+    qr_range: float,
+    use_kernel: bool,
+):
+    """ONE fused program for the Q-R joint PDF: gradients -> invariants
+    -> Q_w reduction -> Q_w-scaled bin edges (traced) -> exact joint
+    histogram, plus Q_w bitcast into a trailing int32 row so the whole
+    result is ONE packed fetch. The unfused form paid two dispatch
+    floors and two fetch round trips (~54 ms of the 179 ms measured at
+    512^3 on the tunnel, NEWOPS_512) just to move Q_w to the host and
+    back as histogram ranges."""
+    from fava_tpu.ops import pallas_pdf2d as _pp
+    from fava_tpu.ops.volume import _edges_traced, _hist2d_fn
+
+    fields = _invariant_fields_fn(shape, spacings, boundary)
+
+    @jax.jit
+    def run(vx, vy, vz):
+        Q, R, qw = fields(vx, vy, vz)
+        adt = accum_dtype()
+        qs = jnp.maximum(qw, jnp.asarray(1e-30, dtype=adt))
+        r = jnp.asarray(qr_range, dtype=adt)
+        rs = qs * jnp.sqrt(qs)
+        xe = _edges_traced(-r * qs, r * qs, nbx)
+        ye = _edges_traced(-r * rs, r * rs, nby)
+        if use_kernel:
+            counts = _pp.pdf2d_counts_traced(Q, R, xe, ye)
+        else:
+            counts = _hist2d_fn(nbx, nby, counting=True)(Q, R, Q, xe, ye)
+        # Pack Q_w's raw bits (1 int32 word at f32 accum, 2 at f64)
+        # into one trailing row: counts + scale in a single fetch.
+        bits = jax.lax.bitcast_convert_type(qw[None], jnp.int32).ravel()
+        tail = jnp.zeros((1, nby), dtype=jnp.int32).at[0, : bits.shape[0]].set(bits)
+        return jnp.concatenate([counts, tail])
+
+    return run
+
+
 def gradient_invariant_pdfs(
     velx: jax.Array,
     vely: jax.Array,
@@ -326,9 +370,11 @@ def gradient_invariant_pdfs(
     definitions (see :func:`_invariant_fields_fn`), binned over the
     literature's normalized axes Q/Q_w in [-qr_range, qr_range] and
     R/Q_w^{3/2} likewise, with Q_w = <omega^2>/4 from the same
-    finite-difference pass. The joint histogram runs through the fused
-    pdf2d path (exact counts; the MXU one-hot contraction kernel on
-    TPU). Returns:
+    finite-difference pass. Everything runs as ONE fused program —
+    gradients, invariants, the Q_w reduction, the Q_w-scaled bin edges
+    (traced, never fetched), and the exact joint histogram (the MXU
+    one-hot contraction kernel on TPU), with Q_w bitcast into the
+    int32 result so one packed fetch returns it all. Returns:
 
     * ``q_edges`` / ``r_edges`` — bin edges in NORMALIZED units;
     * ``counts`` — exact np.histogram2d-semantics counts (cells beyond
@@ -346,24 +392,32 @@ def gradient_invariant_pdfs(
         raise ValueError(f"boundary must be one of {_BOUNDARIES}, got {boundary!r}")
     if boundary == "interior" and min(shape) < 3:
         raise ValueError("interior gradients need at least 3 cells per axis")
-    from fava_tpu.ops.volume import pdf2d
+    from fava_tpu.ops import pallas_pdf2d as _pp
 
-    fn = _invariant_fields_fn(shape, _spacings(shape, key), boundary)
-    Q, R, qw_dev = fn(*vels)
-    qw = float(np.asarray(qw_dev))
-    qs = max(qw, 1e-300)
+    if isinstance(nbins, int):
+        nbins = (nbins, nbins)
+    nbx, nby = int(nbins[0]), int(nbins[1])
+    if min(nbx, nby) < 2:
+        raise ValueError(f"gradient_invariant_pdfs needs nbins >= 2 per axis, got {nbins}")
     r = float(qr_range)
-    out = pdf2d(
-        Q,
-        R,
-        nbins=nbins,
-        xrange=(-r * qs, r * qs),
-        yrange=(-r * qs**1.5, r * qs**1.5),
-        density=False,
+    fn = _invariant_pdf_fn(
+        shape,
+        _spacings(shape, key),
+        boundary,
+        nbx,
+        nby,
+        r,
+        _pp.pdf2d_counts_ok(nbx, nby),
     )
-    counts = np.asarray(out["counts"], dtype=np.float64)
-    q_edges = np.asarray(out["xedges"], dtype=np.float64) / qs
-    r_edges = np.asarray(out["yedges"], dtype=np.float64) / qs**1.5
+    packed = np.asarray(fn(*vels))  # (nbx + 1, nby) int32, one fetch
+    counts = packed[:nbx].astype(np.float64)
+    adt = np.dtype(accum_dtype())
+    nwords = adt.itemsize // 4
+    qw = float(packed[nbx, :nwords].view(adt)[0])
+    # Edges are REPORTED in normalized units, where they are the exact
+    # linspace the device scaled by Q_w (Q/Q_w in [-r, r], R/Q_w^1.5).
+    q_edges = np.linspace(-r, r, nbx + 1)
+    r_edges = np.linspace(-r, r, nby + 1)
     ntot = float(np.prod([s - 2 for s in shape] if boundary == "interior" else shape))
     areas = np.diff(q_edges)[:, None] * np.diff(r_edges)[None, :]
     return {

@@ -158,6 +158,44 @@ def _build_pdf2d_fn(nbx: int, nby: int, interpret: bool, weighted: bool = False)
     return jax.jit(run)
 
 
+def _cols_from_edges(e1d: jax.Array) -> jax.Array:
+    """TRACED (128, 128) edge-column matrix from a 1D edges array —
+    the in-jit analog of :func:`_edge_cols` for data-dependent ranges
+    (fused Q-R invariant path, where the edges scale with an on-device
+    Q_w). Same layout: col 0 = lower, col 1 = upper, +inf sentinels
+    past nbins; edge VALUES are f32-rounded here (the host path rounds
+    f64 linspace edges to f32 — at most a one-ulp bin-boundary shift,
+    the same class as VALIDATION's pdf2d bin-edge note)."""
+    nb = e1d.shape[0] - 1
+    lo = jnp.full((LANE,), jnp.inf, dtype=jnp.float32).at[:nb].set(
+        e1d[:-1].astype(jnp.float32)
+    )
+    hi = jnp.full((LANE,), jnp.inf, dtype=jnp.float32).at[:nb].set(
+        e1d[1:].astype(jnp.float32)
+    )
+    e = jnp.full((LANE, LANE), jnp.inf, dtype=jnp.float32)
+    return e.at[:, 0].set(lo).at[:, 1].set(hi)
+
+
+def pdf2d_counts_traced(x, y, xedges: jax.Array, yedges: jax.Array):
+    """In-trace variant of :func:`pdf2d_counts` (unweighted): edges are
+    TRACED 1D arrays, so a caller's jit can fuse data-dependent ranges
+    (e.g. Q_w-normalized invariant bins) with the histogram — no host
+    round trip between the range reduction and the binning. Same exact
+    int32 counts contract."""
+    nbx = int(xedges.shape[0]) - 1
+    nby = int(yedges.shape[0]) - 1
+    xf = x.ravel().astype(jnp.float32)
+    yf = y.ravel().astype(jnp.float32)
+    npad = (-xf.shape[0]) % _K
+    if npad:
+        fill = jnp.full((npad,), jnp.inf, dtype=jnp.float32)
+        xf = jnp.concatenate([xf, fill])
+        yf = jnp.concatenate([yf, fill])
+    fn = _build_pdf2d_fn(nbx, nby, pk.FORCE_INTERPRET, weighted=False)
+    return fn(xf, yf, _cols_from_edges(xedges), _cols_from_edges(yedges))
+
+
 def pdf2d_counts_ok(nbx: int, nby: int) -> bool:
     """Kernel-path legality: on TPU (or interpret), both bin counts fit
     the 128-row edge columns. Any sample count is legal (ragged tails

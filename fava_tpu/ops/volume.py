@@ -141,6 +141,73 @@ def _interval_onehot(v, edges, nbins: int, dtype):
     return m.astype(dtype)
 
 
+def _edges_traced(lo, hi, nbins: int):
+    """In-trace np.linspace twin: ``lo + k * ((hi - lo) / nbins)`` with
+    the endpoint pinned to ``hi`` — bit-identical to np.linspace in the
+    same dtype (np.linspace computes exactly this chain), so the f64
+    CPU oracles keep exact np.histogram parity with traced edges."""
+    k = jnp.arange(nbins + 1, dtype=lo.dtype)
+    return (lo + k * ((hi - lo) / nbins)).at[-1].set(hi)
+
+
+@lru_cache(maxsize=16)
+def _pdf1d_auto_fn(nbins: int):
+    """Fused auto-range counting pdf1d (see :func:`_pdf2d_auto_fn`):
+    one dispatch, ranges bitcast into the int32 counts vector."""
+
+    @jax.jit
+    def run(values):
+        adt = accum_dtype()
+        v = values.ravel().astype(adt)
+        lo = jnp.min(v)
+        hi = jnp.max(v)
+        hi = jnp.where(hi <= lo, lo + 1.0, hi)
+        edges = _edges_traced(lo, hi, nbins)
+        # pin int32: under x64 the interval sums promote to int64 and
+        # concatenation would sign-extend the bitcast words
+        counts = _interval_hist(v, None, edges, nbins, counting=True).astype(jnp.int32)
+        bits = jax.lax.bitcast_convert_type(jnp.stack([lo, hi]), jnp.int32).ravel()
+        return jnp.concatenate([counts, bits])
+
+    return run
+
+
+@lru_cache(maxsize=16)
+def _pdf2d_auto_fn(nbx: int, nby: int, use_kernel: bool):
+    """Fused auto-range counting pdf2d: min/max reductions, traced
+    linspace edges, and the exact joint histogram in ONE program, with
+    the four range scalars bitcast into a trailing int32 row — one
+    dispatch and one packed fetch where the unfused form paid two
+    round trips (min/max fetch, then the histogram call)."""
+    from fava_tpu.ops import pallas_pdf2d as _pp
+
+    @jax.jit
+    def run(xv, yv):
+        adt = accum_dtype()
+        x = xv.ravel()
+        y = yv.ravel()
+        xlo = jnp.min(x).astype(adt)
+        xhi = jnp.max(x).astype(adt)
+        ylo = jnp.min(y).astype(adt)
+        yhi = jnp.max(y).astype(adt)
+        # degenerate (constant-field) guard, same as the host path
+        xhi = jnp.where(xhi <= xlo, xlo + 1.0, xhi)
+        yhi = jnp.where(yhi <= ylo, ylo + 1.0, yhi)
+        xe = _edges_traced(xlo, xhi, nbx)
+        ye = _edges_traced(ylo, yhi, nby)
+        if use_kernel:
+            counts = _pp.pdf2d_counts_traced(xv, yv, xe, ye)
+        else:
+            counts = _hist2d_fn(nbx, nby, counting=True)(xv, yv, xv, xe, ye)
+        bits = jax.lax.bitcast_convert_type(
+            jnp.stack([xlo, xhi, ylo, yhi]), jnp.int32
+        ).ravel()
+        tail = jnp.zeros((1, nby), dtype=jnp.int32).at[0, : bits.shape[0]].set(bits)
+        return jnp.concatenate([counts, tail])
+
+    return run
+
+
 @lru_cache(maxsize=16)
 def _hist2d_fn(nbx: int, nby: int, counting: bool = False):
     """Scatter-free joint histogram: per data chunk, build interval
@@ -226,6 +293,27 @@ def pdf1d(
     if vrange is None:
         if values.size == 0:
             raise ValueError("pdf1d cannot auto-range an empty array; pass vrange")
+        if weights is None:
+            # Fused auto-range: min/max, traced linspace edges, and the
+            # int32 counting histogram in ONE dispatch; the range
+            # scalars ride the counts fetch as bitcast words.
+            packed = np.asarray(_pdf1d_auto_fn(int(nbins))(values))
+            adt = np.dtype(accum_dtype())
+            nw = adt.itemsize // 4
+            counts = packed[:nbins].astype(np.float64)
+            lo, hi = (float(s) for s in packed[nbins : nbins + 2 * nw].view(adt))
+            edges = np.linspace(lo, hi, nbins + 1)
+            out = counts
+            if density:
+                total = counts.sum()
+                widths = np.diff(edges)
+                out = counts / (total * widths) if total > 0 else counts
+            return {
+                "edges": edges,
+                "centers": 0.5 * (edges[1:] + edges[:-1]),
+                "pdf": out,
+                "counts": counts,
+            }
         mm = np.asarray(_minmax_fn(values), dtype=np.float64)  # one fetch
         vrange = (float(mm[0]), float(mm[1]))
     lo, hi = float(vrange[0]), float(vrange[1])
@@ -263,6 +351,38 @@ def pdf2d(
     2^31 per bin (the weighted path accumulates in f32 on TPU)."""
     if xvalues.size == 0 and (xrange is None or yrange is None):
         raise ValueError("pdf2d cannot auto-range empty arrays; pass xrange/yrange")
+    if isinstance(nbins, int):
+        nbins = (nbins, nbins)
+    nwords = 4 * np.dtype(accum_dtype()).itemsize // 4
+    if (
+        xrange is None
+        and yrange is None
+        and weights is None
+        and xvalues.size > 0
+        and int(nbins[1]) >= nwords
+    ):
+        # Fused auto-range: ranges, traced edges, and the histogram in
+        # one dispatch; the range scalars ride the counts fetch.
+        from fava_tpu.ops import pallas_pdf2d as _pp
+
+        nbx, nby = int(nbins[0]), int(nbins[1])
+        fn = _pdf2d_auto_fn(nbx, nby, _pp.pdf2d_counts_ok(nbx, nby))
+        packed = np.asarray(fn(xvalues, yvalues))
+        counts = packed[:nbx].astype(np.float64)
+        scal = packed[nbx, :nwords].view(np.dtype(accum_dtype()))
+        xlo, xhi, ylo, yhi = (float(s) for s in scal)
+        # Reported edges: the f64 linspace of the exact device range
+        # scalars (the device binned against the accum-dtype edges —
+        # identical at f64; at f32 they differ by edge-value rounding
+        # only, the documented pdf2d bin-edge class).
+        xedges = np.linspace(xlo, xhi, nbx + 1)
+        yedges = np.linspace(ylo, yhi, nby + 1)
+        out = counts
+        if density:
+            total = counts.sum()
+            area = np.outer(np.diff(xedges), np.diff(yedges))
+            out = counts / (total * area) if total > 0 else counts
+        return {"xedges": xedges, "yedges": yedges, "pdf": out, "counts": counts}
     if xrange is None and yrange is None:
         mm = np.asarray(_minmax2_fn(xvalues, yvalues), dtype=np.float64)
         xrange = (float(mm[0]), float(mm[1]))
@@ -273,8 +393,6 @@ def pdf2d(
     elif yrange is None:
         mm = np.asarray(_minmax_fn(yvalues), dtype=np.float64)
         yrange = (float(mm[0]), float(mm[1]))
-    if isinstance(nbins, int):
-        nbins = (nbins, nbins)
     xlo, xhi = map(float, xrange)
     ylo, yhi = map(float, yrange)
     if xhi <= xlo:

@@ -280,13 +280,25 @@ def validate_analyses() -> dict:
     yr = (float(vx64.min()), float(vx64.max()))
     got2 = volume_ops.pdf2d(dens, velx, nbins=(32, 32), xrange=xr, yrange=yr)
     ref2_counts, _, _ = np.histogram2d(d64.ravel(), vx64.ravel(), bins=(32, 32), range=[xr, yr])
+    # Fused auto-range pdf2d (one dispatch: traced min/max -> traced
+    # edges -> kernel; the ranges ride the counts fetch as bitcast
+    # words). Oracle bins against the REPORTED edges, so this checks
+    # the on-device f32 min/max + edge chain AND the bitcast transport.
+    gota = volume_ops.pdf2d(dens, velx, nbins=(32, 32))
+    refa_counts, _, _ = np.histogram2d(
+        d64.ravel(), vx64.ravel(), bins=[gota["xedges"], gota["yedges"]]
+    )
     out["pdf"] = {
         "config": {"n": 128, "nbins1d": 64, "nbins2d": 32},
         "max_scaled_error": {
             "pdf1d_counts": _scaled_err(got1["counts"], ref_counts),
             "pdf1d_density": _scaled_err(got1["pdf"], ref_pdf),
             "pdf2d_counts": _scaled_err(got2["counts"], ref2_counts),
+            "pdf2d_auto_counts": _scaled_err(gota["counts"], refa_counts),
         },
+        "auto_range_all_samples_kept": bool(
+            gota["counts"].sum() == d64.size
+        ),
     }
 
     # --- AMR mass + regrid round-trip on-chip --------------------------

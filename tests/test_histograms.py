@@ -185,3 +185,107 @@ def test_pdf_empty_inputs():
         vol.pdf1d(e, nbins=4)
     out1 = vol.pdf1d(e, nbins=4, vrange=(0.0, 1.0), density=False)
     np.testing.assert_array_equal(out1["counts"], np.zeros(4))
+
+
+def test_pallas_pdf2d_counts_traced_edges(force_interpret_pdf2d):
+    """The in-trace edge variant (fused Q-R path) matches the host-edge
+    kernel bit-for-bit when fed the same f32 edge values."""
+    from fava_tpu.ops import pallas_pdf2d as pp
+
+    rng = np.random.default_rng(23)
+    n = pp._K + 97
+    x = rng.normal(0.0, 1.0, n).astype(np.float32)
+    y = rng.normal(0.0, 2.0, n).astype(np.float32)
+    xe = np.linspace(-3.0, 3.0, 25).astype(np.float32)
+    ye = np.linspace(-6.0, 6.0, 17).astype(np.float32)
+    host = np.asarray(pp.pdf2d_counts(jnp.asarray(x), jnp.asarray(y), xe, ye))
+    traced = np.asarray(
+        jax.jit(
+            lambda xv, yv, xev, yev: pp.pdf2d_counts_traced(xv, yv, xev, yev)
+        )(jnp.asarray(x), jnp.asarray(y), jnp.asarray(xe), jnp.asarray(ye))
+    )
+    np.testing.assert_array_equal(traced, host)
+
+
+def test_invariant_pdfs_kernel_path_matches_xla(force_interpret_pdf2d):
+    """gradient_invariant_pdfs through the fused interpret-mode kernel
+    agrees with the XLA fallback (same traced edges, both exact), and
+    the packed Q_w round-trips through the bitcast row."""
+    from fava_tpu.ops import gradients as gr
+
+    rng = np.random.default_rng(24)
+    vels = [jnp.asarray(rng.standard_normal((12, 12, 12))) for _ in range(3)]
+    kern = gr.gradient_invariant_pdfs(*vels, nbins=(16, 12), qr_range=5.0)
+    from fava_tpu.ops import pallas_kernels as pk
+
+    pk.FORCE_INTERPRET = False
+    gr._invariant_pdf_fn.cache_clear()
+    xla = gr.gradient_invariant_pdfs(*vels, nbins=(16, 12), qr_range=5.0)
+    gr._invariant_pdf_fn.cache_clear()
+    np.testing.assert_allclose(kern["q_w"], xla["q_w"], rtol=1e-12)
+    # interpret kernel compares in f32; the f64 XLA edges can differ by
+    # an edge-ulp at bin boundaries — allow single-sample flips only
+    assert np.abs(kern["counts"] - xla["counts"]).sum() <= 4
+
+
+def test_pdf2d_auto_range_fused_matches_histogram2d():
+    """Unweighted auto-range takes the ONE-dispatch fused path (traced
+    min/max -> traced linspace edges -> histogram, ranges bitcast into
+    the counts fetch) and must stay bit-exact vs np.histogram2d's own
+    auto-ranging (identical min/max + linspace chain at f64)."""
+    rng = np.random.default_rng(31)
+    x = rng.normal(2.0, 0.7, 5000)
+    y = rng.lognormal(0.0, 0.5, 5000)
+    out = vol.pdf2d(jnp.asarray(x), jnp.asarray(y), nbins=(12, 9), density=False)
+    ref, xe, ye = np.histogram2d(x, y, bins=(12, 9))
+    np.testing.assert_array_equal(out["counts"], ref)
+    np.testing.assert_allclose(out["xedges"], xe, rtol=0, atol=0)
+    np.testing.assert_allclose(out["yedges"], ye, rtol=0, atol=0)
+    assert out["counts"].sum() == 5000  # full range keeps every sample
+
+
+def test_pdf2d_auto_range_fused_kernel_path(force_interpret_pdf2d):
+    rng = np.random.default_rng(32)
+    from fava_tpu.ops import pallas_pdf2d as pp
+
+    n = pp._K + 53
+    x = rng.normal(0.0, 1.0, n).astype(np.float32)
+    y = rng.normal(0.0, 2.0, n).astype(np.float32)
+    vol._pdf2d_auto_fn.cache_clear()
+    out = vol.pdf2d(jnp.asarray(x), jnp.asarray(y), nbins=(10, 10), density=False)
+    vol._pdf2d_auto_fn.cache_clear()
+    assert out["counts"].sum() == n
+    ref, _, _ = np.histogram2d(
+        x.astype(np.float64), y.astype(np.float64), bins=[out["xedges"], out["yedges"]]
+    )
+    np.testing.assert_array_equal(out["counts"], ref)
+
+
+def test_pdf2d_auto_range_constant_fields():
+    x = jnp.asarray(np.full(257, 3.0))
+    out = vol.pdf2d(x, x, nbins=(8, 8), density=False)
+    # degenerate range widens to lo + 1 on both axes; everything lands
+    # in the first bin (np.histogram2d of a constant does the same)
+    assert out["counts"].sum() == 257
+    assert out["counts"][0, 0] == 257
+    np.testing.assert_allclose(out["xedges"][0], 3.0)
+    np.testing.assert_allclose(out["xedges"][-1], 4.0)
+
+
+def test_pdf1d_auto_range_fused_matches_histogram():
+    rng = np.random.default_rng(33)
+    x = rng.lognormal(0.0, 0.8, 4001)
+    out = vol.pdf1d(jnp.asarray(x), nbins=13, density=True)
+    ref, edges = np.histogram(x, bins=13)
+    np.testing.assert_array_equal(out["counts"], ref)
+    np.testing.assert_allclose(out["edges"], edges, rtol=0, atol=0)
+    refpdf, _ = np.histogram(x, bins=13, density=True)
+    np.testing.assert_allclose(out["pdf"], refpdf, rtol=1e-12)
+
+
+def test_pdf1d_auto_range_constant_field():
+    x = jnp.asarray(np.full(99, -2.0))
+    out = vol.pdf1d(x, nbins=5, density=False)
+    assert out["counts"][0] == 99 and out["counts"].sum() == 99
+    np.testing.assert_allclose(out["edges"][0], -2.0)
+    np.testing.assert_allclose(out["edges"][-1], -1.0)
