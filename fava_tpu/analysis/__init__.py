@@ -31,6 +31,7 @@ from fava_tpu.analysis.filtered_ke_flux import (
     filtered_kinetic_energy_flux,
     structure_function_exponents,
 )
+from fava_tpu.analysis.binned_statistic import binned_statistic
 from fava_tpu.analysis.dispersion import dispersion_statistics
 from fava_tpu.analysis.particle_structure import particle_structure_functions
 from fava_tpu.analysis.structure_functions import (
@@ -80,6 +81,7 @@ __all__ = [
     "turbulence_summary",
     "filtered_kinetic_energy_flux",
     "structure_function_exponents",
+    "binned_statistic",
     "dispersion_statistics",
     "particle_structure_functions",
     "structure_functions",

@@ -883,6 +883,17 @@ class FlashUniform(FLASH):
         )
 
     @timer
+    def binned_statistic(self, xfield: str, yfield: str, **kwargs) -> Dict[str, Any]:
+        """Per-bin count/mean/std of ``yfield`` conditioned on
+        ``xfield`` — the TPU-native scipy.stats.binned_statistic (one
+        fused dispatch; ops/volume.binned_statistic). Uniform grids
+        only: every cell carries equal volume, so the unweighted
+        conditional statistics are the volume-weighted ones."""
+        return volume_ops.binned_statistic(
+            self._scalar_volume(xfield), self._scalar_volume(yfield), **kwargs
+        )
+
+    @timer
     def density_pdf(self, weight: Optional[str] = "volume", **kwargs) -> Dict[str, Any]:
         """Lognormality diagnostics of s = ln(rho/<rho>): weighted
         s-PDF, exact device moments (sigma_s, skewness, kurtosis), the

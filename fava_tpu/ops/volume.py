@@ -558,3 +558,100 @@ def density_pdf(
             raise ValueError(f"mach must be positive, got {m}")
         out["b_parameter"] = float(np.sqrt(np.expm1(sigma**2)) / m)
     return out
+
+
+@lru_cache(maxsize=16)
+def _binned_stat_fn(nbins: int, auto_range: bool):
+    """Fused conditional-statistics program: per x-bin count / sum(y) /
+    sum(y^2) in ONE dispatch and one packed fetch. y is centered by its
+    GLOBAL mean on device before the bin sums (the one-pass per-bin
+    variance then cancels against (bin mean - global mean), not against
+    the full mean — the same f32 discipline as the centered moment
+    passes; see ops/gradients.py design notes). Counts ride the packed
+    accum-dtype vector as the density_pdf hi/lo word split (both words
+    < 2^24 — exact through f32 to 2^31 per bin)."""
+
+    @jax.jit
+    def core(xv, yv, lo_in, hi_in):
+        adt = accum_dtype()
+        x = xv.ravel().astype(adt)
+        y = yv.ravel().astype(adt)
+        if auto_range:
+            lo = jnp.min(x)
+            hi = jnp.max(x)
+            hi = jnp.where(hi > lo, hi, lo + 1.0)
+        else:
+            lo = jnp.asarray(lo_in, dtype=adt)
+            hi = jnp.asarray(hi_in, dtype=adt)
+        edges = _edges_traced(lo, hi, nbins)
+        ymean = jnp.mean(y)
+        yc = y - ymean
+        ci = _interval_hist(x, None, edges, nbins, counting=True)
+        sy = _interval_hist(x, yc, edges, nbins)
+        syy = _interval_hist(x, yc * yc, edges, nbins)
+        scal = jnp.stack([lo, hi, ymean])
+        return jnp.concatenate(
+            [scal, (ci >> 12).astype(adt), (ci & 0xFFF).astype(adt), sy, syy]
+        )
+
+    return core
+
+
+def binned_statistic(
+    xvalues: jax.Array,
+    yvalues: jax.Array,
+    *,
+    nbins: int = 100,
+    vrange: Optional[Tuple[float, float]] = None,
+) -> Dict[str, np.ndarray]:
+    """Conditional bin statistics of ``y`` given ``x`` — the TPU-native
+    scipy.stats.binned_statistic (count + mean + std in one pass; the
+    reference leans on scipy's binned_statistic for its shell binning,
+    fava/mesh/FLASH/FlashUniform.py:260-304, and offers users no
+    general conditional-statistics call). np.histogram bin semantics
+    (half-open bins, last closed, out-of-range samples dropped), edges
+    from ``vrange`` or the measured x min/max — either way the ranges,
+    bin sums, and the histogram fuse into ONE dispatch and one packed
+    fetch.
+
+    Returns ``edges``, ``centers``, ``counts`` (exact), ``mean`` and
+    ``std`` per bin (population std; NaN for empty bins). Typical use:
+    mean temperature conditioned on density, <Q|R> conditional
+    profiles, dissipation conditioned on local Mach.
+    """
+    if nbins < 1:
+        raise ValueError(f"nbins must be >= 1, got {nbins}")
+    if xvalues.size == 0:
+        raise ValueError("binned_statistic needs at least one sample")
+    if tuple(xvalues.shape) != tuple(yvalues.shape):
+        raise ValueError(
+            f"x shape {tuple(xvalues.shape)} does not match y shape {tuple(yvalues.shape)}"
+        )
+    auto = vrange is None
+    if auto:
+        lo_in = hi_in = 0.0
+    else:
+        lo_in, hi_in = (float(v) for v in vrange)
+        if not hi_in > lo_in:
+            raise ValueError(f"vrange must satisfy lo < hi, got ({lo_in}, {hi_in})")
+    packed = np.asarray(
+        _binned_stat_fn(int(nbins), auto)(xvalues, yvalues, lo_in, hi_in),
+        dtype=np.float64,
+    )
+    lo, hi, ymean = packed[:3].tolist()
+    counts = packed[3 : 3 + nbins] * 4096.0 + packed[3 + nbins : 3 + 2 * nbins]
+    sy = packed[3 + 2 * nbins : 3 + 3 * nbins]
+    syy = packed[3 + 3 * nbins :]
+    edges = np.linspace(lo, hi, nbins + 1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean_c = sy / counts
+        var = syy / counts - mean_c**2
+        mean = np.where(counts > 0, ymean + mean_c, np.nan)
+        std = np.where(counts > 0, np.sqrt(np.maximum(var, 0.0)), np.nan)
+    return {
+        "edges": edges,
+        "centers": 0.5 * (edges[1:] + edges[:-1]),
+        "counts": counts,
+        "mean": mean,
+        "std": std,
+    }

@@ -62,6 +62,7 @@ _ANALYSIS_KEYS = {
     "velocity increment pdfs": (),
     "filtered ke flux": (),
     "structure function exponents": (),
+    "binned statistic": ("xfield", "yfield"),
     "two point correlation": ("field",),
     "velocity correlations": (),
 }
@@ -343,6 +344,7 @@ class Pipeline:
             ),
             "pdf1d": lambda **kw: self.model.pdf1d(**kw),
             "pdf2d": lambda **kw: self.model.pdf2d(**kw),
+            "binned statistic": lambda **kw: self.model.binned_statistic(**kw),
             "density pdf": lambda **kw: self.model.density_pdf(**kw),
             "projection": lambda **kw: self.model.projection(**kw),
             "scalar spectra": lambda **kw: self.model.scalar_spectra(**kw),

@@ -91,6 +91,12 @@ def main() -> None:
             [vx, vy, vz], domain_bounds=bounds, num_seps=8, num_points=65536
         ),
     )
+    from fava_tpu.ops.volume import binned_statistic
+
+    rec["binned_statistic"] = timed(
+        "binned_statistic",
+        lambda: binned_statistic(dens, vx, nbins=100),
+    )
     rec["projection_uniform"] = timed(
         "projection_uniform",
         lambda: proj_ops.project_uniform(dens, (d, d, d), axis=0, weight=dens),
