@@ -791,6 +791,32 @@ def validate_analyses() -> dict:
         },
     }
 
+    # --- conditional bin statistics ---------------------------------------
+    # scipy.binned_statistic oracle against the REPORTED edges (same
+    # class as the fused auto pdf2d: on-device f32 min/max + traced
+    # edges + exact counts + centered one-pass bin variance).
+    print("== analyses: binned statistic ==", flush=True)
+    import scipy.stats as _sps
+
+    got_bs = volume_ops.binned_statistic(dens, velx, nbins=64)
+    bs_ref = {
+        stat: _sps.binned_statistic(
+            d64.ravel(), vx64.ravel(), statistic=stat, bins=got_bs["edges"]
+        ).statistic
+        for stat in ("count", "mean", "std")
+    }
+    occ = got_bs["counts"] > 0  # empty bins are NaN in BOTH by contract
+    out["binned_statistic"] = {
+        "config": {"n": 128, "nbins": 64},
+        "max_scaled_error": {
+            "counts": _scaled_err(got_bs["counts"], bs_ref["count"]),
+            "mean": _scaled_err(got_bs["mean"][occ], bs_ref["mean"][occ]),
+            "std": _scaled_err(got_bs["std"][occ], bs_ref["std"][occ]),
+        },
+        "all_samples_kept": bool(got_bs["counts"].sum() == d64.size),
+        "occupied_bins": int(occ.sum()),
+    }
+
     # --- velocity increment PDFs ------------------------------------------
     # Same-draw oracle: identical Threefry words (fetched at the f32
     # dtype the device path uses) + f64 host geometry/gathers/moments.
