@@ -85,6 +85,8 @@ def main() -> None:
         " flatness =", vg["derivative_flatness"],
         " taylor microscale =", vg["taylor_microscale_mean"],
     )
+    bs = model.binned_statistic("dens", "velx", nbins=8)
+    print("conditional <velx|dens>:", np.round(bs["mean"], 3))
     ip = model.velocity_increment_pdfs(num_seps=4, num_points=4096, nbins=41)
     print(
         "increment PDFs: longitudinal flatness vs r =",

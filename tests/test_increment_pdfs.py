@@ -217,3 +217,29 @@ def test_mesh_wrapper_and_registered_analysis(uniform_file):
     assert out["longitudinal"]["counts"].shape == (3, 9)
     # registration attaches the analysis as a Model method
     assert callable(getattr(Model, "velocity_increment_pdfs"))
+
+
+def test_2d_volume_transverse_is_inplane_perp():
+    """2D branch: that = perp(rhat) in-plane. A rigid rotation field
+    u = Om x r has dv = Om x (r2 - r1): the increment is EXACTLY
+    perpendicular to the separation, so every longitudinal increment
+    is 0 (center bin) while transverse increments are +/- Om*r."""
+    n, Om = 24, 0.5
+    x = (np.arange(n) + 0.5) / n
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    ux = jnp.asarray(-Om * Y)
+    uy = jnp.asarray(Om * X)
+    out = velocity_increment_pdfs(
+        [ux, uy],
+        domain_bounds=np.array([[0.0, 1.0], [0.0, 1.0]]),
+        num_seps=3,
+        num_points=256,
+        sep_bounds=(0.1, 0.2),  # small: avoid the periodic wrap (the
+        # wrapped image breaks the rigid-rotation geometry)
+        nbins=11,
+    )
+    lon = out["longitudinal"]
+    # nearest-cell gathers quantize r, so dv.rhat is zero only up to
+    # one cell of quantization -- std(longitudinal) << std(transverse)
+    assert (lon["std"] < 0.2 * out["transverse"]["std"]).all()
+    assert out["transverse"]["counts"].sum() == 3 * 256
