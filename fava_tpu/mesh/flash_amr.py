@@ -563,6 +563,17 @@ class FLASH(Structured):
             vals1, vals2, weights=self._pdf_weights(weight, vals1.shape), **kwargs
         )
 
+    def binned_statistic(self, xfield: str, yfield: str, weight: Optional[str] = "volume", **kwargs):
+        """AMR conditional bin statistics over leaf cells: per-bin raw
+        counts + volume- (or mass-) weighted mean/std of yfield given
+        xfield (ops/volume.binned_statistic; weight=None for
+        unweighted)."""
+        xv = self._leaf_stack(xfield)
+        yv = self._leaf_stack(yfield)
+        return volume_ops.binned_statistic(
+            xv, yv, weights=self._pdf_weights(weight, xv.shape), **kwargs
+        )
+
     def projection(
         self,
         field: str = "dens",

@@ -883,14 +883,20 @@ class FlashUniform(FLASH):
         )
 
     @timer
-    def binned_statistic(self, xfield: str, yfield: str, **kwargs) -> Dict[str, Any]:
+    def binned_statistic(
+        self, xfield: str, yfield: str, weight: Optional[str] = "volume", **kwargs
+    ) -> Dict[str, Any]:
         """Per-bin count/mean/std of ``yfield`` conditioned on
         ``xfield`` — the TPU-native scipy.stats.binned_statistic (one
-        fused dispatch; ops/volume.binned_statistic). Uniform grids
-        only: every cell carries equal volume, so the unweighted
-        conditional statistics are the volume-weighted ones."""
+        fused dispatch; ops/volume.binned_statistic; AMR twin in
+        flash_amr.py). Uniform cells share one volume, so
+        weight="volume" is the exact unweighted path; "mass" weights
+        by dens."""
         return volume_ops.binned_statistic(
-            self._scalar_volume(xfield), self._scalar_volume(yfield), **kwargs
+            self._scalar_volume(xfield),
+            self._scalar_volume(yfield),
+            weights=self._uniform_pdf_weights(weight),
+            **kwargs,
         )
 
     @timer

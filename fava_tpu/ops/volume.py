@@ -561,18 +561,20 @@ def density_pdf(
 
 
 @lru_cache(maxsize=16)
-def _binned_stat_fn(nbins: int, auto_range: bool):
+def _binned_stat_fn(nbins: int, auto_range: bool, weighted: bool = False):
     """Fused conditional-statistics program: per x-bin count / sum(y) /
     sum(y^2) in ONE dispatch and one packed fetch. y is centered by its
-    GLOBAL mean on device before the bin sums (the one-pass per-bin
-    variance then cancels against (bin mean - global mean), not against
-    the full mean — the same f32 discipline as the centered moment
-    passes; see ops/gradients.py design notes). Counts ride the packed
-    accum-dtype vector as the density_pdf hi/lo word split (both words
-    < 2^24 — exact through f32 to 2^31 per bin)."""
+    GLOBAL (weighted) mean on device before the bin sums (the one-pass
+    per-bin variance then cancels against (bin mean - global mean), not
+    against the full mean — the same f32 discipline as the centered
+    moment passes; see ops/gradients.py design notes). Raw counts ride
+    the packed accum-dtype vector as the density_pdf hi/lo word split
+    (both words < 2^24 — exact through f32 to 2^31 per bin); weighted
+    runs append the per-bin weight sums (adt — f32 on TPU, the
+    documented weighted-histogram accumulation class)."""
 
     @jax.jit
-    def core(xv, yv, lo_in, hi_in):
+    def core(xv, yv, wv, lo_in, hi_in):
         adt = accum_dtype()
         x = xv.ravel().astype(adt)
         y = yv.ravel().astype(adt)
@@ -584,15 +586,25 @@ def _binned_stat_fn(nbins: int, auto_range: bool):
             lo = jnp.asarray(lo_in, dtype=adt)
             hi = jnp.asarray(hi_in, dtype=adt)
         edges = _edges_traced(lo, hi, nbins)
-        ymean = jnp.mean(y)
-        yc = y - ymean
         ci = _interval_hist(x, None, edges, nbins, counting=True)
-        sy = _interval_hist(x, yc, edges, nbins)
-        syy = _interval_hist(x, yc * yc, edges, nbins)
+        if weighted:
+            w = wv.ravel().astype(adt)
+            ymean = jnp.sum(w * y) / jnp.sum(w)
+            yc = y - ymean
+            sw = _interval_hist(x, w, edges, nbins)
+            sy = _interval_hist(x, w * yc, edges, nbins)
+            syy = _interval_hist(x, w * yc * yc, edges, nbins)
+        else:
+            ymean = jnp.mean(y)
+            yc = y - ymean
+            sw = None
+            sy = _interval_hist(x, yc, edges, nbins)
+            syy = _interval_hist(x, yc * yc, edges, nbins)
         scal = jnp.stack([lo, hi, ymean])
-        return jnp.concatenate(
-            [scal, (ci >> 12).astype(adt), (ci & 0xFFF).astype(adt), sy, syy]
-        )
+        parts = [scal, (ci >> 12).astype(adt), (ci & 0xFFF).astype(adt), sy, syy]
+        if weighted:
+            parts.append(sw)
+        return jnp.concatenate(parts)
 
     return core
 
@@ -603,6 +615,7 @@ def binned_statistic(
     *,
     nbins: int = 100,
     vrange: Optional[Tuple[float, float]] = None,
+    weights: Optional[jax.Array] = None,
 ) -> Dict[str, np.ndarray]:
     """Conditional bin statistics of ``y`` given ``x`` — the TPU-native
     scipy.stats.binned_statistic (count + mean + std in one pass; the
@@ -614,10 +627,13 @@ def binned_statistic(
     bin sums, and the histogram fuse into ONE dispatch and one packed
     fetch.
 
-    Returns ``edges``, ``centers``, ``counts`` (exact), ``mean`` and
-    ``std`` per bin (population std; NaN for empty bins). Typical use:
-    mean temperature conditioned on density, <Q|R> conditional
-    profiles, dissipation conditioned on local Mach.
+    Returns ``edges``, ``centers``, ``counts`` (exact raw sample
+    counts), ``mean`` and ``std`` per bin (population std; NaN for
+    empty bins). With ``weights`` (AMR cell volumes, mass), mean/std
+    become the weighted conditional statistics and ``weight_sums``
+    (accum-dtype sums per bin) is added. Typical use: mean temperature
+    conditioned on density, <Q|R> conditional profiles, dissipation
+    conditioned on local Mach.
     """
     if nbins < 1:
         raise ValueError(f"nbins must be >= 1, got {nbins}")
@@ -627,6 +643,11 @@ def binned_statistic(
         raise ValueError(
             f"x shape {tuple(xvalues.shape)} does not match y shape {tuple(yvalues.shape)}"
         )
+    weighted = weights is not None
+    if weighted and tuple(weights.shape) != tuple(xvalues.shape):
+        raise ValueError(
+            f"weights shape {tuple(weights.shape)} does not match x shape {tuple(xvalues.shape)}"
+        )
     auto = vrange is None
     if auto:
         lo_in = hi_in = 0.0
@@ -634,24 +655,29 @@ def binned_statistic(
         lo_in, hi_in = (float(v) for v in vrange)
         if not hi_in > lo_in:
             raise ValueError(f"vrange must satisfy lo < hi, got ({lo_in}, {hi_in})")
+    w_in = weights if weighted else xvalues  # ignored when unweighted
     packed = np.asarray(
-        _binned_stat_fn(int(nbins), auto)(xvalues, yvalues, lo_in, hi_in),
+        _binned_stat_fn(int(nbins), auto, weighted)(xvalues, yvalues, w_in, lo_in, hi_in),
         dtype=np.float64,
     )
     lo, hi, ymean = packed[:3].tolist()
     counts = packed[3 : 3 + nbins] * 4096.0 + packed[3 + nbins : 3 + 2 * nbins]
     sy = packed[3 + 2 * nbins : 3 + 3 * nbins]
-    syy = packed[3 + 3 * nbins :]
+    syy = packed[3 + 3 * nbins : 3 + 4 * nbins]
+    norm = packed[3 + 4 * nbins :] if weighted else counts
     edges = np.linspace(lo, hi, nbins + 1)
     with np.errstate(invalid="ignore", divide="ignore"):
-        mean_c = sy / counts
-        var = syy / counts - mean_c**2
+        mean_c = sy / norm
+        var = syy / norm - mean_c**2
         mean = np.where(counts > 0, ymean + mean_c, np.nan)
         std = np.where(counts > 0, np.sqrt(np.maximum(var, 0.0)), np.nan)
-    return {
+    out = {
         "edges": edges,
         "centers": 0.5 * (edges[1:] + edges[:-1]),
         "counts": counts,
         "mean": mean,
         "std": std,
     }
+    if weighted:
+        out["weight_sums"] = norm
+    return out

@@ -78,9 +78,24 @@ def test_mesh_and_registration(tmp_path):
     mask = ~np.isnan(want)
     np.testing.assert_allclose(got[mask], want[mask], rtol=1e-10)
 
-    # AMR meshes route to a clear error, not a bare AttributeError
-    synthetic.make_amr_file(tmp_path / "rt_hdf5_plt_cnt_0001", ncells=(4, 4, 4), nblks=(2, 2, 2))
+    # AMR twin: volume-weighted conditional statistics over leaf cells
+    synthetic.make_amr_file(
+        tmp_path / "rt_hdf5_plt_cnt_0001", ncells=(4, 4, 4), nblks=(2, 2, 2), refine={0: 2}
+    )
     m2 = fava_tpu.FLASH(tmp_path)
     m2.load(file_type="plt")
-    with pytest.raises(AttributeError, match="uniform-grid"):
-        m2.binned_statistic("dens", "velx")
+    out2 = m2.binned_statistic("dens", "velx", nbins=5)
+    xv2 = np.asarray(m2.mesh._leaf_stack("dens"), dtype=np.float64).ravel()
+    yv2 = np.asarray(m2.mesh._leaf_stack("velx"), dtype=np.float64).ravel()
+    cv = np.asarray(m2.mesh.get_cell_volumes("LEAF"), dtype=np.float64)
+    w2 = np.broadcast_to(cv[:, None, None, None], m2.mesh._leaf_stack("dens").shape).ravel()
+    assert out2["counts"].sum() == xv2.size
+    idx = np.clip(np.searchsorted(out2["edges"], xv2, side="right") - 1, 0, 4)
+    for b in range(5):
+        sel = idx == b
+        if not sel.any():
+            assert np.isnan(out2["mean"][b])
+            continue
+        want = np.sum(w2[sel] * yv2[sel]) / np.sum(w2[sel])
+        np.testing.assert_allclose(out2["mean"][b], want, rtol=1e-10, err_msg=f"bin {b}")
+    np.testing.assert_allclose(out2["weight_sums"].sum(), w2.sum(), rtol=1e-12)
