@@ -488,8 +488,19 @@ def gradient_series(
     times, names, table = _packed_stat_series(paths, fields, make_vec, prefetch_depth)
     result: Dict[str, np.ndarray] = {"times": times}
     if table is not None:
-        # packed layout length identifies nd (48 entries in 3D, 22 in 2D)
-        nd = 3 if len(names) == len(grad_ops.packed_names(3)) else 2
+        # packed layout length identifies nd (48 entries in 3D, 22 in
+        # 2D); anything else means the packed layout changed — fail
+        # loudly rather than misassemble the report as 2D.
+        if len(names) == len(grad_ops.packed_names(3)):
+            nd = 3
+        elif len(names) == len(grad_ops.packed_names(2)):
+            nd = 2
+        else:
+            raise RuntimeError(
+                f"gradient_series: packed vector length {len(names)} matches "
+                f"neither the 3D ({len(grad_ops.packed_names(3))}) nor the 2D "
+                f"({len(grad_ops.packed_names(2))}) layout"
+            )
         reports = [grad_ops.assemble_gradient_stats(row, nd) for row in table]
         for key in reports[0]:
             result[key] = np.stack([np.asarray(r[key]) for r in reports])

@@ -334,7 +334,11 @@ def _invariant_pdf_fn(
     def run(vx, vy, vz):
         Q, R, qw = fields(vx, vy, vz)
         adt = accum_dtype()
-        qs = jnp.maximum(qw, jnp.asarray(1e-30, dtype=adt))
+        # Clamp must keep qs**1.5 NORMAL in f32: 1e-30**1.5 = 1e-45 is
+        # subnormal and flushed to zero on TPU, which would collapse
+        # the R edges (and the histogram) for near-quiescent fields.
+        # 1e-20**1.5 = 1e-30 stays normal.
+        qs = jnp.maximum(qw, jnp.asarray(1e-20, dtype=adt))
         r = jnp.asarray(qr_range, dtype=adt)
         rs = qs * jnp.sqrt(qs)
         xe = _edges_traced(-r * qs, r * qs, nbx)

@@ -18,6 +18,11 @@ Semantics preserved exactly:
  * nearest-cell lookup by floor((p - lo)/dx),
  * longitudinal component |dv . rhat| with rhat from the *wrapped*
    separation vector, transverse = |dv - |dv.rhat| rhat|.
+
+The increment PDFs (velocity_increment_pdfs) deliberately deviate on
+the last point: they decompose against the PRE-wrap draw direction
+(the minimal-image separation) — the wrapped convention is kept only
+where reference parity demands it.
 """
 
 from __future__ import annotations
@@ -51,10 +56,15 @@ def _draw_increments(
 ):
     """One (num_seps, num_points) pair draw from streams base..base+2:
     random first endpoints, isotropic separation directions, periodic
-    wrap, nearest-cell velocity gathers. Returns ``(dv, rhat)`` — the
-    raw velocity-increment vectors and the separation unit vectors —
-    shared (trace-level) by the structure functions and the increment
-    PDFs so both see bit-identical draws for a given stream base."""
+    wrap, nearest-cell velocity gathers. Returns ``(dv, rhat, dirhat)``
+    — the raw velocity-increment vectors, the *wrapped* separation unit
+    vectors (reference-parity convention, FlashUniform.py:418-427), and
+    the *pre-wrap* draw-direction unit vectors (the minimal-image
+    separation: every component of ``sep * direction`` is bounded by
+    ``sep <= width/2``, whereas the wrapped ``p2 - p1`` can approach a
+    full domain width when the endpoint wrapped). Shared (trace-level)
+    by the structure functions and the increment PDFs so both see
+    bit-identical draws for a given stream base."""
     shape = (num_seps, num_points)
     dt = domain_lo.dtype
 
@@ -103,9 +113,15 @@ def _draw_increments(
     sep_vec = p2 - p1
     if anisotropic:
         rhat = jnp.zeros_like(sep_vec).at[..., 0].set(1.0)
+        dirhat = rhat
     else:
         rhat = sep_vec / jnp.sqrt(jnp.sum(sep_vec**2, axis=-1, keepdims=True))
-    return dv, rhat
+        # Pre-wrap direction: exactly unit in 3D; in 2D the truncated
+        # 3-sphere draw has norm sin(theta), so renormalize (guarding
+        # the measure-zero sin(theta) == 0 draw).
+        norm = jnp.sqrt(jnp.sum(direction**2, axis=-1, keepdims=True))
+        dirhat = direction / jnp.where(norm > 0, norm, jnp.ones_like(norm))
+    return dv, rhat, dirhat
 
 
 @lru_cache(maxsize=16)
@@ -122,7 +138,7 @@ def _build_vsf_fn(
         seed = (seed_hi, seed_lo)  # full 64-bit key through uint32 args
 
         def increments(base):
-            dv, rhat = _draw_increments(
+            dv, rhat, _ = _draw_increments(
                 vels,
                 separations,
                 domain_lo,
@@ -267,7 +283,15 @@ def _inc_pdf_fn(num_seps: int, num_points: int, ndim: int, nbins: int, vol_shape
     @jax.jit
     def run(vels, separations, domain_lo, domain_width, cell_size, edges, seed_hi, seed_lo):
         seed = (seed_hi, seed_lo)  # full 64-bit key through uint32 args
-        dv, rhat = _draw_increments(
+        # rhat here is the PRE-WRAP draw direction (minimal image): the
+        # wrapped p2 - p1 vector the structure functions use (parity
+        # with FlashUniform.py:418-427) is non-minimal-image whenever
+        # the second endpoint wrapped — at the default width/2 maximum
+        # separation that contaminates the signed longitudinal /
+        # transverse decomposition for roughly half the draws. The
+        # increment PDFs have no parity constraint, so they decompose
+        # against the exact draw direction instead.
+        dv, _, rhat = _draw_increments(
             vels,
             separations,
             domain_lo,
@@ -358,7 +382,10 @@ def velocity_increment_pdfs(
     (``1 << 17``) — same isotropic-direction draw, periodic wrap, and
     nearest-cell gathers — but keeps the SIGN of the longitudinal
     projection dv.rhat and of one deterministic transverse component
-    dv.that (that ⊥ rhat). Per separation, increments are centered and
+    dv.that (that ⊥ rhat), with rhat the PRE-wrap draw direction (the
+    minimal-image separation; the structure functions' wrapped p2-p1
+    convention is reference parity, but it mis-decomposes any pair
+    whose endpoint wrapped). Per separation, increments are centered and
     normalized by their own standard deviation on device, then counted
     into ``nbins`` equal bins spanning ``[-nsigma, +nsigma]`` standard
     deviations (np.histogram semantics; out-of-range samples are

@@ -136,8 +136,8 @@ def _oracle(vels_np, separations, domain, num_seps, num_points, nbins, nsigma, s
         return vol[idx[..., 0], idx[..., 1], idx[..., 2]]
 
     dv = np.stack([sample(v, i2) - sample(v, i1) for v in vels_np], axis=-1)
-    sep_vec = p2 - p1
-    rhat = sep_vec / np.sqrt(np.sum(sep_vec**2, axis=-1, keepdims=True))
+    # pre-wrap draw direction (minimal image), NOT the wrapped p2 - p1
+    rhat = direction / np.sqrt(np.sum(direction**2, axis=-1, keepdims=True))
     dl = np.sum(dv * rhat, axis=-1)
     polar = np.abs(rhat[..., 2:3]) > 0.9
     a = np.where(polar, np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0]))
@@ -191,6 +191,48 @@ def test_same_draw_numpy_oracle():
             np.testing.assert_allclose(out[comp][k], ora[comp][k], rtol=1e-10, atol=1e-13)
 
 
+def test_prewrap_rhat_is_minimal_image():
+    """The increment-PDF decomposition direction must be the minimal-
+    image separation: sep * dirhat equals (p2 - p1) wrapped into
+    [-width/2, width/2) per component, while the structure-function
+    (wrapped p2 - p1) rhat disagrees for every pair whose endpoint
+    wrapped. Regression for the post-wrap decomposition bug."""
+    from fava_tpu.ops.structure import _draw_increments
+
+    rng = np.random.default_rng(3)
+    vols = tuple(jnp.asarray(rng.standard_normal((8, 8, 8))) for _ in range(3))
+    width = np.array([1.0, 1.0, 1.0])
+    seps = jnp.asarray(np.array([0.35, 0.49]))  # near width/2: many wraps
+    dv, rhat, dirhat = _draw_increments(
+        vols,
+        seps,
+        jnp.zeros(3, dtype=jnp.float64),
+        jnp.asarray(width),
+        jnp.asarray(width / 8),
+        prng._key(0),
+        _INC_STREAM,
+        num_seps=2,
+        num_points=512,
+        ndim=3,
+        vol_shape=(8, 8, 8),
+        anisotropic=False,
+    )
+    dirhat = np.asarray(dirhat)
+    np.testing.assert_allclose(np.sum(dirhat**2, axis=-1), 1.0, atol=1e-12)
+    # reconstruct the endpoints exactly as _draw_increments draws them
+    u_pos = np.asarray(prng.uniform((0, 0), _INC_STREAM, (2, 512, 3), jnp.float64))
+    p1 = u_pos * width
+    disp = np.asarray(seps)[:, None, None] * dirhat
+    p2 = np.mod(p1 + disp, width)
+    miv = np.mod(p2 - p1 + width / 2, width) - width / 2
+    np.testing.assert_allclose(miv, disp, atol=1e-12)
+    # the wrapped-vector rhat is NOT minimal image once an endpoint wraps
+    wrapped = np.any(np.abs(p2 - p1 - disp) > 1e-9, axis=-1)
+    assert wrapped.any()
+    mismatch = np.abs(np.asarray(rhat) - dirhat).max(axis=-1) > 1e-6
+    np.testing.assert_array_equal(mismatch, wrapped)
+
+
 def test_argument_validation():
     vels = [jnp.ones((4, 4, 4)) for _ in range(3)]
     with pytest.raises(ValueError, match="num_points"):
@@ -220,26 +262,59 @@ def test_mesh_wrapper_and_registered_analysis(uniform_file):
 
 
 def test_2d_volume_transverse_is_inplane_perp():
-    """2D branch: that = perp(rhat) in-plane. A rigid rotation field
-    u = Om x r has dv = Om x (r2 - r1): the increment is EXACTLY
-    perpendicular to the separation, so every longitudinal increment
-    is 0 (center bin) while transverse increments are +/- Om*r."""
+    """2D branch: rhat is the pre-wrap draw direction and
+    that = perp(rhat) in-plane. Same-draw NumPy oracle reproduces the
+    device moments exactly; the rigid-rotation closed form (dv exactly
+    perpendicular to the cell-center separation) is asserted on the
+    UNWRAPPED pairs the oracle can identify — a rigid rotation is not a
+    periodic field, so wrapped pairs carry the wrap's geometry, which
+    is the field's fault, not the decomposition's."""
     n, Om = 24, 0.5
     x = (np.arange(n) + 0.5) / n
     X, Y = np.meshgrid(x, x, indexing="ij")
-    ux = jnp.asarray(-Om * Y)
-    uy = jnp.asarray(Om * X)
+    ux, uy = -Om * Y, Om * X
+    num_seps, num_points = 3, 256
     out = velocity_increment_pdfs(
-        [ux, uy],
+        [jnp.asarray(ux), jnp.asarray(uy)],
         domain_bounds=np.array([[0.0, 1.0], [0.0, 1.0]]),
-        num_seps=3,
-        num_points=256,
-        sep_bounds=(0.1, 0.2),  # small: avoid the periodic wrap (the
-        # wrapped image breaks the rigid-rotation geometry)
+        num_seps=num_seps,
+        num_points=num_points,
+        sep_bounds=(0.1, 0.2),
         nbins=11,
     )
-    lon = out["longitudinal"]
-    # nearest-cell gathers quantize r, so dv.rhat is zero only up to
-    # one cell of quantization -- std(longitudinal) << std(transverse)
-    assert (lon["std"] < 0.2 * out["transverse"]["std"]).all()
-    assert out["transverse"]["counts"].sum() == 3 * 256
+    # --- same-draw oracle for the 2D branch ---
+    seps = out["separations"]
+    sshape = (num_seps, num_points)
+    u_pos = np.asarray(prng.uniform(0, _INC_STREAM, sshape + (2,), jnp.float64))
+    u_phi = np.asarray(prng.uniform(0, _INC_STREAM + 1, sshape, jnp.float64))
+    u_the = np.asarray(prng.uniform(0, _INC_STREAM + 2, sshape, jnp.float64))
+    phi = 2.0 * np.pi * u_phi
+    theta = np.arccos(2.0 * u_the - 1.0)
+    direction = np.stack(
+        [np.sin(theta) * np.cos(phi), np.sin(theta) * np.sin(phi)], axis=-1
+    )
+    p1 = u_pos
+    p2 = np.mod(p1 + seps[:, None, None] * direction, 1.0)
+    i1 = np.clip(np.floor(p1 * n).astype(int), 0, n - 1)
+    i2 = np.clip(np.floor(p2 * n).astype(int), 0, n - 1)
+    dv = np.stack(
+        [v[i2[..., 0], i2[..., 1]] - v[i1[..., 0], i1[..., 1]] for v in (ux, uy)],
+        axis=-1,
+    )
+    norm = np.sqrt(np.sum(direction**2, axis=-1, keepdims=True))
+    rhat = direction / np.where(norm > 0, norm, 1.0)
+    that = np.stack([-rhat[..., 1], rhat[..., 0]], axis=-1)
+    dl = np.sum(dv * rhat, axis=-1)
+    dt = np.sum(dv * that, axis=-1)
+    np.testing.assert_allclose(out["longitudinal"]["mean"], dl.mean(axis=1), atol=1e-12)
+    np.testing.assert_allclose(out["transverse"]["mean"], dt.mean(axis=1), atol=1e-12)
+    np.testing.assert_allclose(out["longitudinal"]["std"], dl.std(axis=1), atol=1e-12)
+    np.testing.assert_allclose(out["transverse"]["std"], dt.std(axis=1), atol=1e-12)
+    # --- closed form on unwrapped pairs: dv = Om * perp(r2c - r1c) with
+    # r2c - r1c within one cell of sep * rhat, so |dv . rhat| is bounded
+    # by the one-cell quantization while |dv . that| ~ Om * sep ---
+    unwrapped = np.all(np.abs(p2 - p1 - seps[:, None, None] * direction) < 1e-9, axis=-1)
+    assert unwrapped.mean() > 0.5
+    quant = Om * (2.0 / n)  # one cell of center quantization per endpoint
+    assert np.abs(dl[unwrapped]).max() <= quant + 1e-12
+    assert np.abs(dt[unwrapped]).std() > 3 * np.abs(dl[unwrapped]).std()
