@@ -48,57 +48,85 @@ def _grid_size() -> int:
     return 512 if platform in ("tpu", "axon") else 128
 
 
-def _device_time(n: int, repeats: int = 3) -> float:
+def _pack(jnp, out):
+    # Pack every small result into ONE array so syncing costs a
+    # single host round trip (each fetch through the axon tunnel
+    # pays the ~27 ms dispatch floor).
+    return jnp.concatenate(
+        [
+            out["spectra_counts"].ravel(),
+            out["spectra_total"].ravel(),
+            out["spectra_longitudinal"].ravel(),
+            out["spectra_transverse"].ravel(),
+            out["reynolds_stress"].ravel(),
+            out["favre_mean"].ravel(),
+            out["favre_rms"].ravel(),
+            out["mean_dens"].ravel(),
+            jnp.atleast_1d(out["total_mass"]).ravel(),
+        ]
+    )
+
+
+def _device_time(n: int, repeats: int = 3) -> tuple[float, int]:
+    """Best per-snapshot wall at grid n; returns (seconds, batch).
+
+    The production number is the batch-3 series scan
+    (flagship.series_analysis_step): the ~27 ms per-dispatch tunnel
+    floor is paid once per batch instead of once per snapshot
+    (SERIES_512.json: 84.1 ms/snapshot at batch 3 vs 93.9 single).
+    Falls back batch 3 -> 2 -> single on RESOURCE_EXHAUSTED, mirroring
+    the production series driver's graceful OOM fallback
+    (analysis/time_series.flagship_series).
+    """
     import jax
 
     from fava_tpu import utils as futils
-    from fava_tpu.flagship import jitted_analysis_step, make_example_fields
+    from fava_tpu.flagship import (
+        jitted_analysis_step,
+        jitted_series_step,
+        make_example_fields,
+    )
 
     futils.timing.VERBOSE = False
 
-    import jax
     import jax.numpy as jnp
-
-    fields = make_example_fields(n=n)
-    for f in fields:
-        f.block_until_ready()
-
-    inner = jitted_analysis_step(None)
-
-    @jax.jit
-    def step(*f):
-        out = inner(*f)
-        # Pack every small result into ONE array so syncing costs a
-        # single host round trip (each fetch through the axon tunnel
-        # pays the ~27 ms dispatch floor).
-        return jnp.concatenate(
-            [
-                out["spectra_counts"],
-                out["spectra_total"],
-                out["spectra_longitudinal"],
-                out["spectra_transverse"],
-                out["reynolds_stress"].ravel(),
-                out["favre_mean"].ravel(),
-                out["favre_rms"].ravel(),
-                out["mean_dens"],
-                jnp.atleast_1d(out["total_mass"]),
-            ]
-        )
 
     def sync(out):
         # Fetch the packed outputs: forces full device sync (the axon
         # tunnel's block_until_ready does not reliably synchronize).
         np.asarray(out)
 
-    sync(step(*fields))  # compile + first run
+    def timeit(step, args):
+        sync(step(*args))  # compile + first run
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = step(*args)
+            sync(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = step(*fields)
-        sync(out)
-        best = min(best, time.perf_counter() - t0)
-    return best
+    series = jitted_series_step()
+    batched_step = jax.jit(lambda *f: _pack(jnp, series(*f)))
+    for batch in (3, 2):
+        try:
+            snaps = [make_example_fields(n=n, seed=s) for s in range(batch)]
+            batched = [jnp.stack([sn[i] for sn in snaps]) for i in range(4)]
+            del snaps
+            best = timeit(batched_step, batched)
+            del batched
+            return best / batch, batch
+        except Exception as exc:
+            if "RESOURCE_EXHAUSTED" not in str(exc):
+                raise
+            sys.stderr.write(f"bench: batch {batch} OOM; falling back\n")
+
+    inner = jitted_analysis_step(None)
+    step = jax.jit(lambda *f: _pack(jnp, inner(*f)))
+    fields = make_example_fields(n=n)
+    for f in fields:
+        f.block_until_ready()
+    return timeit(step, fields), 1
 
 
 def _numpy_baseline_time(n: int) -> float:
@@ -167,17 +195,18 @@ def _numpy_baseline_time(n: int) -> float:
 def main() -> None:
     _enable_compile_cache()
     n = _grid_size()
-    device_s = _device_time(n)
+    device_s, batch = _device_time(n)
     try:
         baseline_s = _numpy_baseline_time(n)
         vs = baseline_s / device_s
     except MemoryError:
         vs = float("nan")
 
+    batch_tag = f", batch-{batch} series scan" if batch > 1 else ""
     print(
         json.dumps(
             {
-                "metric": f"per-snapshot wall-clock at {n}^3 (spectra + Reynolds stress)",
+                "metric": f"per-snapshot wall-clock at {n}^3 (spectra + Reynolds stress{batch_tag})",
                 "value": round(device_s, 6),
                 "unit": "s",
                 "vs_baseline": round(vs, 2),

@@ -318,8 +318,9 @@ def flagship_series(
     times: list = []
     chunks: Dict[str, list] = {}
     pending: list = []
+    batch_cap: list = [0]  # safe size discovered after an OOM (0 = none)
 
-    def flush(group):
+    def flush_once(group):
         npad = (-len(group)) % n_snap if pod else 0
         group = list(group) + [group[-1]] * npad
         stacked = [stack([vol(s, f) for s in group]) for f in fields]
@@ -327,6 +328,33 @@ def flagship_series(
         for k, v in out.items():
             arr = np.asarray(v)
             chunks.setdefault(k, []).append(arr[: len(group) - npad] if npad else arr)
+
+    def flush(group):
+        # Graceful OOM fallback: the HBM budget heuristic above can
+        # overshoot on devices with other resident buffers, and a raw
+        # RESOURCE_EXHAUSTED mid-series is unactionable. Halve the
+        # batch and retry; remember the cap for the rest of the series.
+        if batch_cap[0] and len(group) > batch_cap[0]:
+            for k in range(0, len(group), batch_cap[0]):
+                flush(group[k : k + batch_cap[0]])
+            return
+        try:
+            flush_once(group)
+        except Exception as exc:
+            if "RESOURCE_EXHAUSTED" not in str(exc) or len(group) <= 1:
+                raise
+            import logging
+
+            half = (len(group) + 1) // 2
+            batch_cap[0] = half
+            logging.getLogger(__name__).warning(
+                "flagship_series: batch %d exhausted device memory; "
+                "falling back to batches of %d for the rest of the series",
+                len(group),
+                half,
+            )
+            flush(group[:half])
+            flush(group[half:])
 
     # Pre-sharded prefetch ONLY on the pod path: the single-chip series
     # scan (plain jit + Pallas kernels) cannot consume mesh-sharded
