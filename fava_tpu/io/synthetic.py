@@ -72,21 +72,28 @@ def build_amr_tree(
     nblks: Tuple[int, int, int],
     domain: np.ndarray,
     refine: Optional[Dict[int, int]] = None,
+    refine_fn: Optional[Callable[[np.ndarray, int], int]] = None,
 ) -> List[AmrBlock]:
     """Build a block tree: root grid at level 1, selected roots refined.
 
     ``refine`` maps a root block's linear index -> target depth (2 means
     the root is split once into 8 level-2 leaves; 3 additionally splits
     the first child, producing mixed-resolution neighbors).
+
+    ``refine_fn(bounds, level) -> target_level`` refines REGIONS the way
+    a production AMR run does (e.g. rtflame refines a band around the
+    flame): every leaf whose target exceeds its level is split into all
+    8 children, re-evaluated recursively — so a region reaches a
+    uniform fine resolution while the rest of the domain stays coarse.
     """
     refine = refine or {}
     blocks: List[AmrBlock] = []
     widths = (domain[:, 1] - domain[:, 0]) / np.asarray(nblks, dtype=np.float64)
 
-    def split(block: AmrBlock, depth_left: int) -> None:
+    def split_all(block: AmrBlock) -> List[AmrBlock]:
         block.node_type = 2
         half = (block.bounds[:, 1] - block.bounds[:, 0]) / 2.0
-        first_child = None
+        children = []
         for ck in range(2):
             for cj in range(2):
                 for ci in range(2):
@@ -97,8 +104,11 @@ def build_amr_tree(
                         node_type=1,
                     )
                     blocks.append(child)
-                    if first_child is None:
-                        first_child = child
+                    children.append(child)
+        return children
+
+    def split(block: AmrBlock, depth_left: int) -> None:
+        first_child = split_all(block)[0]
         if depth_left > 1:
             split(first_child, depth_left - 1)
 
@@ -114,6 +124,13 @@ def build_amr_tree(
     for root_idx, depth in refine.items():
         if depth >= 2:
             split(roots[root_idx], depth - 1)
+
+    if refine_fn is not None:
+        queue = [b for b in blocks if b.node_type == 1]
+        while queue:
+            b = queue.pop()
+            if b.level < int(refine_fn(b.bounds, b.level)):
+                queue.extend(split_all(b))
 
     return blocks
 
@@ -174,11 +191,18 @@ def make_amr_file(
     nblks: Tuple[int, int, int] = (2, 2, 2),
     domain: Optional[np.ndarray] = None,
     refine: Optional[Dict[int, int]] = None,
+    refine_fn: Optional[Callable[[np.ndarray, int], int]] = None,
     fields: Sequence[str] = DEFAULT_FIELDS,
+    field_fns: Optional[Dict[str, Callable]] = None,
     time: float = 0.0,
     chk_file: Optional[bool] = None,
 ) -> Path:
-    """Write a synthetic FLASH AMR plt/chk file with analytic field data."""
+    """Write a synthetic FLASH AMR plt/chk file with analytic field data.
+
+    ``refine_fn`` region-refines the tree (see :func:`build_amr_tree`);
+    ``field_fns`` overrides :func:`default_field_fn` per field name so a
+    series of snapshots can carry time-dependent structure (a moving
+    flame, a translating turbulent brush)."""
     path = Path(path)
     domain = (
         np.array([[0.0, 1.0], [0.0, 1.0], [0.0, 1.0]], dtype=np.float64)
@@ -188,7 +212,7 @@ def make_amr_file(
     if chk_file is None:
         chk_file = "chk" in path.stem
 
-    blocks = build_amr_tree(tuple(nblks), domain, refine)
+    blocks = build_amr_tree(tuple(nblks), domain, refine, refine_fn=refine_fn)
     nblocks = len(blocks)
 
     bounding_box = np.stack([b.bounds for b in blocks])  # (nB, 3, 2)
@@ -203,7 +227,7 @@ def make_amr_file(
 
     field_data: Dict[str, np.ndarray] = {}
     for name in fields:
-        fn = default_field_fn(name)
+        fn = (field_fns or {}).get(name) or default_field_fn(name)
         data = np.empty((nblocks, *ncells), dtype=np.float64)
         for lb, b in enumerate(blocks):
             X, Y, Z = _cell_centers(b.bounds, tuple(ncells))

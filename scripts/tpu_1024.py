@@ -93,30 +93,58 @@ def main() -> None:
         host_samples.append(time.perf_counter() - t0)
         return s
 
-    # --- per-slab component micro-measurements ------------------------
+    # --- per-slab component micro-measurements (WARMED medians) --------
+    # The r4 artifact carried a single-shot slab_device_put_s=174.6 s:
+    # the first puts stall on allocator/tunnel setup, and a one-shot
+    # sample right after warmup still caught the tail of that stall —
+    # contradicting the amortized walls in the same file (VERDICT r4
+    # weak #3). Medians over several warmed repetitions replace it.
+    def median_of(fn, reps=5):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)), [round(t, 3) for t in ts]
+
     one = synth_slab("velx", 0, slab_rows, n)
+    one16 = one.astype(jnp.bfloat16)
     t0 = time.perf_counter()
-    synth_slab("vely", 0, slab_rows, n)
-    results["slab_host_synth_s"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    warm = jax.device_put(one)  # first put can stall on allocator setup
+    warm = jax.device_put(one)  # first put: allocator + tunnel setup
     np.asarray(warm.ravel()[:1])
-    results["slab_device_put_first_s"] = time.perf_counter() - t0
+    results["slab_device_put_first_s"] = round(time.perf_counter() - t0, 3)
     del warm
-    t0 = time.perf_counter()
-    dev = jax.device_put(one)
-    np.asarray(dev.ravel()[:1])
-    results["slab_device_put_s"] = time.perf_counter() - t0
-    results["slab_wire_gbps"] = one.nbytes / results["slab_device_put_s"] / 1e9
-    t0 = time.perf_counter()
-    dev16 = jax.device_put(one.astype(jnp.bfloat16))
-    np.asarray(dev16.astype(jnp.float32).ravel()[:1])
-    results["slab_device_put_bf16_s"] = time.perf_counter() - t0
-    del dev, dev16
+
+    synth_med, synth_all = median_of(lambda: synth_slab("vely", 0, slab_rows, n), reps=3)
+    results["slab_host_synth_s"] = synth_med
+    results["slab_host_synth_samples_s"] = synth_all
+
+    def put_f32():
+        d = jax.device_put(one)
+        np.asarray(d.ravel()[:1])
+
+    def put_bf16():
+        d = jax.device_put(one16)
+        np.asarray(d.astype(jnp.float32).ravel()[:1])
+
+    put_med, put_all = median_of(put_f32)
+    results["slab_device_put_s"] = put_med
+    results["slab_device_put_samples_s"] = put_all
+    results["slab_wire_gbps"] = one.nbytes / put_med / 1e9
+    put16_med, put16_all = median_of(put_bf16)
+    results["slab_device_put_bf16_s"] = put16_med
+    results["slab_device_put_bf16_samples_s"] = put16_all
+    del one16
+
     nslabs = n // slab_rows
-    results["ingest_estimate_s"] = round(
-        nslabs * 4 * (results["slab_host_synth_s"] + results["slab_device_put_s"]), 1
-    )
+    # Serial (no-overlap) estimates + the pure wire floor each full
+    # pass cannot beat: wall ~ max(wire, host synth) under the
+    # double-buffered loader, so these decompose the amortized walls.
+    results["serial_estimate_f32_s"] = round(nslabs * 4 * (synth_med + put_med), 1)
+    results["serial_estimate_bf16_s"] = round(nslabs * 4 * (synth_med + put16_med), 1)
+    results["wire_floor_f32_s"] = round(nslabs * 4 * put_med, 1)
+    results["wire_floor_bf16_s"] = round(nslabs * 4 * put16_med, 1)
+    results["host_synth_floor_s"] = round(nslabs * 4 * synth_med, 1)
 
     out_path = ROOT / "BENCH_1024.json"
 

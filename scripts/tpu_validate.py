@@ -301,6 +301,57 @@ def validate_analyses() -> dict:
         ),
     }
 
+    # --- WEIGHTED histograms: double-word (hi, lo) accumulation --------
+    # The r5 exactness work (utils/twofloat.blocked_sum_dd + the Pallas
+    # pdf2d lo plane) is TPU-only on the kernel path: interpret-mode
+    # correctness does not imply Mosaic compiles/marshals the second
+    # output correctly, so the chip must pin these numbers itself.
+    print("== analyses: weighted histograms (double-word) ==", flush=True)
+    w = jnp.exp(jnp.sin(7.0 * velx))  # rough positive weights, no jax.random
+    w64 = np.exp(np.sin(7.0 * vx64))
+    got1w = volume_ops.pdf1d(dens, nbins=64, vrange=vr, weights=w, density=False)
+    refw, _ = np.histogram(d64, bins=64, range=vr, weights=w64)
+    got2w = volume_ops.pdf2d(
+        dens, velx, nbins=(32, 32), xrange=xr, yrange=yr, weights=w, density=False
+    )
+    ref2w, _, _ = np.histogram2d(
+        d64.ravel(), vx64.ravel(), bins=(32, 32), range=[xr, yr], weights=w64.ravel()
+    )
+    got_bsw = volume_ops.binned_statistic(dens, velx, nbins=64, vrange=vr, weights=w)
+    # weighted conditional mean oracle, np.histogram bin semantics
+    wsum, _ = np.histogram(d64, bins=64, range=vr, weights=w64)
+    wy, _ = np.histogram(d64, bins=64, range=vr, weights=w64 * vx64)
+    with np.errstate(invalid="ignore"):
+        mean_ref = wy / wsum
+    # Concentrated stall regime ON CHIP: 512^3 constant-weight samples
+    # all in ONE bin -> true sum 4.0e7 ~ 2.4x the f32 2^24*w absorption
+    # stall (a plain f32 accumulator returns ~5.0e6/4.0e7 = 8x low).
+    big = make_example_fields(n=512)[0]
+    wc = np.float64(np.float32(0.30000001192092896))
+    wbig = jnp.full(big.shape, jnp.float32(wc))
+    gots = volume_ops.pdf1d(
+        big, nbins=4, vrange=(0.0, 1000.0), weights=wbig, density=False
+    )
+    exact = float(wc) * big.size
+    del big, wbig
+    out["weighted_histograms"] = {
+        "config": {"n": 128, "stall_check_n": 512, "weights": "exp(sin(7 velx)), const 0.3"},
+        "max_scaled_error": {
+            "pdf1d_weighted": _scaled_err(got1w["counts"], refw),
+            "pdf2d_weighted_kernel": _scaled_err(got2w["counts"], ref2w),
+            "binned_statistic_weight_sums": _scaled_err(got_bsw["weight_sums"], wsum),
+            "binned_statistic_weighted_mean": _scaled_err(
+                np.nan_to_num(got_bsw["mean"]), np.nan_to_num(mean_ref)
+            ),
+        },
+        "stall_regime_512^3_one_bin": {
+            "expected_sum": exact,
+            "got_sum": float(gots["counts"][0]),
+            "rel_error": abs(float(gots["counts"][0]) / exact - 1.0),
+            "f32_stall_would_return": float(np.float32(2**24) * wc),
+        },
+    }
+
     # --- AMR mass + regrid round-trip on-chip --------------------------
     print("== analyses: AMR mass_sum + regrid ==", flush=True)
     from fava_tpu.io import synthetic

@@ -95,3 +95,43 @@ def test_particle_file_roundtrip(tmp_path):
     assert meta["integer scalars"]["globalnumparticles"] == 32
     assert set(parts.keys()) == {"tag", "velx"}
     assert parts["tag"].shape == (32,)
+
+
+def test_amr_region_refinement_and_field_fns(tmp_path):
+    """refine_fn refines every block overlapping a region to a uniform
+    fine level (all 8 children split, unlike the legacy first-child
+    ``refine`` dict), and field_fns overrides the analytic fields —
+    the rtflame-style catalog the pipeline bench generates."""
+    domain = np.array([[0.0, 2.0], [0.0, 1.0], [0.0, 1.0]])
+
+    def refine_fn(bounds, level):
+        # fine band around x = 0.75
+        return 3 if bounds[0, 1] > 0.5 and bounds[0, 0] < 1.0 else 1
+
+    path = synthetic.make_amr_file(
+        tmp_path / "rt_hdf5_plt_cnt_0009",
+        ncells=(4, 4, 4),
+        nblks=(4, 2, 2),
+        domain=domain,
+        refine_fn=refine_fn,
+        fields=("dens",),
+        field_fns={"dens": lambda x, y, z: 2.0 + x},
+    )
+    from fava_tpu.mesh import FLASH as FlashAMR
+
+    mesh = FlashAMR(path)
+    mesh.load()
+    leaves = mesh.get_blocklist()
+    levels = np.asarray(mesh.refine_level)[leaves]
+    bounds = np.asarray(mesh.block_bounds)[leaves]
+    in_band = (bounds[:, 0, 1] > 0.5) & (bounds[:, 0, 0] < 1.0)
+    # the band is uniformly at level 3; everything else stays level 1
+    assert (levels[in_band] == 3).all() and (levels[~in_band] == 1).all()
+    # band snaps to root column [0.5, 1.0): 1 col x 2x2 transverse
+    # roots, each split twice (level 3) -> 4 * 8^2 = 256 fine leaves
+    assert in_band.sum() == 256
+    dens = np.asarray(mesh.data("dens"))
+    centers = 0.5 * (bounds[:, :, 0] + bounds[:, :, 1])
+    # field_fn override: block means equal 2 + x_center exactly for the
+    # linear field (cell-average of a linear function = center value)
+    np.testing.assert_allclose(dens[leaves].mean(axis=(1, 2, 3)), 2.0 + centers[:, 0], rtol=1e-6)

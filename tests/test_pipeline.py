@@ -216,6 +216,51 @@ def test_flagship_series_matches_per_snapshot(tmp_path):
             )
 
 
+def test_flagship_series_oom_fallback(tmp_path, monkeypatch):
+    """A RESOURCE_EXHAUSTED batch halves and retries (the cap sticks
+    for the rest of the series), and the results still match the
+    per-snapshot analysis — no raw OOM reaches the caller."""
+    from fava_tpu import flagship
+    from fava_tpu.io import synthetic
+    import fava_tpu
+
+    for i in (1, 2, 3):
+        synthetic.make_uniform_file(
+            tmp_path / f"rt_hdf5_uniform_000{i}", ncells=(16, 16, 16), seed=20 + i
+        )
+    m = fava_tpu.FLASH(tmp_path)
+
+    real_step = flagship.jitted_series_step()
+    calls = []
+
+    def flaky_step(*stacked):
+        calls.append(stacked[0].shape[0])
+        if stacked[0].shape[0] > 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error (simulated)")
+        return real_step(*stacked)
+
+    monkeypatch.setattr(flagship, "jitted_series_step", lambda: flaky_step)
+    series = m.flagship_series(batch=3)
+    # batch 3 OOMs -> halves to 2 -> OOMs -> singles; cap sticks at 1
+    assert calls == [3, 2, 1, 1, 1]
+    assert series["times"].shape == (3,)
+    for j in (0, 1, 2):
+        m.load(file_type="uni", file_index=j)
+        single = m.flagship_analysis()
+        for key, val in single.items():
+            np.testing.assert_allclose(
+                series[key][j], np.asarray(val), rtol=1e-12, atol=1e-13, err_msg=key
+            )
+
+    # a non-OOM error still propagates
+    def broken_step(*stacked):
+        raise RuntimeError("some other failure")
+
+    monkeypatch.setattr(flagship, "jitted_series_step", lambda: broken_step)
+    with pytest.raises(RuntimeError, match="some other failure"):
+        m.flagship_series(batch=2)
+
+
 def test_flagship_series_rejects_multiblock(tmp_path):
     from fava_tpu.io import synthetic
     import fava_tpu
