@@ -158,6 +158,9 @@ def run_pipeline(workdir: Path, label: str, interrupt_after_stage4_prints: int =
     continues); the SECOND actually kills the process. Both are sent."""
     env = dict(os.environ)
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    # Share the repo's warm persistent XLA cache across all phases (and
+    # with the stage-4/series bench programs already compiled into it).
+    env.setdefault("FAVA_TPU_CACHE_DIR", str(REPO / ".jax_cache"))
     if os.environ.get("PIPE_CPU") == "1":
         # The axon plugin ignores JAX_PLATFORMS env (CLAUDE.md); force
         # the platform via jax.config inside the child, like conftest.
