@@ -81,7 +81,14 @@ class RegridPlan:
         # never selected by the lookup table.
         self.block_scales = 2 ** np.maximum(lmax - refine_level, 0)
 
-        subdomain_flag = subdomain_coords is not None and all(
+        # Reference sentinel (_flash.py:965): the subdomain is active if
+        # ANY axis row contains no zero — rows touching 0.0 are fine
+        # (e.g. a transverse crop [0, 1]); only a box whose every row
+        # touches zero reads as the "whole domain" sentinel. An all()
+        # here silently regridded the full domain whenever one
+        # transverse bound was 0.0 (2048x512x512 instead of 512^3 in
+        # the pipeline's flame window -> OOM at scale).
+        subdomain_flag = subdomain_coords is not None and any(
             0 not in np.asarray(sdc) for sdc in np.asarray(subdomain_coords)
         )
         self.subdomain_flag = subdomain_flag

@@ -313,6 +313,16 @@ class Pipeline:
                 subdomain_coords[a] = [dom[a, 0], min(dom[a, 0] + width, dom[a, 1])]
             if subdomain_coords[a, 1] > dom[a, 1]:
                 subdomain_coords[a] = [max(dom[a, 1] - width, dom[a, 0]), dom[a, 1]]
+        # The reference's subdomain sentinel treats a box whose EVERY row
+        # touches 0.0 as "whole domain" (_flash.py:965). A window clamped
+        # to a zero domain edge would trip it and regrid the full domain;
+        # nudge exact-zero endpoints by a quarter fine cell — the BCID
+        # rounding int(0.5 + x/delta) maps the nudged value to the same
+        # cell, so the extracted window is bit-identical.
+        if all(0.0 in subdomain_coords[a] for a in range(3)):
+            for a in range(3):
+                nudge = 0.25 * self.model.mesh.get_minimum_deltas(axis=a)
+                subdomain_coords[a][subdomain_coords[a] == 0.0] += nudge
         fields = [self.flam, "dens", "pres", "temp", "velx", "vely", "velz", "divv", "igtm", "vort"]
         fields = [f for f in fields if f in self.model.mesh.fields]
 

@@ -47,7 +47,9 @@ def from_amr_oracle(
     for lb in range(nblocks):
         bcids[lb] = (block_bounds[lb] - grid_box[:, 0, None] + half[:, None]) / grid_delta[:, None]
 
-    subdomain_flag = subdomain_coords is not None and all(
+    # Reference sentinel semantics (_flash.py:965): active if ANY row
+    # contains no zero — a transverse crop touching 0.0 still crops.
+    subdomain_flag = subdomain_coords is not None and any(
         0 not in sdc for sdc in np.asarray(subdomain_coords)
     )
     sub_bcids = np.zeros((MESH_MDIM, 2), dtype=np.int32)

@@ -33,7 +33,11 @@ def pipeline_dir(tmp_path):
         "model": "synthetic",
         "reynolds stress": {"skip": False},
         "extract windows": {"skip": False},
-        "flame window": {"half width": 0.25, "transverse": [0.25, 0.75]},
+        # Transverse bounds touching 0.0 on purpose: the reference's
+        # subdomain sentinel (_flash.py:965) must still crop when any
+        # row lacks a zero (regression for the r4 all() bug that
+        # regridded the whole domain in the on-chip pipeline).
+        "flame window": {"half width": 0.25, "transverse": [0.0, 1.0]},
         "fractal dimension": {"skip": False, "settings": {"field": "flam", "contours": 0.5}},
         "kinetic energy spectra": {"skip": False},
         "structure functions": {
@@ -54,6 +58,15 @@ def test_full_pipeline_run(pipeline_dir):
     uni = sorted(out.glob("*hdf5_uniform_*"))
     assert len(anl) == 2
     assert len(uni) >= 1
+
+    # The extracted window must be the flame window, not the whole
+    # domain: x is cropped to 2*half_width (= half the domain), the
+    # transverse axes keep their full [0, 1] extent.
+    from fava_tpu.mesh import FlashUniform
+
+    um = FlashUniform(uni[0])
+    um.load()
+    assert um.nCellsVec[0] * 2 == um.nCellsVec[1] == um.nCellsVec[2]
 
     with h5py.File(anl[0], "r") as f:
         assert "reynolds stresses" in f

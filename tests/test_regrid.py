@@ -60,6 +60,35 @@ def test_subdomain_regrid_matches_oracle(amr_mesh):
     np.testing.assert_allclose(amr_mesh.xmax, 0.75, atol=1e-12)
 
 
+def test_subdomain_with_zero_touching_rows_still_crops(amr_mesh):
+    """Reference sentinel (_flash.py:965): the subdomain is disabled only
+    when EVERY row touches zero. The pipeline's flame window uses
+    transverse bounds [0, 1] — those rows touching 0.0 must not silently
+    expand the regrid to the whole domain (the r4 all() bug OOMed the
+    512^3 on-chip pipeline with a 2048x512x512 full-domain regrid)."""
+    sub = np.array([[0.25, 0.75], [0.0, 1.0], [0.0, 1.0]])
+    expected, total = _oracle(amr_mesh, subdomain_coords=sub)
+    amr_mesh.from_amr(subdomain_coords=sub, fields=["dens", "velx"], save_file=False)
+    assert tuple(amr_mesh.nCellsVec) == tuple(total)
+    assert amr_mesh.nCellsVec[0] < amr_mesh.nCellsVec[1]  # x actually cropped
+    for key in ("dens", "velx"):
+        np.testing.assert_allclose(
+            np.asarray(amr_mesh._data[key]), expected[key], rtol=1e-12, err_msg=key
+        )
+    np.testing.assert_allclose(amr_mesh.xmin, 0.25, atol=1e-12)
+    np.testing.assert_allclose(amr_mesh.xmax, 0.75, atol=1e-12)
+
+
+def test_all_zero_touching_rows_is_full_domain_sentinel(amr_mesh):
+    """A box whose every row touches zero reads as "no subdomain"
+    (the reference's whole-domain sentinel)."""
+    sub = np.array([[0.0, 1.0], [0.0, 1.0], [0.0, 1.0]])
+    expected, total = _oracle(amr_mesh)  # oracle without subdomain
+    amr_mesh.from_amr(subdomain_coords=sub, fields=["dens"], save_file=False)
+    assert tuple(amr_mesh.nCellsVec) == tuple(total)
+    np.testing.assert_allclose(np.asarray(amr_mesh._data["dens"]), expected["dens"], rtol=1e-12)
+
+
 def test_refine_level_truncation_matches_oracle(amr_mesh):
     # Regrid to level 2: level-3 children excluded, their level-2 parent used.
     expected, total = _oracle(amr_mesh, refine_to=2)
