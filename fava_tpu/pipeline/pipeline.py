@@ -77,6 +77,37 @@ _KNOWN_TOP_KEYS = (
 )
 
 
+def snap_window_axis0(
+    subdomain_coords: np.ndarray, dom: np.ndarray, delta: float
+) -> np.ndarray:
+    """Snap the x row of a subdomain box to an exact fine-cell count.
+
+    A fit-centered window puts BOTH bounds exactly on the BCID rounding
+    tie (``int32(0.5 + k + 0.5)``, reference _flash.py:967) where 1-ulp
+    float noise independently decides each end — measured on chip: one
+    snapshot of three extracted 511x512x512. On TPU a wobbling width
+    forces a fresh multi-minute XLA compile of every stage-4 program, so
+    snap the left bound to its nearest cell edge and place both bounds a
+    quarter cell INSIDE the target edges: ``int32(0.5 + k +- 0.25)``
+    rounds unconditionally, every snapshot extracts exactly ``ncells``,
+    and the window center stays within half a cell of the fit (below the
+    fit's own uncertainty). Side effect: the x row never touches 0.0, so
+    a clamped window cannot trip the reference's all-rows-touch-zero
+    whole-domain sentinel (_flash.py:965) either.
+    """
+    out = np.asarray(subdomain_coords, dtype=np.float64).copy()
+    ncells = max(int(round((out[0, 1] - out[0, 0]) / delta)), 1)
+    ntot = int(round((dom[0, 1] - dom[0, 0]) / delta))
+    ncells = min(ncells, ntot)
+    li = int(np.floor((out[0, 0] - dom[0, 0]) / delta + 0.5))
+    li = max(0, min(li, ntot - ncells))
+    out[0] = [
+        dom[0, 0] + (li + 0.25) * delta,
+        dom[0, 0] + (li + ncells - 0.25) * delta,
+    ]
+    return out
+
+
 def validate_settings(settings: Dict[str, Any]) -> None:
     """Schema-check a pipeline settings dict; raise PipelineSettingsError.
 
@@ -313,16 +344,14 @@ class Pipeline:
                 subdomain_coords[a] = [dom[a, 0], min(dom[a, 0] + width, dom[a, 1])]
             if subdomain_coords[a, 1] > dom[a, 1]:
                 subdomain_coords[a] = [max(dom[a, 1] - width, dom[a, 0]), dom[a, 1]]
-        # The reference's subdomain sentinel treats a box whose EVERY row
-        # touches 0.0 as "whole domain" (_flash.py:965). A window clamped
-        # to a zero domain edge would trip it and regrid the full domain;
-        # nudge exact-zero endpoints by a quarter fine cell — the BCID
-        # rounding int(0.5 + x/delta) maps the nudged value to the same
-        # cell, so the extracted window is bit-identical.
-        if all(0.0 in subdomain_coords[a] for a in range(3)):
-            for a in range(3):
-                nudge = 0.25 * self.model.mesh.get_minimum_deltas(axis=a)
-                subdomain_coords[a][subdomain_coords[a] == 0.0] += nudge
+        # Snap x to an exact fine-cell count — see snap_window_axis0:
+        # the fit-centered bounds land on the BCID rounding tie, and a
+        # 511-vs-512 width wobble recompiles every stage-4 TPU program.
+        subdomain_coords = snap_window_axis0(
+            subdomain_coords,
+            dom,
+            float(self.model.mesh.get_minimum_deltas(axis=0)),
+        )
         fields = [self.flam, "dens", "pres", "temp", "velx", "vely", "velz", "divv", "igtm", "vort"]
         fields = [f for f in fields if f in self.model.mesh.fields]
 

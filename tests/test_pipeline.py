@@ -90,6 +90,60 @@ def test_full_pipeline_run(pipeline_dir):
     assert state["reynolds stress"]["index"] == 2
 
 
+def test_snap_window_axis0_kills_bcid_tie_wobble():
+    """A fit-centered window puts both x bounds exactly on the BCID
+    rounding tie int32(0.5 + k + 0.5); 1-ulp noise then decides each end
+    independently (measured on chip: a 3-snapshot series extracted 512,
+    511, 512 wide windows — each width wobble recompiles every stage-4
+    TPU program). The snap must give the exact cell count for every
+    tie-landing window, invariant to ulp-scale noise."""
+    from fava_tpu.pipeline.pipeline import snap_window_axis0
+
+    delta = 1.0 / 512.0
+    dom = np.array([[0.0, 4.0], [0.0, 1.0], [0.0, 1.0]])
+
+    def bcid_width(coords):
+        b = (0.5 + (np.asarray(coords[0]) - dom[0, 0]) / delta).astype(np.int32)
+        return int(b[1] - b[0])
+
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        # Flame centroid on a random cell center -> bounds on half-edges.
+        k = int(rng.integers(260, 1780))
+        xf = (k + 0.5) * delta
+        eps = rng.uniform(-1e-12, 1e-12, size=2)
+        sub = np.array(
+            [[xf - 0.5 + eps[0], xf + 0.5 + eps[1]], [0.0, 1.0], [0.0, 1.0]]
+        )
+        snapped = snap_window_axis0(sub, dom, delta)
+        assert bcid_width(snapped) == 512
+        # Center preserved to within one cell of the request.
+        assert abs(0.5 * (snapped[0, 0] + snapped[0, 1]) - xf) <= delta
+        # Transverse rows untouched; x row never contains 0.0 (sentinel).
+        np.testing.assert_array_equal(snapped[1:], sub[1:])
+        assert 0.0 not in snapped[0]
+
+
+def test_snap_window_axis0_clamps_to_domain():
+    from fava_tpu.pipeline.pipeline import snap_window_axis0
+
+    delta = 1.0 / 64.0
+    dom = np.array([[0.0, 2.0], [0.0, 1.0], [0.0, 1.0]])
+
+    def bcids(coords):
+        return (0.5 + (np.asarray(coords[0]) - dom[0, 0]) / delta).astype(np.int32)
+
+    # Window drifted past the left edge: snapped flush to index 0.
+    sub = np.array([[-0.3, 0.7], [0.0, 1.0], [0.0, 1.0]])
+    lo, hi = bcids(snap_window_axis0(sub, dom, delta))
+    assert lo == 0 and hi == 64
+
+    # Window wider than the domain: clamped to the whole axis.
+    sub = np.array([[-1.0, 9.0], [0.0, 1.0], [0.0, 1.0]])
+    lo, hi = bcids(snap_window_axis0(sub, dom, delta))
+    assert lo == 0 and hi == 128
+
+
 def test_pipeline_resume_skips_done_work(pipeline_dir):
     workdir, data, out = pipeline_dir
     assert main(workdir) == 0
