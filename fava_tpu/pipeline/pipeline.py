@@ -259,7 +259,12 @@ class Pipeline:
         right[0] = centroid + half_width + dx
 
         window_bounds = right - left
-        window_dimensions = (window_bounds / self.model.mesh.get_minimum_deltas(axis=1)).astype(int)
+        # Diagnostic only (stage 3 re-derives and SNAPS the real window);
+        # round, don't truncate — 1.0/delta can land 1 ulp under an
+        # integer and print 511 for a window stage 3 extracts as 512.
+        window_dimensions = np.rint(
+            window_bounds / self.model.mesh.get_minimum_deltas(axis=1)
+        ).astype(int)
 
         print(f"[stage 1] flame window right={right} dims={window_dimensions}", flush=True)
         self.model.save_to_hdf5(
