@@ -28,16 +28,23 @@ Design notes:
   For fully periodic runs whose particles wrap, dispersion past the
   first crossing is under-counted (documented, not hidden).
 
-Like the reference's particle analyses, this is host-side NumPy over
-the particle tables — the data is tiny next to the volumes and the
-cost is file I/O, not math.
+Like the reference's particle analyses, the per-snapshot MSD math is
+host-side NumPy over the particle tables — the data is tiny next to
+the volumes and the cost is file I/O, not math. The one genuinely
+quadratic piece, the t = 0 nearest-neighbor search, runs on device
+above the dispatch-floor break-even (difference-form distances + top-k,
+exact f64 host refinement of the finalists) — measured 74 s NumPy vs
+sub-second at 1024 anchors x 1e6 tracers (PARTICLES_1M.json).
 """
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, Optional, Sequence
 
 import numpy as np
+
+LOGGER = logging.getLogger(__name__)
 
 from fava_tpu.mesh.flash_particles import rows_for_tags
 from fava_tpu.models.model import Model
@@ -45,20 +52,93 @@ from fava_tpu.models.model import Model
 _POS_FIELDS = ("posx", "posy", "posz")
 
 
-def _nearest_neighbor_pairs(coords: np.ndarray, anchors: np.ndarray) -> np.ndarray:
-    """Index of each anchor's nearest OTHER particle (chunked O(A*N)).
+_NN_CHUNK = 256
+# Below this many anchor*particle distances the ~27 ms dispatch round
+# trip exceeds the NumPy loop; above it the device path wins (measured
+# 74 s NumPy vs sub-second device at 1024 anchors x 1e6 tracers).
+_NN_DEVICE_MIN_WORK = 1 << 26
+
+
+def _nn_host(coords: np.ndarray, anchors: np.ndarray) -> np.ndarray:
+    """Chunked O(A*N) NumPy brute force (small problems / fallback).
 
     |a-b|^2 = |a|^2 + |b|^2 - 2 a.b: the only chunk*N temporary is the
     matmul output itself (a (256, N, 3) broadcast difference would be
     ~6 GB at a million tracers)."""
     sq = (coords**2).sum(axis=1)
     partners = np.empty(anchors.size, dtype=np.int64)
-    for s in range(0, anchors.size, 256):
-        a = anchors[s : s + 256]
+    for s in range(0, anchors.size, _NN_CHUNK):
+        a = anchors[s : s + _NN_CHUNK]
         d2 = sq[a, None] + sq[None, :] - 2.0 * coords[a] @ coords.T
         d2[np.arange(a.size), a] = np.inf  # exclude self
-        partners[s : s + 256] = np.argmin(d2, axis=1)
+        partners[s : s + _NN_CHUNK] = np.argmin(d2, axis=1)
     return partners
+
+
+def _nn_device_candidates(coords: np.ndarray, anchors: np.ndarray, k: int) -> np.ndarray:
+    """Top-k nearest-candidate indices per anchor, computed on device.
+
+    One jit: per 256-anchor chunk, DIFFERENCE-form squared distances
+    (sum((a - b)^2), fused broadcast-square-reduce on the VPU) and
+    ``lax.top_k``. Difference form is deliberate: the matmul identity
+    |a|^2 + |b|^2 - 2 a.b cancels for close pairs (absolute d2 error
+    ~ eps * |c|^2 SWAMPS d2 for clustered tracers — measured 4/300
+    wrong partners on a 1e-4-scale cluster), while the difference form
+    carries ~eps RELATIVE error, so the true neighbor is inside the
+    top-k unless k-1 others sit within ~1e-7 relative of the minimum
+    distance. The caller still re-decides the k finalists exactly in
+    f64.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = coords.shape[0]
+    npad = -anchors.size % _NN_CHUNK
+    a_pad = np.concatenate([anchors, np.zeros(npad, dtype=anchors.dtype)])
+
+    @jax.jit
+    def f(c, a_idx):
+        def chunk(ai):
+            diff = c[None, :, :] - c[ai][:, None, :]
+            d2 = jnp.sum(diff * diff, axis=-1)
+            d2 = jnp.where(jnp.arange(n)[None, :] == ai[:, None], jnp.inf, d2)
+            _, idx = lax.top_k(-d2, k)
+            return idx
+
+        return lax.map(chunk, a_idx.reshape(-1, _NN_CHUNK))
+
+    cand = f(
+        jnp.asarray(coords, dtype=jnp.float32),
+        jnp.asarray(a_pad, dtype=jnp.int32),
+    )
+    return np.asarray(cand).reshape(a_pad.size, k)[: anchors.size]
+
+
+def _nearest_neighbor_pairs(coords: np.ndarray, anchors: np.ndarray) -> np.ndarray:
+    """Index of each anchor's nearest OTHER particle.
+
+    Large problems run the distance sweep on device (difference-form
+    d2 + top-k; 74 s -> sub-second at 1024 anchors x 1e6 tracers on
+    the single-core host) with the k finalists re-decided exactly in f64
+    on host, so the result is identical to the f64 brute force up to
+    genuine sub-1e-6 distance ties. Falls back to NumPy below the
+    dispatch-floor break-even or if the device path fails.
+    """
+    n = coords.shape[0]
+    k = min(16, n - 1)
+    if anchors.size * n < _NN_DEVICE_MIN_WORK or k < 1:
+        return _nn_host(coords, anchors)
+    try:
+        cand = _nn_device_candidates(coords, anchors, k)
+    except Exception as exc:  # pragma: no cover - backend-dependent
+        LOGGER.warning("device NN search failed (%s); NumPy fallback", exc)
+        return _nn_host(coords, anchors)
+    # Exact f64 refinement of the device's f32 candidate lists.
+    diff = coords[anchors][:, None, :] - coords[cand]
+    d2 = (diff**2).sum(axis=-1)
+    d2[cand == anchors[:, None]] = np.inf
+    return cand[np.arange(anchors.size), d2.argmin(axis=1)]
 
 
 @Model.register_analysis(use_timer=True)

@@ -119,3 +119,42 @@ def test_missing_tag_hard_errors(tmp_path):
     m = fava_tpu.FLASH(tmp_path)
     with pytest.raises(ValueError, match="not found"):
         m.dispersion_statistics(npairs=4)
+
+
+def test_device_nn_matches_host_brute_force():
+    """The device candidate search + exact f64 refinement must return
+    the same partners as the f64 NumPy brute force (the f32 distance
+    cancellation is confined to candidate SELECTION; the k finalists
+    are re-decided in f64)."""
+    from fava_tpu.analysis import dispersion as disp
+
+    rng = np.random.default_rng(3)
+    coords = rng.uniform(0.0, 1.0, size=(5000, 3))
+    # include clustered points so top-k actually has near-ties to rank
+    coords[100:200] = coords[0] + 1e-4 * rng.standard_normal((100, 3))
+    anchors = rng.choice(coords.shape[0], size=300, replace=False)
+
+    expected = disp._nn_host(coords, anchors)
+    k = min(16, coords.shape[0] - 1)
+    cand = disp._nn_device_candidates(coords, anchors, k)
+    diff = coords[anchors][:, None, :] - coords[cand]
+    d2 = (diff**2).sum(axis=-1)
+    d2[cand == anchors[:, None]] = np.inf
+    got = cand[np.arange(anchors.size), d2.argmin(axis=1)]
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_nn_dispatcher_small_problem_stays_on_host(monkeypatch):
+    """Below the dispatch-floor break-even the dispatcher must not pay
+    a device round trip."""
+    from fava_tpu.analysis import dispersion as disp
+
+    def boom(*a, **k):  # pragma: no cover - called means failure
+        raise AssertionError("device path used for a tiny problem")
+
+    monkeypatch.setattr(disp, "_nn_device_candidates", boom)
+    rng = np.random.default_rng(0)
+    coords = rng.uniform(0.0, 1.0, size=(64, 3))
+    anchors = np.arange(8)
+    got = disp._nearest_neighbor_pairs(coords, anchors)
+    np.testing.assert_array_equal(got, disp._nn_host(coords, anchors))
