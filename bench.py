@@ -70,13 +70,13 @@ def _pack(jnp, out):
 def _device_time(n: int, repeats: int = 3) -> tuple[float, int]:
     """Best per-snapshot wall at grid n; returns (seconds, batch).
 
-    The production number is the batch-3 series scan
+    The production number is the batch-4 series scan
     (flagship.series_analysis_step): the ~27 ms per-dispatch tunnel
     floor is paid once per batch instead of once per snapshot
-    (SERIES_512.json: 84.1 ms/snapshot at batch 3 vs 93.9 single).
-    Falls back batch 3 -> 2 -> single on RESOURCE_EXHAUSTED, mirroring
-    the production series driver's graceful OOM fallback
-    (analysis/time_series.flagship_series).
+    (SERIES_512.json: 76.8 ms/snapshot at batch 4 vs ~94 single;
+    batch 5 exhausts HBM). Falls back batch 4 -> 3 -> 2 -> single on
+    RESOURCE_EXHAUSTED, mirroring the production series driver's
+    graceful OOM fallback (analysis/time_series.flagship_series).
     """
     import jax
 
@@ -84,6 +84,7 @@ def _device_time(n: int, repeats: int = 3) -> tuple[float, int]:
     from fava_tpu.flagship import (
         jitted_analysis_step,
         jitted_series_step,
+        make_example_field_batch,
         make_example_fields,
     )
 
@@ -108,11 +109,15 @@ def _device_time(n: int, repeats: int = 3) -> tuple[float, int]:
 
     series = jitted_series_step()
     batched_step = jax.jit(lambda *f: _pack(jnp, series(*f)))
-    for batch in (3, 2):
+    for batch in (4, 3, 2):
         try:
-            snaps = [make_example_fields(n=n, seed=s) for s in range(batch)]
-            batched = [jnp.stack([sn[i] for sn in snaps]) for i in range(4)]
-            del snaps
+            # Direct batch synthesis (one jit writes the (B, n, n, n)
+            # stacks): stacking separately-built snapshots transiently
+            # doubles the input footprint, which is what limited the
+            # original probe to batch 3 — the scan itself fits batch 4
+            # at 512^3 on 16 GB HBM (76.8 ms/snapshot, SERIES_512.json;
+            # batch 5 genuinely exhausts it).
+            batched = make_example_field_batch(batch, n=n)
             best = timeit(batched_step, batched)
             del batched
             return best / batch, batch

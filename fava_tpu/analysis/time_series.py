@@ -323,6 +323,12 @@ def flagship_series(
     def flush_once(group):
         npad = (-len(group)) % n_snap if pod else 0
         group = list(group) + [group[-1]] * npad
+        # NOTE: stacking keeps every per-snapshot buffer alive until the
+        # step returns (the OOM fallback below re-stacks halves from
+        # them), so a batch transiently costs 2x its footprint — that,
+        # plus prefetch residency, is why the auto budget below sizes to
+        # batch 3 at 512^3 while the resident-input ceiling of the scan
+        # itself is batch 4 (SERIES_512.json, direct device synthesis).
         stacked = [stack([vol(s, f) for s in group]) for f in fields]
         out = step(*stacked)
         for k, v in out.items():

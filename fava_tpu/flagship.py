@@ -303,31 +303,42 @@ def jitted_sharded_series_step(mesh):
     return _jitted_sharded_series_step(mesh, _path_key())
 
 
+def _synth_fields(n: int, dtype, s):
+    """Deterministic multi-frequency trig mixing instead of jax.random:
+    the PRNG kernels take minutes to compile on the tunneled TPU
+    backend and are not served by the persistent compile cache. ``s``
+    (the seed phase) may be a Python float or a traced scalar."""
+    x = (jnp.arange(n, dtype=dtype) / n)[:, None, None]
+    y = (jnp.arange(n, dtype=dtype) / n)[None, :, None]
+    z = (jnp.arange(n, dtype=dtype) / n)[None, None, :]
+    two_pi = 2.0 * jnp.pi
+
+    def mix(a, b, c, p):
+        return (
+            jnp.sin(two_pi * (a * x + b * y + c * z) + p + s)
+            + 0.5 * jnp.cos(two_pi * (b * x + c * y + a * z) + 2 * p + s)
+            + 0.25 * jnp.sin(two_pi * (c * x + a * y + b * z) + 3 * p - s)
+        )
+
+    dens = 1.3 + 0.3 * jnp.cos(two_pi * (x + 2 * y - z) + s) * jnp.sin(two_pi * (3 * x - y) - s)
+    vels = [mix(3, 7, 2, 0.3), mix(5, 1, 6, 1.1), mix(2, 4, 9, 2.7)]
+    return (dens.astype(dtype), *(v.astype(dtype) for v in vels))
+
+
 @lru_cache(maxsize=4)
 def _example_fields_fn(n: int, dtype_name: str, seed: int):
+    dtype = jnp.dtype(dtype_name)
+    return jax.jit(lambda: _synth_fields(n, dtype, float(seed)))
+
+
+@lru_cache(maxsize=4)
+def _example_batch_fn(nsnap: int, n: int, dtype_name: str):
     dtype = jnp.dtype(dtype_name)
 
     @jax.jit
     def build():
-        # Deterministic multi-frequency trig mixing instead of jax.random:
-        # the PRNG kernels take minutes to compile on the tunneled TPU
-        # backend and are not served by the persistent compile cache.
-        x = (jnp.arange(n, dtype=dtype) / n)[:, None, None]
-        y = (jnp.arange(n, dtype=dtype) / n)[None, :, None]
-        z = (jnp.arange(n, dtype=dtype) / n)[None, None, :]
-        two_pi = 2.0 * jnp.pi
-        s = float(seed)
-
-        def mix(a, b, c, p):
-            return (
-                jnp.sin(two_pi * (a * x + b * y + c * z) + p + s)
-                + 0.5 * jnp.cos(two_pi * (b * x + c * y + a * z) + 2 * p + s)
-                + 0.25 * jnp.sin(two_pi * (c * x + a * y + b * z) + 3 * p - s)
-            )
-
-        dens = 1.3 + 0.3 * jnp.cos(two_pi * (x + 2 * y - z) + s) * jnp.sin(two_pi * (3 * x - y) - s)
-        vels = [mix(3, 7, 2, 0.3), mix(5, 1, 6, 1.1), mix(2, 4, 9, 2.7)]
-        return (dens.astype(dtype), *(v.astype(dtype) for v in vels))
+        seeds = jnp.arange(nsnap, dtype=dtype)
+        return jax.vmap(lambda s: _synth_fields(n, dtype, s))(seeds)
 
     return build
 
@@ -336,3 +347,17 @@ def make_example_fields(n: int = 64, dtype=jnp.float32, seed: int = 0):
     """Deterministic synthetic turbulence-like fields on device."""
     out = _example_fields_fn(int(n), str(jnp.dtype(dtype)), int(seed))()
     return out
+
+
+def make_example_field_batch(nsnap: int, n: int = 64, dtype=jnp.float32):
+    """Stacked example snapshots ``(dens, velx, vely, velz)``, each
+    ``(nsnap, n, n, n)``, synthesized directly into the batch buffers
+    in ONE jit — no per-snapshot copies are ever materialized, so the
+    peak footprint is the batch itself (a stack of separately-built
+    snapshots transiently doubles it: 17 GB at batch 4 x 512^3 f32,
+    which is what OOMed the original batch-4 probe, SERIES_512.json).
+    Snapshot ``i`` equals ``make_example_fields(n, dtype, seed=i)`` up
+    to f32 ulp-level trig rounding (the seed arrives as a traced
+    scalar instead of a constant-folded f64 phase; measured ~7e-6
+    max abs on O(1) fields)."""
+    return _example_batch_fn(int(nsnap), int(n), str(jnp.dtype(dtype)))()

@@ -26,6 +26,7 @@ def main() -> None:
     from fava_tpu.flagship import (
         jitted_analysis_step,
         jitted_series_step,
+        make_example_field_batch,
         make_example_fields,
     )
 
@@ -61,9 +62,11 @@ def main() -> None:
     batched_fn = jax.jit(lambda *f: pack(series(*f)))
     for S in batches:
         try:
-            snaps = [make_example_fields(n=n, seed=s) for s in range(S)]
-            batched = [jnp.stack([sn[i] for sn in snaps]) for i in range(4)]
-            del snaps
+            # Direct batch synthesis: one jit writes the (S, n, n, n)
+            # stacks, never materializing per-snapshot copies (the
+            # stack-of-snapshots path transiently doubles the input
+            # footprint — 17 GB at S=4, the original batch-4 OOM).
+            batched = make_example_field_batch(S, n=n)
             t = timeit(batched_fn, *batched)
             del batched
             results[f"batch{S}_s"] = t

@@ -330,3 +330,22 @@ def test_sharded_spectra_pallas_binning_matches(uniform_file_32, eight_device_me
     assert pk._build_shell_chunk_fn.cache_info().currsize > before
     for key in ("total", "longitudinal", "transverse"):
         np.testing.assert_allclose(got[key], ref[key], rtol=1e-8, atol=1e-12, err_msg=key)
+
+
+def test_example_field_batch_matches_per_seed_fields():
+    """make_example_field_batch synthesizes the (S, n, n, n) stacks in
+    one jit (no per-snapshot copies — the stack-of-snapshots path
+    transiently doubles the input footprint, the original batch-4 OOM
+    in SERIES_512.json); snapshot i must reproduce
+    make_example_fields(seed=i) to f32 trig rounding (the seed is a
+    traced scalar there vs a constant-folded f64 phase)."""
+    from fava_tpu import flagship
+
+    batch = flagship.make_example_field_batch(3, n=16)
+    assert all(b.shape == (3, 16, 16, 16) for b in batch)
+    for i in range(3):
+        single = flagship.make_example_fields(n=16, seed=i)
+        for k in range(4):
+            np.testing.assert_allclose(
+                np.asarray(batch[k][i]), np.asarray(single[k]), atol=2e-5
+            )
