@@ -44,10 +44,10 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-LOGGER = logging.getLogger(__name__)
-
 from fava_tpu.mesh.flash_particles import rows_for_tags
 from fava_tpu.models.model import Model
+
+LOGGER = logging.getLogger(__name__)
 
 _POS_FIELDS = ("posx", "posy", "posz")
 
