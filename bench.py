@@ -110,6 +110,7 @@ def _device_time(n: int, repeats: int = 3) -> tuple[float, int]:
     series = jitted_series_step()
     batched_step = jax.jit(lambda *f: _pack(jnp, series(*f)))
     for batch in (4, 3, 2):
+        batched = None
         try:
             # Direct batch synthesis (one jit writes the (B, n, n, n)
             # stacks): stacking separately-built snapshots transiently
@@ -119,12 +120,16 @@ def _device_time(n: int, repeats: int = 3) -> tuple[float, int]:
             # batch 5 genuinely exhausts it).
             batched = make_example_field_batch(batch, n=n)
             best = timeit(batched_step, batched)
-            del batched
             return best / batch, batch
         except Exception as exc:
             if "RESOURCE_EXHAUSTED" not in str(exc):
                 raise
             sys.stderr.write(f"bench: batch {batch} OOM; falling back\n")
+        finally:
+            # Unbind the failed batch in THIS frame either way (the
+            # except clause already dropped the traceback): a smaller
+            # retry must not allocate on top of the OOMed buffers.
+            batched = None
 
     inner = jitted_analysis_step(None)
     step = jax.jit(lambda *f: _pack(jnp, inner(*f)))

@@ -40,6 +40,7 @@ sub-second at 1024 anchors x 1e6 tracers (PARTICLES_1M.json).
 from __future__ import annotations
 
 import logging
+from functools import lru_cache as _lru_cache
 from typing import Dict, Optional, Sequence
 
 import numpy as np
@@ -75,6 +76,30 @@ def _nn_host(coords: np.ndarray, anchors: np.ndarray) -> np.ndarray:
     return partners
 
 
+@_lru_cache(maxsize=8)
+def _nn_sweep_fn(n: int, k: int):
+    """Jitted chunked top-k distance sweep, cached per (n, k) like every
+    other op builder (a fresh ``jax.jit`` closure per call would carry
+    its own trace cache and recompile on every ``dispersion_statistics``
+    invocation — minutes per compile through a tunneled backend)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def f(c, a_idx):
+        def chunk(ai):
+            diff = c[None, :, :] - c[ai][:, None, :]
+            d2 = jnp.sum(diff * diff, axis=-1)
+            d2 = jnp.where(jnp.arange(n)[None, :] == ai[:, None], jnp.inf, d2)
+            _, idx = lax.top_k(-d2, k)
+            return idx
+
+        return lax.map(chunk, a_idx.reshape(-1, _NN_CHUNK))
+
+    return f
+
+
 def _nn_device_candidates(coords: np.ndarray, anchors: np.ndarray, k: int) -> np.ndarray:
     """Top-k nearest-candidate indices per anchor, computed on device.
 
@@ -89,26 +114,13 @@ def _nn_device_candidates(coords: np.ndarray, anchors: np.ndarray, k: int) -> np
     distance. The caller still re-decides the k finalists exactly in
     f64.
     """
-    import jax
     import jax.numpy as jnp
-    from jax import lax
 
     n = coords.shape[0]
     npad = -anchors.size % _NN_CHUNK
     a_pad = np.concatenate([anchors, np.zeros(npad, dtype=anchors.dtype)])
 
-    @jax.jit
-    def f(c, a_idx):
-        def chunk(ai):
-            diff = c[None, :, :] - c[ai][:, None, :]
-            d2 = jnp.sum(diff * diff, axis=-1)
-            d2 = jnp.where(jnp.arange(n)[None, :] == ai[:, None], jnp.inf, d2)
-            _, idx = lax.top_k(-d2, k)
-            return idx
-
-        return lax.map(chunk, a_idx.reshape(-1, _NN_CHUNK))
-
-    cand = f(
+    cand = _nn_sweep_fn(n, k)(
         jnp.asarray(coords, dtype=jnp.float32),
         jnp.asarray(a_pad, dtype=jnp.int32),
     )

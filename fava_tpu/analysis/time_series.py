@@ -329,8 +329,17 @@ def flagship_series(
         # plus prefetch residency, is why the auto budget below sizes to
         # batch 3 at 512^3 while the resident-input ceiling of the scan
         # itself is batch 4 (SERIES_512.json, direct device synthesis).
-        stacked = [stack([vol(s, f) for s in group]) for f in fields]
-        out = step(*stacked)
+        stacked = []
+        try:
+            for f in fields:
+                stacked.append(stack([vol(s, f) for s in group]))
+            out = step(*stacked)
+        finally:
+            # Drop the stacked batch from this frame before an OOM
+            # unwinds (the traceback would pin ~2x the batch footprint
+            # in HBM through the fallback's retries) — and, on success,
+            # before the result fetch below.
+            stacked.clear()
         for k, v in out.items():
             arr = np.asarray(v)
             chunks.setdefault(k, []).append(arr[: len(group) - npad] if npad else arr)
@@ -344,14 +353,20 @@ def flagship_series(
             for k in range(0, len(group), batch_cap[0]):
                 flush(group[k : k + batch_cap[0]])
             return
+        half = 0
         try:
             flush_once(group)
         except Exception as exc:
-            if "RESOURCE_EXHAUSTED" not in str(exc) or len(group) <= 1:
+            # On a pod, flush_once pads every group to a multiple of
+            # n_snap: the dispatched shape only shrinks in snap-row
+            # steps, so halve in padded units (a cap below n_snap would
+            # re-dispatch the identical failing padded batch forever).
+            k_pad = -(-len(group) // n_snap) if pod else len(group)
+            if "RESOURCE_EXHAUSTED" not in str(exc) or k_pad <= 1:
                 raise
             import logging
 
-            half = (len(group) + 1) // 2
+            half = (n_snap * ((k_pad + 1) // 2)) if pod else (len(group) + 1) // 2
             batch_cap[0] = half
             logging.getLogger(__name__).warning(
                 "flagship_series: batch %d exhausted device memory; "
@@ -359,6 +374,11 @@ def flagship_series(
                 len(group),
                 half,
             )
+        if half:
+            # Retry OUTSIDE the except block: the live exception's
+            # traceback pins the failed dispatch's device buffers (jax
+            # call frames hold the stacked arrays); leaving the handler
+            # releases them before the halves allocate.
             flush(group[:half])
             flush(group[half:])
 

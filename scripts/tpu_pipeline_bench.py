@@ -249,10 +249,16 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     report["platform"] = jax.devices()[0].platform
 
-    if not (data_dir / "rt_hdf5_plt_cnt_0001").is_file():
-        report["catalog"] = make_catalog(data_dir)
-    else:
+    # Key catalog reuse on N: a stale catalog at another resolution
+    # would silently bench the wrong problem under the new N's label.
+    marker = data_dir / ".catalog_n"
+    if (data_dir / "rt_hdf5_plt_cnt_0001").is_file() and marker.is_file() and marker.read_text().strip() == str(N):
         print("[gen] catalog exists; reusing", flush=True)
+    else:
+        if data_dir.exists():
+            shutil.rmtree(data_dir)
+        report["catalog"] = make_catalog(data_dir)
+        marker.write_text(str(N))
 
     if "cold" in phases or "resumed" in phases:
         work = RUN_DIR / "run_main"

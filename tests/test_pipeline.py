@@ -328,6 +328,56 @@ def test_flagship_series_oom_fallback(tmp_path, monkeypatch):
         m.flagship_series(batch=2)
 
 
+def test_flagship_series_pod_oom_fallback_halves_in_padded_units(tmp_path, monkeypatch):
+    """On a snap x space pod every dispatch is padded to a multiple of
+    the snap rows, so the OOM fallback must halve in PADDED units — a
+    cap below n_snap would re-dispatch the identical failing padded
+    shape forever — and an OOM at ONE padded snap-row (nothing smaller
+    exists) must re-raise instead of recursing."""
+    from fava_tpu import flagship
+    from fava_tpu.io import synthetic
+    from fava_tpu.parallel import make_device_mesh, use_mesh
+    import fava_tpu
+
+    for i in (1, 2, 3):
+        synthetic.make_uniform_file(
+            tmp_path / f"rt_hdf5_uniform_000{i}", ncells=(16, 16, 16), seed=30 + i
+        )
+    m = fava_tpu.FLASH(tmp_path)
+    mesh = make_device_mesh((2, 4), ("snap", "space"))
+    real = flagship.jitted_sharded_series_step(mesh)
+    calls = []
+
+    def flaky(*stacked):
+        calls.append(stacked[0].shape[0])
+        if stacked[0].shape[0] > 2:
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error (simulated)")
+        return real(*stacked)
+
+    monkeypatch.setattr(flagship, "jitted_sharded_series_step", lambda mesh: flaky)
+    with use_mesh(mesh):
+        series = m.flagship_series(batch=4)
+    # 3 snapshots pad to a 4-batch -> OOM -> halve in snap-row units
+    # (2 rows -> 1 row = 2 snapshots); the remaining single snapshot
+    # pads back to a 2-batch, which is the smallest dispatchable shape.
+    assert calls == [4, 2, 2]
+    assert series["times"].shape == (3,)
+    for j in (0, 1, 2):
+        m.load(file_type="uni", file_index=j)
+        single = m.flagship_analysis()
+        for key, val in single.items():
+            np.testing.assert_allclose(
+                series[key][j], np.asarray(val), rtol=1e-9, atol=1e-12, err_msg=key
+            )
+
+    def always_oom(*stacked):
+        raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error (simulated)")
+
+    monkeypatch.setattr(flagship, "jitted_sharded_series_step", lambda mesh: always_oom)
+    with use_mesh(mesh), pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        m.flagship_series(batch=2)
+
+
 def test_flagship_series_rejects_multiblock(tmp_path):
     from fava_tpu.io import synthetic
     import fava_tpu
