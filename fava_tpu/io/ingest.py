@@ -129,21 +129,31 @@ class SnapshotPrefetcher:
                     )
                 )
             next_idx = self.depth
-            while pending:
-                fut = pending.pop(0)
-                if next_idx < len(self.paths):
-                    pending.append(
-                        pool.submit(
-                            _read_snapshot,
-                            self.paths[next_idx],
-                            self.fields,
-                            self.sharding,
-                            self.strict,
-                            self.wire_dtype,
+            try:
+                while pending:
+                    fut = pending.pop(0)
+                    if next_idx < len(self.paths):
+                        pending.append(
+                            pool.submit(
+                                _read_snapshot,
+                                self.paths[next_idx],
+                                self.fields,
+                                self.sharding,
+                                self.strict,
+                                self.wire_dtype,
+                            )
                         )
-                    )
-                    next_idx += 1
-                yield fut.result()
+                        next_idx += 1
+                    yield fut.result()
+            finally:
+                # An early-exiting or raising consumer must not leave
+                # the prefetch window reading + device_put-ing whole
+                # snapshots nobody will consume (minutes per snapshot
+                # through a tunneled link, and the futures pin their
+                # device buffers through the caller's recovery).
+                for fut in pending:
+                    fut.cancel()
+                pending.clear()
 
 
 def ingest_bandwidth_gbps(
@@ -165,6 +175,10 @@ def ingest_bandwidth_gbps(
         # leave earlier transfers possibly in flight even on well-
         # behaved backends.
         for arr in snap.fields.values():
-            np.asarray(jax.device_get(arr.ravel()[:1]))
+            # Leading-index slice, NOT ravel(): an eager ravel of a
+            # multi-GB volume dispatches a full tiled-layout relayout
+            # copy (plus its own ~27 ms round trip) inside the timed
+            # region, charging non-ingest device work to the rate.
+            np.asarray(jax.device_get(arr[(0,) * (arr.ndim - 1)][:1]))
     dt = time.perf_counter() - t0
     return total / dt / 1e9

@@ -89,16 +89,112 @@ def _slab_stream(
             out.append(dev)
         return out
 
+    # Clamp like io/ingest.SnapshotPrefetcher: depth <= 0 would prime
+    # an empty/negative-sliced window (pop from empty list at 0;
+    # duplicate slab loads at -1) — 1 is the minimum that still
+    # overlaps the next read with the current compute.
+    depth = max(1, int(depth))
     starts = list(range(0, nx, slab_rows))
-    with cf.ThreadPoolExecutor(max_workers=max(1, int(depth))) as pool:
+    with cf.ThreadPoolExecutor(max_workers=depth) as pool:
         pending = [pool.submit(load, x0) for x0 in starts[:depth]]
         nxt = depth
-        for x0 in starts:
-            fut = pending.pop(0)
-            if nxt < len(starts):
-                pending.append(pool.submit(load, starts[nxt]))
-                nxt += 1
-            yield x0, fut.result()
+        try:
+            for x0 in starts:
+                fut = pending.pop(0)
+                if nxt < len(starts):
+                    pending.append(pool.submit(load, starts[nxt]))
+                    nxt += 1
+                yield x0, fut.result()
+        finally:
+            # If the consumer raises (e.g. HBM OOM mid-stage), cancel
+            # the prefetch window: otherwise the suspended generator's
+            # pending futures keep device_put-ing slabs into an
+            # already-exhausted HBM and pin their buffers through the
+            # caller's recovery (the traceback-pins-buffers class).
+            for fut in pending:
+                fut.cancel()
+            pending.clear()
+
+
+def _zy_buffers(ncomp: int, shape: Tuple[int, int, int], dtype):
+    """Planar (re, im) zy-spectra accumulation buffers, one pair per
+    component — the layout every streamed entry point feeds stage A
+    (planar rationale in :func:`_stage_a_comp_fn`)."""
+    nx, ny, nz = shape
+    nzr = nz // 2 + 1
+    return [
+        (jnp.zeros((nx, ny, nzr), dtype=dtype), jnp.zeros((nx, ny, nzr), dtype=dtype))
+        for _ in range(ncomp)
+    ]
+
+
+def _dft_chunks(dmat: np.ndarray, chunk_rows: int):
+    """Yield ``(kx0, dxr, dxi)`` row-chunks of a (possibly normalized)
+    x-DFT matrix as device-ready planar f32 constants — the kx-chunk
+    iteration every streamed stage B shares."""
+    for kx0 in range(0, dmat.shape[0], chunk_rows):
+        yield (
+            kx0,
+            jnp.asarray(dmat[kx0 : kx0 + chunk_rows].real.copy()),
+            jnp.asarray(dmat[kx0 : kx0 + chunk_rows].imag.copy()),
+        )
+
+
+def _corr_marginals(bufs, shape: Tuple[int, int, int], chunk_rows: int, dtype):
+    """Accumulate per-component power marginals over kx chunks.
+
+    Runs :func:`_corr_chunk_fn` chunk by chunk and returns
+    ``(mx, my, mz, corners)`` where ``mx[c]`` is the list of x-marginal
+    chunks, ``my[c]``/``mz[c]`` the summed y/z marginals, and
+    ``corners[c]`` the k=0 power of component ``c`` (grabbed from the
+    first chunk). Shared by streamed_velocity_correlations (3
+    components) and streamed_two_point_lines (1)."""
+    nx = shape[0]
+    chunk_fn = _corr_chunk_fn(shape, dft.PRECISION)
+    dmat = dft._dft_mat(nx, jnp.dtype(dtype).name)  # unnormalized
+    nc = len(bufs)
+    mx = [[] for _ in range(nc)]
+    my = [None] * nc
+    mz = [None] * nc
+    corners = [None] * nc
+    for kx0, dxr, dxi in _dft_chunks(dmat, chunk_rows):
+        outs = chunk_fn(bufs, dxr, dxi)
+        for c, (rx, ry, rz, pc) in enumerate(outs):
+            mx[c].append(rx)
+            my[c] = ry if my[c] is None else my[c] + ry
+            mz[c] = rz if mz[c] is None else mz[c] + rz
+            if kx0 == 0:
+                corners[c] = pc
+    return mx, my, mz, corners
+
+
+def _axis_lines_from_marginals(mx_chunks, my, mz, corner_dev, shape: Tuple[int, int, int]):
+    """Host finalization of one component's per-axis correlation lines.
+
+    Assembles the f64 marginals from the device chunks, subtracts the
+    k=0 corner (each marginal double-counts it; see
+    ops/twopoint._power_marginal — the numpy twin of this pipeline),
+    folds the SIGNED x and y axes to rfft layout (even part), inverse
+    transforms, and applies the n/ntot^2 normalization. Returns the
+    three half-axis lines [R_x, R_y, R_z]."""
+    nx, ny, nz = shape
+    ntot = nx * ny * nz
+    corner = float(np.asarray(corner_dev, dtype=np.float64))
+    marg_x = np.concatenate([np.asarray(r, dtype=np.float64) for r in mx_chunks])
+    marg_y = np.array(my, dtype=np.float64)
+    marg_z = np.array(mz, dtype=np.float64)
+    marg_x[0] -= corner
+    marg_y[0] -= corner
+    marg_z[0] -= corner
+
+    def fold_signed(m, n):
+        return (0.5 * (m + np.roll(m[::-1], 1)))[: n // 2 + 1]
+
+    margs = (fold_signed(marg_x, nx), fold_signed(marg_y, ny), marg_z)
+    return [
+        np.fft.irfft(marg, n=n)[: n // 2 + 1] * (n / float(ntot) ** 2)
+        for marg, n in zip(margs, (nx, ny, nz))
+    ]
 
 
 def _check_divisible(nx: int, slab_rows: int, chunk_rows: int) -> None:
@@ -218,10 +314,7 @@ def streamed_uniform_analysis(
     nbins = max(shape) // 2 - 1
     adt = accum_dtype()
 
-    bufs = [
-        (jnp.zeros((nx, ny, nzr), dtype=dtype), jnp.zeros((nx, ny, nzr), dtype=dtype))
-        for _ in range(3)
-    ]
+    bufs = _zy_buffers(3, (nx, ny, nz), dtype)
     # Builders are lru_cached (keyed on shape + the precision knob) so a
     # streamed SERIES retraces nothing per snapshot — a fresh jit per
     # call re-embedded the (ny, ny) DFT matrices into every trace.
@@ -247,9 +340,7 @@ def streamed_uniform_analysis(
     stage_b = _stage_b_fn((nx, ny, nz), chunk_rows, nbins, dft.PRECISION)
     dmat = dft._dft_mat(nx, jnp.dtype(dtype).name) / (nx * ny * nz)
     sums = jnp.zeros((3, nbins), dtype=adt)
-    for kx0 in range(0, nx, chunk_rows):
-        dxr = jnp.asarray(dmat[kx0 : kx0 + chunk_rows].real.copy())
-        dxi = jnp.asarray(dmat[kx0 : kx0 + chunk_rows].imag.copy())
+    for kx0, dxr, dxi in _dft_chunks(dmat, chunk_rows):
         sums = stage_b(bufs, dxr, dxi, jnp.asarray(kx0, dtype=jnp.int32), sums)
     # Counts are a pure shape function (see rfft_shell_counts).
     counts = jnp.asarray(pk.rfft_shell_counts((nx, ny, nz), nbins, str(jnp.dtype(adt))))
@@ -402,10 +493,7 @@ def streamed_turbulence_summary(
     ntot = nx * ny * nz
     lengths_key = None if lengths is None else tuple(float(L) for L in lengths)
 
-    bufs = [
-        (jnp.zeros((nx, ny, nzr), dtype=dtype), jnp.zeros((nx, ny, nzr), dtype=dtype))
-        for _ in range(3)
-    ]
+    bufs = _zy_buffers(3, (nx, ny, nz), dtype)
     stage_a = _stage_a_comp_fn((nx, ny, nz), dft.PRECISION, weighted=False)
     slab_stats = _summary_slab_fn((nx, ny, nz), with_mach)
 
@@ -449,9 +537,7 @@ def streamed_turbulence_summary(
     chunk_fn = _summary_chunk_fn((nx, ny, nz), chunk_rows, lengths_key, dft.PRECISION)
     dmat = dft._dft_mat(nx, jnp.dtype(dtype).name) / ntot
     acc = jnp.zeros(7, dtype=adt)
-    for kx0 in range(0, nx, chunk_rows):
-        dxr = jnp.asarray(dmat[kx0 : kx0 + chunk_rows].real.copy())
-        dxi = jnp.asarray(dmat[kx0 : kx0 + chunk_rows].imag.copy())
+    for kx0, dxr, dxi in _dft_chunks(dmat, chunk_rows):
         kxv = jnp.asarray(kx_all[kx0 : kx0 + chunk_rows], dtype=dtype)
         acc = chunk_fn(bufs, dxr, dxi, kxv, jnp.asarray(kx0, dtype=jnp.int32), acc)
     e_sum, mean_e, m_inv, m_2, comp_e, dil_sum, ens_sum = (
@@ -553,13 +639,8 @@ def streamed_velocity_correlations(
 
     nx, ny, nz = (int(s) for s in shape)
     _check_divisible(nx, slab_rows, chunk_rows)
-    nzr = nz // 2 + 1
-    ntot = nx * ny * nz
 
-    bufs = [
-        (jnp.zeros((nx, ny, nzr), dtype=dtype), jnp.zeros((nx, ny, nzr), dtype=dtype))
-        for _ in range(3)
-    ]
+    bufs = _zy_buffers(3, (nx, ny, nz), dtype)
     stage_a = _stage_a_comp_fn((nx, ny, nz), dft.PRECISION, weighted=False)
 
     # weighted=False never touches the density operand: pass the
@@ -578,42 +659,11 @@ def streamed_velocity_correlations(
         for c in range(3):
             bufs[c] = stage_a(*bufs[c], slabs[c], slabs[c], i0)
 
-    chunk_fn = _corr_chunk_fn((nx, ny, nz), dft.PRECISION)
-    dmat = dft._dft_mat(nx, jnp.dtype(dtype).name)  # unnormalized
-    mx = [[] for _ in range(3)]
-    my = [None] * 3
-    mz = [None] * 3
-    corners = [None] * 3
-    for kx0 in range(0, nx, chunk_rows):
-        dxr = jnp.asarray(dmat[kx0 : kx0 + chunk_rows].real.copy())
-        dxi = jnp.asarray(dmat[kx0 : kx0 + chunk_rows].imag.copy())
-        outs = chunk_fn(bufs, dxr, dxi)
-        for c, (rx, ry, rz, pc) in enumerate(outs):
-            mx[c].append(rx)
-            my[c] = ry if my[c] is None else my[c] + ry
-            mz[c] = rz if mz[c] is None else mz[c] + rz
-            if kx0 == 0:
-                corners[c] = pc
-
-    lines = [[None] * 3 for _ in range(3)]  # [comp][axis]
-    for c in range(3):
-        corner = float(np.asarray(corners[c], dtype=np.float64))
-        marg_x = np.concatenate([np.asarray(r, dtype=np.float64) for r in mx[c]])
-        marg_y = np.array(my[c], dtype=np.float64)
-        marg_z = np.array(mz[c], dtype=np.float64)
-        marg_x[0] -= corner
-        marg_y[0] -= corner
-        marg_z[0] -= corner
-
-        def fold_signed(m, n):
-            # signed-axis marginal -> even part -> rfft layout
-            # (ops/twopoint._power_marginal; x AND y are signed axes)
-            return (0.5 * (m + np.roll(m[::-1], 1)))[: n // 2 + 1]
-
-        marg_x = fold_signed(marg_x, nx)
-        marg_y = fold_signed(marg_y, ny)
-        for a, (marg, n) in enumerate(((marg_x, nx), (marg_y, ny), (marg_z, nz))):
-            lines[c][a] = np.fft.irfft(marg, n=n)[: n // 2 + 1] * (n / float(ntot) ** 2)
+    mx, my, mz, corners = _corr_marginals(bufs, (nx, ny, nz), chunk_rows, dtype)
+    lines = [
+        _axis_lines_from_marginals(mx[c], my[c], mz[c], corners[c], (nx, ny, nz))
+        for c in range(3)
+    ]  # [comp][axis]
     return assemble_karman_howarth(lines, (nx, ny, nz), lengths)
 
 
@@ -643,47 +693,21 @@ def streamed_two_point_lines(
 
     nx, ny, nz = (int(s) for s in shape)
     _check_divisible(nx, slab_rows, chunk_rows)
-    nzr = nz // 2 + 1
-    ntot = nx * ny * nz
 
-    bufs = [(jnp.zeros((nx, ny, nzr), dtype=dtype), jnp.zeros((nx, ny, nzr), dtype=dtype))]
+    bufs = _zy_buffers(1, (nx, ny, nz), dtype)
     stage_a = _stage_a_comp_fn((nx, ny, nz), dft.PRECISION, weighted=False)
     for x0, (slab,) in _slab_stream(
         field_slab, (field,), nx, slab_rows, dtype, depth=prefetch_depth, wire_dtype=wire_dtype
     ):
         bufs[0] = stage_a(*bufs[0], slab, slab, jnp.asarray(x0, dtype=jnp.int32))
 
-    chunk_fn = _corr_chunk_fn((nx, ny, nz), dft.PRECISION)
-    dmat = dft._dft_mat(nx, jnp.dtype(dtype).name)  # unnormalized
-    mx = []
-    my = mz = corner_dev = None
-    for kx0 in range(0, nx, chunk_rows):
-        dxr = jnp.asarray(dmat[kx0 : kx0 + chunk_rows].real.copy())
-        dxi = jnp.asarray(dmat[kx0 : kx0 + chunk_rows].imag.copy())
-        ((rx, ry, rz, pc),) = chunk_fn(bufs, dxr, dxi)
-        mx.append(rx)
-        my = ry if my is None else my + ry
-        mz = rz if mz is None else mz + rz
-        if kx0 == 0:
-            corner_dev = pc
+    mx, my, mz, corners = _corr_marginals(bufs, (nx, ny, nz), chunk_rows, dtype)
+    lines = _axis_lines_from_marginals(mx[0], my[0], mz[0], corners[0], (nx, ny, nz))
 
-    corner = float(np.asarray(corner_dev, dtype=np.float64))
-    marg_x = np.concatenate([np.asarray(r, dtype=np.float64) for r in mx])
-    marg_y = np.array(my, dtype=np.float64)
-    marg_z = np.array(mz, dtype=np.float64)
-    marg_x[0] -= corner
-    marg_y[0] -= corner
-    marg_z[0] -= corner
-
-    def fold_signed(m, n):
-        return (0.5 * (m + np.roll(m[::-1], 1)))[: n // 2 + 1]
-
-    margs = (fold_signed(marg_x, nx), fold_signed(marg_y, ny), marg_z)
     ls = tuple(float(L) for L in lengths) if lengths is not None else (1.0,) * 3
     out: Dict[str, np.ndarray] = {}
     var = None
-    for a, (marg, n, ax) in enumerate(zip(margs, (nx, ny, nz), "xyz")):
-        line = np.fft.irfft(marg, n=n)[: n // 2 + 1] * (n / float(ntot) ** 2)
+    for a, (line, n, ax) in enumerate(zip(lines, (nx, ny, nz), "xyz")):
         if var is None:
             var = float(line[0])
             out["variance"] = var

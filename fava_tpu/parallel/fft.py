@@ -12,8 +12,10 @@ FFT is genuinely decomposed over ICI:
   output slab-sharded along y: (nx, ny/d, nz)  per device
 
 All shell-binned spectra downstream are permutation-invariant in k, so
-no inverse transpose or fftshift is needed — callers use the matching
-unshifted k-grid from :func:`local_k_slab`.
+no inverse transpose or fftshift is needed — callers build the matching
+unshifted local k-grid from :func:`_wavenumbers` (see
+ops/spectra.local_spectra_fn, which slices the y wavenumbers to its
+shard the way the output sharding above lays them out).
 """
 
 from __future__ import annotations
@@ -59,22 +61,9 @@ def pfft3(x: jax.Array, mesh: Optional[Mesh] = None, axis_name: str = runtime.SP
     )(x)
 
 
-def local_k_slab(shape, axis_name_index: int, lo: int, hi: int, dtype=jnp.float32):
-    """Integer wavenumber grids (unshifted FFT order) for a local y-slab.
-
-    For a global volume of ``shape`` = (nx, ny, nz) whose transform is
-    sharded along y as [lo, hi), returns (kx, ky, kz) broadcastable to the
-    local block (nx, hi-lo, nz). Wavenumbers are the integers
-    [0..n/2-1, -n/2..-1], matching ``fftshift``+linspace on even n
-    (reference: fava/mesh/FLASH/FlashUniform.py:244-253).
-    """
-    nx, ny, nz = shape
-    kx = _wavenumbers(nx, dtype)[:, None, None]
-    ky = _wavenumbers(ny, dtype)[lo:hi][None, :, None]
-    kz = _wavenumbers(nz, dtype)[None, None, :]
-    return kx, ky, kz
-
-
 def _wavenumbers(n: int, dtype) -> jax.Array:
+    """Integer wavenumbers in unshifted FFT order: [0..n/2-1, -n/2..-1]
+    — matches ``fftshift`` + linspace on even n (reference:
+    fava/mesh/FLASH/FlashUniform.py:244-253)."""
     k = jnp.arange(n)
     return jnp.where(k <= (n - 1) // 2, k, k - n).astype(dtype)

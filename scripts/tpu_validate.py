@@ -148,7 +148,16 @@ def main() -> None:
 
     report["analyses"] = validate_analyses()
 
-    (ROOT / "VALIDATION.json").write_text(json.dumps(report, indent=2))
+    # Preserve entries owned by other validators (tpu_particles_bench
+    # merges the particle-family entries in): a full refresh must not
+    # silently drop them.
+    val_path = ROOT / "VALIDATION.json"
+    if val_path.is_file():
+        prior = json.loads(val_path.read_text()).get("analyses", {})
+        for key, entry in prior.items():
+            report["analyses"].setdefault(key, entry)
+
+    val_path.write_text(json.dumps(report, indent=2))
     print(json.dumps(report), flush=True)
 
 

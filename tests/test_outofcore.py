@@ -419,3 +419,47 @@ def test_mesh_gradient_stats_incore_vs_streamed(tmp_path):
         m.velocity_gradient_statistics(slab_rows=4)
     with pytest.raises(ValueError, match="periodic-only"):
         m.velocity_gradient_statistics(streamed=True, boundary="interior")
+
+
+def test_slab_stream_depth_clamped_and_early_exit():
+    """prefetch_depth <= 0 must clamp to 1 (0 primed an empty window ->
+    pop from empty list; -1 double-loaded slabs via a negative priming
+    slice), each slab must load exactly once, and closing the stream
+    early must release its prefetch window without hanging."""
+    from fava_tpu.ops import outofcore as oc
+
+    calls = []
+
+    def loader(name, x0, x1):
+        calls.append(x0)
+        return np.zeros((x1 - x0, 4, 4), np.float32)
+
+    for depth in (0, -1, 1, 3):
+        calls.clear()
+        out = list(oc._slab_stream(loader, ("dens",), 8, 4, jnp.float32, depth=depth))
+        assert [x0 for x0, _ in out] == [0, 4], depth
+        assert sorted(calls) == [0, 4], depth  # exactly once each
+
+    gen = oc._slab_stream(loader, ("dens",), 16, 4, jnp.float32, depth=2)
+    next(gen)
+    gen.close()  # finally-block cancels/clears the window
+
+
+def test_snapshot_prefetcher_early_exit(tmp_path):
+    """Breaking out of a SnapshotPrefetcher iteration must cancel the
+    remaining window (not read every leftover snapshot) and exit
+    cleanly."""
+    import fava_tpu
+    from fava_tpu.io import synthetic
+    from fava_tpu.io.ingest import SnapshotPrefetcher
+
+    paths = []
+    for i in range(1, 5):
+        p = tmp_path / f"rt_hdf5_uniform_{i:04d}"
+        synthetic.make_uniform_file(p, ncells=(8, 8, 8), seed=60 + i)
+        paths.append(p)
+
+    it = iter(SnapshotPrefetcher(paths, ["dens"], depth=2))
+    snap = next(it)
+    assert snap.fields["dens"].shape[-1] == 8
+    it.close()
