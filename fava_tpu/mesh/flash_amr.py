@@ -71,7 +71,14 @@ class _SyncedInt:
     def __get__(self, obj, objtype=None):
         if obj is None:
             return self
-        return obj.__dict__[f"_{self.name}"]
+        try:
+            return obj.__dict__[f"_{self.name}"]
+        except KeyError:
+            # AttributeError, not KeyError: hasattr()/getattr(default)
+            # on an unloaded mesh must behave like a missing attribute.
+            raise AttributeError(
+                f"{type(obj).__name__}.{self.name} is unset (load() the mesh first)"
+            ) from None
 
     def __set__(self, obj, value):
         for d in (getattr(obj, "scalars", None), getattr(obj, "runtime_parameters", None)):
@@ -398,8 +405,15 @@ class FLASH(Structured):
         bounds = np.asarray(self.block_bounds)[blocks]  # (B, 3, 2)
 
         inside = np.ones((pts.shape[0], blocks.size), dtype=bool)
+        dom_hi = np.asarray(self.domain_bounds, dtype=np.float64)[:, 1]
         for a in range(self.ndim):
-            inside &= (bounds[None, :, a, 0] <= pts[:, a, None]) & (pts[:, a, None] < bounds[None, :, a, 1])
+            hi_b = bounds[None, :, a, 1]
+            # Half-open per block (each interior face has ONE owner),
+            # but inclusive on the domain's max face — otherwise a
+            # point exactly at xmax (linspace endpoint sampling)
+            # belongs to no block and fails loudly downstream.
+            upper = np.where(hi_b == dom_hi[a], pts[:, a, None] <= hi_b, pts[:, a, None] < hi_b)
+            inside &= (bounds[None, :, a, 0] <= pts[:, a, None]) & upper
         hit = inside.argmax(axis=1)
         found = inside.any(axis=1)
 
@@ -649,11 +663,22 @@ class FLASH(Structured):
         """
         if subdomain_coords is not None:
             sc = np.asarray(subdomain_coords, dtype=np.float64)
-            if sc[0, 0] < self.xmin or self.xmax < sc[0, 1]:
-                return
-            if self.ndim > 1 and (sc[1, 0] < self.ymin or self.ymax < sc[1, 1]):
-                return
-            if self.ndim > 2 and (sc[2, 0] < self.zmin or self.zmax < sc[2, 1]):
+            oob = sc[0, 0] < self.xmin or self.xmax < sc[0, 1]
+            if self.ndim > 1:
+                oob = oob or sc[1, 0] < self.ymin or self.ymax < sc[1, 1]
+            if self.ndim > 2:
+                oob = oob or sc[2, 0] < self.zmin or self.zmax < sc[2, 1]
+            if oob:
+                # Reference parity: an out-of-domain window is a no-op
+                # (_flash.py:1017-1022) — but say so; a silent return
+                # after the caller announced an extraction is
+                # indistinguishable from success (and a 1-ulp overshoot
+                # of a domain bound triggers it).
+                logger.warning(
+                    "from_amr: subdomain %s exceeds the domain %s; nothing regridded",
+                    sc.tolist(),
+                    self.domain_bounds.tolist(),
+                )
                 return
 
         plan = regrid_ops.RegridPlan(
@@ -734,7 +759,12 @@ class FLASH(Structured):
 
         if save_file:
             if filename is None:
-                stem = self.filename.stem.replace("plt_cnt", "uniform").replace("chk", "uniform")
+                # Match the FLASH filetype MARKERS, not bare substrings:
+                # a basename containing the literal 'chk' (e.g.
+                # 'chkpt_study_hdf5_plt_cnt_0001') must not be mangled.
+                stem = self.filename.stem.replace("hdf5_plt_cnt_", "hdf5_uniform_").replace(
+                    "hdf5_chk_", "hdf5_uniform_"
+                )
                 filename = self.filename.with_stem(stem)
             self.save(filename=filename, names=_fields)
 

@@ -54,7 +54,14 @@ class FLASH(Model):
 
         def catalog(ftype: FileType) -> Dict[str, Dict[int, Path]]:
             pattern, splitter = _PATTERNS[ftype]
-            files = self._filter_files(pattern)
+            # The ???? glob matches ANY 4 chars: a stray non-numeric
+            # suffix ('..._hdf5_chk_orig') must not crash catalog
+            # construction (and with it every FLASH() call) — skip it.
+            files = [
+                p
+                for p in self._filter_files(pattern)
+                if str(p).split(splitter)[-1].isdigit()
+            ]
             return {
                 "by number": {int(str(p).split(splitter)[-1]): p for p in files},
                 "by index": dict(enumerate(files)),
@@ -78,8 +85,9 @@ class FLASH(Model):
             FileType.ANL: self.anl_files,
         }[ftype]
 
-    def nfiles(self, *args, **kwargs) -> int:
-        file_type = kwargs.get("file_type", FileType.CHK)
+    def nfiles(self, file_type: FileType | str = FileType.CHK, **kwargs) -> int:
+        # Explicit first parameter: a *args signature silently returned
+        # the CHK count for positional calls like nfiles('plt').
         ftype = file_type if isinstance(file_type, FileType) else FileType[str(file_type).upper()]
         return len(self._catalog(ftype)["by index"])
 

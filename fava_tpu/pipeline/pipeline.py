@@ -179,8 +179,15 @@ class Pipeline:
         self.model: FLASH = FLASH(self.data_dir)
 
     def _validated(self, key: str, vtype) -> Any:
-        assert key in self.settings, f"Missing pipeline setting: {key}"
-        assert isinstance(self.settings[key], vtype), f"Setting {key} must be {vtype}"
+        # Not asserts: user-facing settings errors must survive
+        # python -O (asserts are stripped under optimization).
+        if key not in self.settings:
+            raise PipelineSettingsError(f"Missing pipeline setting: {key}")
+        if not isinstance(self.settings[key], vtype):
+            raise PipelineSettingsError(
+                f"Setting {key!r} must be {vtype.__name__}, "
+                f"got {type(self.settings[key]).__name__}"
+            )
         return self.settings[key]
 
     def checkpoint(self) -> None:
@@ -202,6 +209,17 @@ class Pipeline:
         self.model = FLASH(target)
 
     # ------------------------------------------------------------------
+    def _window_settings(self) -> tuple:
+        """(half_width, dx, transverse) from the 'flame window' settings
+        — ONE definition of the 16e5/transverse defaults, shared by
+        stage 1 (fit window) and stage 3 (extraction window) so the two
+        stages can never silently disagree about the window geometry."""
+        window = self.settings.get("flame window", {})
+        half_width = float(window.get("half width", 16e5))
+        dx = float(window.get("dx", 0.0))
+        transverse = window.get("transverse", [-16e5, 16e5])
+        return half_width, dx, transverse
+
     def _flam_or_rpv1(self) -> bool:
         self.flam = "rpv1"
         if self.model.mesh.data(self.flam) is None:
@@ -249,9 +267,7 @@ class Pipeline:
             LOGGER.warning("flame_window fit failed (%s); using stress peak", exc)
             centroid = float(bin_centers[np.argmax(tensor["Ryy"] + tensor["Rzz"])])
 
-        window = self.settings.get("flame window", {})
-        half_width = float(window.get("half width", 16e5))
-        dx = float(window.get("dx", 0.0))
+        half_width, dx, _ = self._window_settings()
 
         left = self.model.mesh.domain_bounds[:, 0].copy()
         right = self.model.mesh.domain_bounds[:, 1].copy()
@@ -330,11 +346,12 @@ class Pipeline:
             return
         self.model.load(file_index=index, file_type="plt")
         if not self._flam_or_rpv1():
+            LOGGER.warning(
+                "[stage 3] %s has no flam/rpv1 field; no window extracted", src.name
+            )
             return
 
-        window = self.settings.get("flame window", {})
-        half_width = float(window.get("half width", 16e5))
-        transverse = window.get("transverse", [-16e5, 16e5])
+        half_width, _, transverse = self._window_settings()
 
         xmax = self.x0 + (self.func(self.model.mesh.time) - self.func(self.t0))
         subdomain_coords = np.array(
@@ -369,6 +386,14 @@ class Pipeline:
         stage_key = "analyze uniform data"  # checkpoint-format key
         self.model.load(file_index=index, file_type="uni")
         if not self._flam_or_rpv1():
+            # Reference parity gate — but say so loudly: this skips the
+            # WHOLE analysis battery for the snapshot (spectra included)
+            # and the pipeline will record the index as analyzed.
+            LOGGER.warning(
+                "[stage 4] uniform file index %d has no flam/rpv1 field; "
+                "ALL uniform analyses skipped for it",
+                index,
+            )
             return
 
         fn = self.output_dir / self.model.convert_filename_type("uni", "anl").name
@@ -504,10 +529,21 @@ def main(workdir: Optional[Path] = None) -> int:
 
         stage = "extract windows"
         if not pipe.settings.get(stage, {}).get("skip", False):
-            for i in remaining(pipe.model.plt_files, stage):
-                pipe.extract_windows(index=i)
-                pipe.checkpoint_data[stage] = {"index": i + 1}
-                pipe.checkpoint()
+            if getattr(pipe, "func", None) is None:
+                # No window trajectory (stage 1 skipped / no anl
+                # scalars): every extract would be a no-op. Do NOT
+                # advance the checkpoint — recording undone work as
+                # done would permanently skip extraction on the re-run
+                # after the user fixes stage 1.
+                LOGGER.warning(
+                    "[stage 3] no window trajectory; stage skipped and NOT "
+                    "checkpointed (re-run after stage 1 produces one)"
+                )
+            else:
+                for i in remaining(pipe.model.plt_files, stage):
+                    pipe.extract_windows(index=i)
+                    pipe.checkpoint_data[stage] = {"index": i + 1}
+                    pipe.checkpoint()
 
         pipe.refresh_model()
 

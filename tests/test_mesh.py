@@ -154,3 +154,28 @@ def test_from_amr_writes_consistent_block_count(amr_file, tmp_path):
     uni.load()
     assert uni.nblocks == 1
     assert uni.scalars["integer"].get("total blocks", 1) == 1
+
+
+def test_locate_points_includes_domain_max_face(amr_mesh):
+    """Points exactly on the domain's max face (linspace endpoint
+    sampling) must be found — half-open block ownership applies only
+    to interior faces. Interior boundary points keep a unique owner."""
+    hi = amr_mesh.domain_bounds[:, 1].astype(np.float64)
+    lo = amr_mesh.domain_bounds[:, 0].astype(np.float64)
+    pts = np.stack([lo, 0.5 * (lo + hi), hi])
+    blk, cells, found = amr_mesh.locate_points(pts)
+    assert found.all()
+    # the max-face point lands in the last cell of its block
+    nvec = amr_mesh.nCellsVec
+    for a in range(amr_mesh.ndim):
+        assert cells[2, a] == nvec[a] - 1
+
+
+def test_unloaded_mesh_attributes_raise_attribute_error(tmp_path):
+    """_SyncedInt must raise AttributeError (not KeyError) before
+    load(): hasattr()/getattr(default) duck-typing must work."""
+    m = FlashAMR(tmp_path / "x_hdf5_plt_cnt_0000")
+    assert not hasattr(m, "nxb")
+    assert getattr(m, "xmax", None) is None
+    with pytest.raises(AttributeError, match="unset"):
+        _ = m.nxb

@@ -135,3 +135,25 @@ def test_save_to_hdf5_roundtrip(model_dir, tmp_path):
         assert f["c"].shape == (2, 2)
     assert m.hdf5_key_exists("group", out)
     assert not m.hdf5_key_exists("nope", out)
+
+
+def test_catalog_skips_non_numeric_suffixes(tmp_path):
+    """A stray 4-char non-numeric suffix matching the ???? glob (e.g.
+    *_hdf5_chk_orig) must be skipped, not crash FLASH() construction."""
+    from fava_tpu.io import synthetic
+
+    synthetic.make_uniform_file(tmp_path / "rt_hdf5_uniform_0001", ncells=(8, 8, 8))
+    (tmp_path / "rt_hdf5_chk_orig").write_bytes(b"junk")
+    (tmp_path / "rt_hdf5_uniform_tmp1").write_bytes(b"junk")
+    m = fava_tpu.FLASH(tmp_path)
+    assert m.nfiles(file_type="uni") == 1
+    assert m.nfiles(file_type="chk") == 0
+
+
+def test_nfiles_accepts_positional_file_type(tmp_path):
+    from fava_tpu.io import synthetic
+
+    synthetic.make_uniform_file(tmp_path / "rt_hdf5_uniform_0001", ncells=(8, 8, 8))
+    m = fava_tpu.FLASH(tmp_path)
+    assert m.nfiles("uni") == 1  # positional used to silently count CHK
+    assert m.nfiles() == 0

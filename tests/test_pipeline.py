@@ -486,3 +486,56 @@ def test_pipeline_stage4_skip_flag(pipeline_dir):
     ckpt = json.loads((workdir / "fava.checkpoint").read_text())
     # The stage never ran: no resume cursor recorded for it.
     assert "index" not in ckpt.get("analyze uniform data", {})
+
+
+def test_validated_settings_raise_pipeline_error(pipeline_dir):
+    """_validated must raise PipelineSettingsError (asserts are
+    stripped under python -O) with the offending key named."""
+    import json as _json
+
+    from fava_tpu.pipeline.pipeline import Pipeline, PipelineSettingsError
+
+    workdir, data, out = pipeline_dir
+    settings = _json.loads((workdir / "pipeline_settings.json").read_text())
+    settings["dimension"] = "3"  # wrong type: str, not int
+    (workdir / "pipeline_settings.json").write_text(_json.dumps(settings))
+    pipe = Pipeline(workdir)
+    with pytest.raises(PipelineSettingsError, match="dimension"):
+        pipe.load_settings()
+
+    del settings["basename"]
+    settings["dimension"] = 3
+    (workdir / "pipeline_settings.json").write_text(_json.dumps(settings))
+    pipe = Pipeline(workdir)
+    with pytest.raises(PipelineSettingsError, match="basename"):
+        pipe.load_settings()
+
+
+def test_stage3_not_checkpointed_without_trajectory(pipeline_dir, monkeypatch):
+    """If stage 1 produced no window trajectory, stage 3 must SKIP
+    without advancing its checkpoint — recording undone work as done
+    would permanently skip extraction on the fixed re-run."""
+    import json as _json
+
+    from fava_tpu.pipeline import pipeline as pl
+
+    workdir, data, out = pipeline_dir
+    settings = _json.loads((workdir / "pipeline_settings.json").read_text())
+    settings["reynolds stress"] = {"skip": True}  # no anl scalars -> no fit
+    (workdir / "pipeline_settings.json").write_text(_json.dumps(settings))
+
+    monkeypatch.chdir(workdir)
+    rc = pl.main(workdir)
+    assert rc == 0
+    ckpt = _json.loads((workdir / "fava.checkpoint").read_text())
+    assert "extract windows" not in ckpt  # NOT advanced
+    assert not list(out.glob("*hdf5_uniform_*"))
+
+    # Fixed settings: the re-run must now do stages 1-4 from scratch.
+    settings["reynolds stress"] = {"skip": False}
+    (workdir / "pipeline_settings.json").write_text(_json.dumps(settings))
+    rc = pl.main(workdir)
+    assert rc == 0
+    ckpt = _json.loads((workdir / "fava.checkpoint").read_text())
+    assert ckpt["extract windows"]["index"] == 2
+    assert len(list(out.glob("*hdf5_uniform_*"))) == 2
