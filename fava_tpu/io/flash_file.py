@@ -119,7 +119,13 @@ def read_field_slab(
     dset = handle[key]
     raw = dset[..., x0:x1]
     if raw.ndim == 4:
-        assert raw.shape[0] == 1, "read_field_slab expects single-block uniform data"
+        if raw.shape[0] != 1:
+            # Not an assert (stripped under python -O): silently taking
+            # block 0 of multi-block data would make every streamed
+            # analysis compute statistics of one block only.
+            raise ValueError(
+                f"read_field_slab expects single-block uniform data; got {raw.shape[0]} blocks"
+            )
         raw = raw[0]
     if raw.dtype in (np.float32, np.float64):
         from fava_tpu.native import swap_axes_cast
@@ -219,6 +225,16 @@ def write_block_metadata(
 
 
 def write_unknown_names(handle: h5py.File, names: Sequence[str]) -> None:
+    # FLASH UNK names are exactly 4 chars (HID_T.UNKNOWN_NAMES is S4):
+    # numpy silently TRUNCATES longer names, which would record b'myfi'
+    # for a dataset written as 'myfield' — corrupt-on-write, surfacing
+    # only as a KeyError on reload. Fail at write time instead.
+    too_long = [n for n in names if len(n) > 4]
+    if too_long:
+        raise ValueError(
+            f"FLASH field names must be <= 4 characters (S4 'unknown names' "
+            f"records); got {too_long}"
+        )
     data = np.array([[f"{n:4s}".encode()] for n in names], dtype=HID_T.UNKNOWN_NAMES)
     handle.create_dataset("unknown names", data=data, dtype=HID_T.UNKNOWN_NAMES)
 

@@ -22,23 +22,13 @@ from fava_tpu.mesh.base import Unstructured
 from fava_tpu.models.model import Model
 
 # Short particle-column names (as stored in the file) -> long aliases
-# accepted in ``fields=`` selections. The reference carries the same
-# table but never wires it in (FlashParticles.py:15-28 — requesting a
-# long name there silently loads nothing).
-_field_mapping = {
-    "tag": "id",
-    "velx": "velocity-x",
-    "vely": "velocity-y",
-    "velz": "velocity-z",
-    "dens": "density",
-    "pres": "pressure",
-    "temp": "temperature",
-    "ener": "energy",
-    "flam": "flame progress",
-    "igtm": "ignition time",
-    "divv": "velocity-divergence",
-    "vort": "vorticity",
-}
+# accepted in ``fields=`` selections. ONE alias table for the whole
+# package (io/flash_file.FIELD_MAPPING, the mesh-field contract) plus
+# the particle-only 'id' -> 'tag' alias — two hand-synced copies would
+# silently drift. The reference carries a similar table but never
+# wires it in (FlashParticles.py:15-28 — requesting a long name there
+# silently loads nothing).
+_field_mapping = {"tag": "id", **{v: k for k, v in flash_file.FIELD_MAPPING.items()}}
 _long_to_short = {v: k for k, v in _field_mapping.items()}
 
 
@@ -100,10 +90,19 @@ class FlashParticles(Unstructured):
             raise ValueError(
                 f"FLASH particle files typically have 'hdf5_chk_' or 'hdf5_part_' in the filename: {fn}"
             )
-        if fn != self._filename:
+        if fn != self._filename or not self._metadata_loaded:
+            # Commit the new path only AFTER metadata loads: if
+            # _load_metadata raises (file mid-write), a retry with the
+            # same path must re-read it rather than no-op against the
+            # previous file's stale field list / time / counts.
             self._metadata_loaded = False
+            prev = self._filename
             self._filename = fn
-            self._load_metadata()
+            try:
+                self._load_metadata()
+            except Exception:
+                self._filename = prev
+                raise
 
     # ------------------------------------------------------------------
     def _load_metadata(self) -> None:
@@ -130,9 +129,12 @@ class FlashParticles(Unstructured):
     def load(self) -> None:
         self._load_particles()
 
-    def _load_particles(self, *args, **kwargs) -> None:
-        fields = kwargs.get("fields", self._fields)
-        ordered = kwargs.get("ordered", True)
+    def _load_particles(
+        self, fields: Optional[Sequence[str]] = None, ordered: bool = True, **kwargs
+    ) -> None:
+        # Explicit parameters: a *args signature silently ignored a
+        # positional fields selection and loaded EVERY column.
+        fields = self._fields if fields is None else fields
 
         # Accept long aliases ("density", "velocity-x") for the file's
         # short column names; warn on names the file does not carry.

@@ -807,6 +807,11 @@ class FlashUniform(FLASH):
         from fava_tpu.ops import outofcore
 
         shape = tuple(int(n) for n in (self.nxb, self.nyb, self.nzb))
+        if self.ndim != 3:
+            # Same up-front guard as the sibling streamed methods: the
+            # in-core path would otherwise die late with KeyError('velz')
+            # and the streamed path would run on a degenerate (nx, ny, 1).
+            raise ValueError("flagship_analysis requires a 3D dataset")
         if streamed is False:
             # Explicit in-core request: streaming knobs would be
             # silently ignored. (streamed=None auto-resolves — knobs
@@ -818,9 +823,15 @@ class FlashUniform(FLASH):
                 prefetch_depth=(prefetch_depth, 2),
             )
         if streamed is None:
+            from fava_tpu.utils import compute_dtype
+
             ntot = int(np.prod(shape))
-            # 4 resident fields + 3 half-spectra + working set.
-            need = 4 * 4 * ntot + 3 * 8 * ntot // 2 + 2 * 4 * ntot
+            # 4 resident fields + 3 half-spectra + working set, in the
+            # ACTIVE compute dtype (f64 under x64 doubles every term —
+            # a hardcoded 4/8 bytes under-estimated by 2x and the
+            # in-core dispatch OOMed instead of streaming).
+            item = jnp.dtype(compute_dtype()).itemsize
+            need = 4 * item * ntot + 3 * 2 * item * ntot // 2 + 2 * item * ntot
             budget = 16e9
             try:
                 stats = jax.devices()[0].memory_stats() or {}

@@ -51,7 +51,13 @@ class FLASH(Model):
 
     def __init__(self, *args, **kwargs) -> None:
         super().__init__(*args, **kwargs)
+        # Catalogs are built by _directory_changed (invoked from the
+        # base directory setter during super().__init__, and again on
+        # any later directory reassignment).
+        self.mesh = None
+        self.particles = None
 
+    def _directory_changed(self) -> None:
         def catalog(ftype: FileType) -> Dict[str, Dict[int, Path]]:
             pattern, splitter = _PATTERNS[ftype]
             # The ???? glob matches ANY 4 chars: a stray non-numeric
@@ -72,9 +78,6 @@ class FLASH(Model):
         self.prt_files = catalog(FileType.PRT)
         self.uni_files = catalog(FileType.UNI)
         self.anl_files = catalog(FileType.ANL)
-
-        self.mesh = None
-        self.particles = None
 
     def _catalog(self, ftype: FileType) -> Dict[str, Dict[int, Path]]:
         return {
@@ -157,6 +160,16 @@ class FLASH(Model):
             else FileType[str(current_filetype).upper()]
         )
         new = new_filetype if isinstance(new_filetype, FileType) else FileType[str(new_filetype).upper()]
+
+        def substem(ft: FileType) -> str:
+            # Combined mesh+particle types convert via their mesh substem.
+            name = ft.name[:-4] if ft.name.endswith("_PRT") else ft.name
+            return FileSubStem[name].value
+
+        # Replace the hdf5_<substem>_ MARKER, not the bare substem: a
+        # basename containing the substring (e.g. 'chkboard_hdf5_chk_')
+        # must not be mangled (same bug class as from_amr's filename
+        # derivation, commit e8df1b4).
         current_stem = self.mesh.filename.stem
-        new_stem = current_stem.replace(FileSubStem[curr.name].value, FileSubStem[new.name].value)
+        new_stem = current_stem.replace(f"hdf5_{substem(curr)}_", f"hdf5_{substem(new)}_")
         return self.mesh.filename.with_stem(new_stem)

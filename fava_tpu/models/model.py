@@ -44,6 +44,14 @@ class Model:
         self.files = sorted(fn for fn in self._directory.glob("*") if fn.is_file())
         if len(self.files) == 0:
             raise FileNotFoundError(f"The model directory is empty: {self._directory}")
+        # Subclass hook: derived state (e.g. FLASH's five file catalogs)
+        # must follow a directory reassignment, or nfiles()/load() would
+        # silently keep serving the previous directory.
+        self._directory_changed()
+
+    def _directory_changed(self) -> None:
+        """Called after ``self.files`` is re-globbed; subclasses rebuild
+        directory-derived state here."""
 
     @property
     def name(self) -> str:
@@ -56,7 +64,9 @@ class Model:
     def _filter_files(self, pattern: str) -> List[Path]:
         return [file for file in self.files if file.match(pattern)]
 
-    def nfiles(self, *args, **kwargs) -> int:
+    def nfiles(self) -> int:
+        # No swallowed *args/**kwargs: nfiles('plt') on a frontend that
+        # does not catalog by type must raise, not return the total.
         return len(self.files)
 
     # ------------------------------------------------------------------

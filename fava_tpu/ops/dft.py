@@ -232,10 +232,7 @@ def irfftn_fast(x: jax.Array, nz: int = None) -> jax.Array:
     nz = 2 * (x.shape[-1] - 1) if nz is None else int(nz)
     shape = (*(int(s) for s in x.shape[:-1]), nz)
     if x.ndim == 2:
-        if (
-            all(2 <= int(s) <= MAX_DENSE_AXIS for s in shape)
-            and jax.devices()[0].platform == "tpu"
-        ):
+        if all(_dense_axis_ok(s) for s in shape):
             return irfft_trailing(ifft_axis(x, 0), nz)
         return jnp.fft.irfftn(x, s=shape, axes=(0, 1))
     if use_mxu_fft(shape):
@@ -243,13 +240,16 @@ def irfftn_fast(x: jax.Array, nz: int = None) -> jax.Array:
     return jnp.fft.irfftn(x, s=shape, axes=(0, 1, 2))
 
 
+def _dense_axis_ok(n: int) -> bool:
+    """ONE eligibility predicate for the dense-DFT MXU path on a single
+    axis (2 <= n <= MAX_DENSE_AXIS on a TPU backend) — the per-function
+    copies drifted out of use_mxu_fft once already."""
+    return 2 <= int(n) <= MAX_DENSE_AXIS and jax.devices()[0].platform == "tpu"
+
+
 def use_mxu_fft(shape) -> bool:
     """Dense-DFT path: on TPU, 3D, axes within the matmul-cheap regime."""
-    if len(shape) != 3:
-        return False
-    if any(int(s) > MAX_DENSE_AXIS or int(s) < 2 for s in shape):
-        return False
-    return jax.devices()[0].platform == "tpu"
+    return len(shape) == 3 and all(_dense_axis_ok(s) for s in shape)
 
 
 def rfftn_fast(x: jax.Array) -> jax.Array:
@@ -260,14 +260,12 @@ def rfftn_fast(x: jax.Array) -> jax.Array:
 
 
 def rfft_trailing_fast(x: jax.Array) -> jax.Array:
-    n = int(x.shape[-1])
-    if 2 <= n <= MAX_DENSE_AXIS and jax.devices()[0].platform == "tpu":
+    if _dense_axis_ok(x.shape[-1]):
         return rfft_trailing(x)
     return jnp.fft.rfft(x, axis=-1)
 
 
 def fft_axis_fast(x: jax.Array, axis: int) -> jax.Array:
-    n = int(x.shape[axis])
-    if 2 <= n <= MAX_DENSE_AXIS and jax.devices()[0].platform == "tpu":
+    if _dense_axis_ok(x.shape[axis]):
         return fft_axis(x, axis)
     return jnp.fft.fft(x, axis=axis)

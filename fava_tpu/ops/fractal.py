@@ -23,8 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@jax.jit
-def edge_detect(data: jax.Array, contour: jax.Array) -> jax.Array:
+def _edge_detect_impl(data: jax.Array, contour: jax.Array) -> jax.Array:
     """int8 mask of contour-surface cells (6-neighbor threshold crossings)."""
     edata = (data == contour).astype(jnp.int8)
 
@@ -47,6 +46,11 @@ def edge_detect(data: jax.Array, contour: jax.Array) -> jax.Array:
 
     marked = below & crossing & interior
     return jnp.where(marked, jnp.int8(1), edata)
+
+
+# Public jitted form (tests/oracles pin it); fractal_dimension fuses the
+# impl into its counts program instead — see _fractal_counts_fn.
+edge_detect = jax.jit(_edge_detect_impl)
 
 
 @lru_cache(maxsize=64)
@@ -89,6 +93,25 @@ def _box_counts_all_fn(shape, flength: int):
     return counts
 
 
+@lru_cache(maxsize=64)
+def _fractal_counts_fn(shape, flength: int, use_mean: bool):
+    """Fused edge-detect + dyadic box-count cascade in ONE program.
+
+    On a tunneled backend every dispatch pays the ~27 ms host round
+    trip (CLAUDE.md), so running edge_detect as its own jit (plus a
+    separate mean fetch for contour=None) doubled the wall time of an
+    analysis whose device compute is a few ms. ``use_mean`` folds the
+    contour-from-mean reduction in-trace too."""
+    counts = _box_counts_all_fn(shape, flength)
+
+    @jax.jit
+    def run(data, contour):
+        c = jnp.mean(data) if use_mean else contour
+        return counts(_edge_detect_impl(data, c.astype(data.dtype)))
+
+    return run
+
+
 def fractal_dimension(
     data: np.ndarray | jax.Array,
     contours: Union[float, List[float]] = 0.5,
@@ -97,30 +120,36 @@ def fractal_dimension(
 
     Returns {contour: {"average fractal dimension", "slope", "R2", "curve"}}.
     """
-    if isinstance(contours, (int, float, np.number)) and not isinstance(contours, bool):
+    if contours is None:
+        # The loop body supports None-as-mean; accept the obvious
+        # spelling, not only [None].
+        contour_list = [None]
+    elif isinstance(contours, (int, float, np.number)) and not isinstance(contours, bool):
         contour_list = [contours]
     elif isinstance(contours, (list, tuple)):
         contour_list = list(contours)
     else:
-        raise ValueError("Contours must be either a float or list of floats")
+        raise ValueError("Contours must be either a float, list of floats, or None")
 
     data = jnp.asarray(data)
     height, width, depth = data.shape
 
+    largest_dim = min(height, width)
+    if depth > 1:
+        largest_dim = min(largest_dim, depth)
+    flength = int(np.log2(largest_dim)) + 1
+
     retval: Dict[str, Dict[str, float]] = {}
     for contour in contour_list:
-        # On-device mean: fetching the whole volume to host for one
-        # scalar costs minutes per GB on the tunneled backend.
-        _contour = float(jnp.mean(data)) if contour is None else float(contour)
-        edata = edge_detect(data, jnp.asarray(_contour, dtype=data.dtype))
-
-        largest_dim = min(height, width)
-        if depth > 1:
-            largest_dim = min(largest_dim, depth)
-        flength = int(np.log2(largest_dim)) + 1
+        # ONE fused dispatch per contour: edge detect + every dyadic
+        # level's count (and the mean reduction for contour=None)
+        # in-trace — each extra dispatch costs ~27 ms through the
+        # tunnel, which doubled this analysis' wall time.
+        fn = _fractal_counts_fn((height, width, depth), flength, contour is None)
+        c = jnp.asarray(0.0 if contour is None else float(contour), dtype=data.dtype)
+        nfilled_all = np.asarray(fn(data, c))
 
         result = np.zeros((flength, 2))
-        nfilled_all = np.asarray(_box_counts_all_fn((height, width, depth), flength)(edata))
         for level in range(flength):
             nfilled = int(nfilled_all[level])
             result[level, 0] = flength - level - 1

@@ -549,9 +549,13 @@ def assemble_profile_stats(d_row, means, c1, cov, layer):
     the centered covariance shifted to the Favre mean.
     """
     stress = cov / layer
-    favre_mean = means + c1 / d_row
+    # Same zero-density conditioning as the favre_profiles siblings: a
+    # vacuum bin (sum(d) == 0) has c1 == cov == 0, so dividing by the
+    # guarded 1 yields favre_mean == means and rms == 0 instead of NaN.
+    safe_d = jnp.where(d_row > 0, d_row, jnp.ones_like(d_row))
+    favre_mean = means + c1 / safe_d
     di = favre_mean - means
     diag_cov = jnp.stack([cov[d] for d in _DIAG])
-    var = (diag_cov - 2.0 * di * c1 + di * di * d_row) / d_row
+    var = (diag_cov - 2.0 * di * c1 + di * di * d_row) / safe_d
     favre_rms = jnp.sqrt(jnp.maximum(var, 0.0))
     return stress, favre_mean, favre_rms

@@ -240,9 +240,6 @@ def sharded_power_spectra(dens, vels, mesh, nbins: int, axis_name: str = None):
     shape = tuple(int(s) for s in dens.shape)
     nx, ny, nz = shape
     nd = mesh.shape[axis_name]
-    adt = accum_dtype()
-
-    from fava_tpu.ops import pallas_kernels as pk
 
     use_kernel_binning = use_kernel_shell_binning(nx)
     local = local_spectra_fn(shape, nbins, nd, axis_name, use_kernel_binning)
@@ -359,6 +356,32 @@ def _build_spectra_fn(shape: Tuple[int, ...], mesh_key, nbins: int, path_key=Non
     return jax.jit(core)
 
 
+def _squeeze_trailing(arr, ndim: int):
+    """Drop singleton trailing axes of low-dimensional datasets.
+
+    Raises (not an assert — python -O strips those) when a trailing
+    axis is non-singleton, which would otherwise surface later as an
+    opaque reshape error."""
+    if arr.ndim > ndim:
+        squeeze = tuple(range(ndim, arr.ndim))
+        if not all(arr.shape[a] == 1 for a in squeeze):
+            raise ValueError(
+                f"non-singleton trailing axes {tuple(arr.shape[ndim:])} for ndim={ndim}"
+            )
+        arr = arr.reshape(arr.shape[:ndim])
+    return arr
+
+
+def _shell_integral_factor(nbins: int, ndim: int) -> np.ndarray:
+    """k^(d-1) * 2*pi*(d-1) shell factor (reference FlashUniform.py:295-302)
+    — ONE definition so KE and scalar spectrum slopes stay comparable."""
+    k = np.arange(nbins, dtype=np.float64)
+    factor = k ** (ndim - 1)
+    if ndim > 1:
+        factor = factor * (2.0 * np.pi * (ndim - 1))
+    return k, factor
+
+
 def kinetic_energy_spectra(
     dens: jax.Array,
     vels: Sequence[jax.Array],
@@ -376,10 +399,7 @@ def kinetic_energy_spectra(
     mesh = mesh if mesh is not None else runtime.get_mesh()
     ndim = int(ndim) if ndim is not None else len(vels)
     if dens.ndim > ndim:
-        # Squeeze singleton trailing axes of low-dimensional datasets.
-        squeeze = tuple(range(ndim, dens.ndim))
-        assert all(dens.shape[a] == 1 for a in squeeze), "non-singleton trailing axes"
-        dens = dens.reshape(dens.shape[:ndim])
+        dens = _squeeze_trailing(dens, ndim)
         vels = [v.reshape(v.shape[:ndim]) for v in vels]
     shape = tuple(int(s) for s in dens.shape)
     nbins = max(shape) // 2 - 1  # len(bins)-1 with bins = arange(max//2)-0.5
@@ -389,10 +409,7 @@ def kinetic_energy_spectra(
     fn = _build_spectra_fn(shape, mesh, nbins, pk.path_key())
     means = np.asarray(fn(dens, tuple(vels)), dtype=np.float64)
 
-    k = np.arange(nbins, dtype=np.float64)
-    integral_factor = k ** (ndim - 1)
-    if ndim > 1:
-        integral_factor = integral_factor * (2.0 * np.pi * (ndim - 1))
+    k, integral_factor = _shell_integral_factor(nbins, ndim)
 
     return {
         "k": k,
@@ -459,10 +476,7 @@ def scalar_spectrum(
     """
     mesh = mesh if mesh is not None else runtime.get_mesh()
     ndim = int(ndim) if ndim is not None else field.ndim
-    if field.ndim > ndim:
-        squeeze = tuple(range(ndim, field.ndim))
-        assert all(field.shape[a] == 1 for a in squeeze), "non-singleton trailing axes"
-        field = field.reshape(field.shape[:ndim])
+    field = _squeeze_trailing(field, ndim)
     shape = tuple(int(s) for s in field.shape)
     nbins = max(shape) // 2 - 1
 
@@ -471,8 +485,5 @@ def scalar_spectrum(
     fn = _build_scalar_spectrum_fn(shape, mesh, nbins, pk.path_key())
     mean = np.asarray(fn(field), dtype=np.float64)
 
-    k = np.arange(nbins, dtype=np.float64)
-    integral_factor = k ** (ndim - 1)
-    if ndim > 1:
-        integral_factor = integral_factor * (2.0 * np.pi * (ndim - 1))
+    k, integral_factor = _shell_integral_factor(nbins, ndim)
     return {"k": k, "power": mean * integral_factor}

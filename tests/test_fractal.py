@@ -54,3 +54,16 @@ def test_contour_list_and_validation():
     out_np = fractal_dimension(data, np.float64(0.5))
     out_int = fractal_dimension(data, np.int64(1))
     assert set(out_np.keys()) == {"0.5"} and set(out_int.keys()) == {"1"}
+
+
+def test_contours_none_uses_volume_mean():
+    """contours=None (the obvious spelling) must resolve to the volume
+    mean in-trace and match an explicit contour at that value."""
+    data = _smooth_volume(8)
+    got = fractal_dimension(data, None)
+    mean = float(np.mean(data))
+    ref = fractal_dimension(data, mean)
+    key_none = next(iter(got))
+    key_ref = next(iter(ref))
+    for field in ("average fractal dimension", "slope", "R2"):
+        assert got[key_none][field] == pytest.approx(ref[key_ref][field], rel=1e-12)

@@ -135,3 +135,14 @@ def test_amr_region_refinement_and_field_fns(tmp_path):
     # field_fn override: block means equal 2 + x_center exactly for the
     # linear field (cell-average of a linear function = center value)
     np.testing.assert_allclose(dens[leaves].mean(axis=(1, 2, 3)), 2.0 + centers[:, 0], rtol=1e-6)
+
+
+def test_write_unknown_names_rejects_long_names(tmp_path):
+    """FLASH 'unknown names' records are S4: numpy silently truncates
+    longer names (corrupt-on-write) — the writer must raise instead."""
+    import pytest
+
+    with h5py.File(tmp_path / "x.h5", "w") as f:
+        with pytest.raises(ValueError, match="4 characters"):
+            flash_file.write_unknown_names(f, ["dens", "myfield"])
+        flash_file.write_unknown_names(f, ["dens", "velx"])

@@ -179,3 +179,36 @@ def test_unloaded_mesh_attributes_raise_attribute_error(tmp_path):
     assert getattr(m, "xmax", None) is None
     with pytest.raises(AttributeError, match="unset"):
         _ = m.nxb
+
+
+def test_particles_filename_setter_retries_after_failure(tmp_path, particle_file):
+    """If metadata loading fails (file mid-write), the setter must not
+    commit the path: a retry with the same path re-reads it instead of
+    silently keeping the previous file's stale metadata."""
+    from pathlib import Path
+
+    bad = tmp_path / "x_hdf5_part_0009"
+    bad.write_bytes(b"not an hdf5 file")
+    p = FlashParticles(particle_file)
+    with pytest.raises(Exception):
+        p.filename = bad
+    assert p.filename == Path(particle_file)
+
+    # finish the "write", retry: must load the new metadata now
+    import shutil
+
+    shutil.copyfile(particle_file, bad)
+    p.filename = bad
+    assert p.filename == bad
+    p.load()
+    assert "tag" in p.data
+
+
+def test_flagship_analysis_requires_3d(tmp_path):
+    from fava_tpu.io.synthetic import make_uniform_file
+
+    make_uniform_file(tmp_path / "rt_hdf5_uniform_0001", ncells=(8, 8, 1), ndim=2)
+    uni = FlashUniform(tmp_path / "rt_hdf5_uniform_0001")
+    uni.load()
+    with pytest.raises(ValueError, match="3D"):
+        uni.flagship_analysis()

@@ -157,3 +157,36 @@ def test_nfiles_accepts_positional_file_type(tmp_path):
     m = fava_tpu.FLASH(tmp_path)
     assert m.nfiles("uni") == 1  # positional used to silently count CHK
     assert m.nfiles() == 0
+
+
+def test_convert_filename_type_marker_replace(tmp_path):
+    """The hdf5_<substem>_ MARKER is replaced, not the bare substem: a
+    basename containing 'chk' must not be mangled; combined chk_prt /
+    plt_prt types convert via their mesh substem."""
+    from fava_tpu.io import synthetic
+
+    synthetic.make_uniform_file(tmp_path / "chkboard_hdf5_uniform_0040", ncells=(8, 8, 8))
+    m = fava_tpu.FLASH(tmp_path)
+    m.load(file_type="uni")
+    anl = m.convert_filename_type("uni", "anl")
+    assert anl.name == "chkboard_hdf5_analysis_0040"
+    # combined types (mesh + particles) use the mesh substem
+    assert m.convert_filename_type("uni", "chk_prt").name == "chkboard_hdf5_chk_0040"
+
+
+def test_directory_reassignment_rebuilds_catalogs(tmp_path):
+    from fava_tpu.io import synthetic
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    synthetic.make_uniform_file(a / "rt_hdf5_uniform_0001", ncells=(8, 8, 8))
+    synthetic.make_uniform_file(b / "rt_hdf5_uniform_0001", ncells=(8, 8, 8))
+    synthetic.make_uniform_file(b / "rt_hdf5_uniform_0002", ncells=(8, 8, 8))
+    m = fava_tpu.FLASH(a)
+    assert m.nfiles("uni") == 1
+    m.directory = b
+    assert m.nfiles("uni") == 2  # catalogs follow the directory
+    m.load(file_type="uni", file_index=1)
+    assert "0002" in m.mesh.filename.name
