@@ -11,11 +11,15 @@ vectorized point->cell sampling instead of per-point Python loops.
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, Sequence, Tuple
 
 import numpy as np
 
+from fava_tpu.analysis._catalogs import mesh_series_paths, particle_series_indices
 from fava_tpu.models.model import Model
+
+LOGGER = logging.getLogger(__name__)
 
 
 def _sample_grid_points(mesh, nsamples: int, rng: np.random.Generator) -> np.ndarray:
@@ -41,11 +45,14 @@ def eulerian_autocorrelation(
     if "file_type" not in kwargs:
         kwargs["file_type"] = "plt"
 
-    nfiles = self.nfiles(*args, **kwargs)
+    # Indices from the catalog load() resolves file_type against
+    # (shared resolver, named error on an unknown type).
+    indices, _ = mesh_series_paths(self, kwargs["file_type"])
+    nfiles = len(indices)
     time_seps = np.zeros(nfiles, dtype=float)
     results: Dict[str, np.ndarray] = {field: np.zeros(nfiles, dtype=float) for field in fields}
 
-    self.load(file_index=0, fields=list(fields), *args, **kwargs)
+    self.load(file_index=indices[0], fields=list(fields), *args, **kwargs)
     if self.mesh is None:
         msg = "Eulerian autocorrelation requires an Eulerian mesh!"
         if self.particles is not None:
@@ -58,18 +65,27 @@ def eulerian_autocorrelation(
     init_data: Dict[str, np.ndarray] = {}
     init_sum: Dict[str, float] = {}
 
-    for i in range(nfiles):
+    for i, idx in enumerate(indices):
         try:
-            self.load(file_index=i, fields=list(fields), *args, **kwargs)
+            self.load(file_index=idx, fields=list(fields), *args, **kwargs)
         except Exception:
-            print(f"Bad file: index={i}")
+            # A corrupt/mid-write file mid-series: warn through the
+            # package logger and mark the slot NaN — a silent in-band
+            # (t=0, corr=0) sample would corrupt downstream decay fits.
+            LOGGER.warning("eulerian_autocorrelation: skipping bad file index=%d", idx, exc_info=True)
+            time_seps[i] = np.nan
+            for field in fields:
+                results[field][i] = np.nan
             continue
         time_seps[i] = self.mesh.time
 
         values, vol_frac, _found = self.mesh.sample_fields(points, fields)
         current = {field: values[field] * vol_frac for field in fields}
 
-        if i == 0:
+        if not init_data:
+            # Reference point: the first readable file (the reference
+            # hardwires file 0, which deadlocks the whole analysis on
+            # one bad leading file).
             init_data = {field: current[field].copy() for field in fields}
             init_sum = {field: float(np.sqrt(np.sum(v**2))) for field, v in init_data.items()}
 
@@ -88,7 +104,10 @@ def lagrangian_autocorrelation(
     if "file_type" not in kwargs:
         kwargs["file_type"] = "prt"
 
-    nfiles = self.nfiles(*args, **kwargs)
+    # Indices from the catalog load() resolves file_type against
+    # (chk_prt -> checkpoint files, which carry the particle table).
+    indices = particle_series_indices(self, kwargs["file_type"])
+    nfiles = len(indices)
     time_seps = np.zeros(nfiles, dtype=float)
     results: Dict[str, np.ndarray] = {field: np.zeros(nfiles, dtype=float) for field in fields}
 
@@ -98,7 +117,7 @@ def lagrangian_autocorrelation(
     # the products below silently pair different particles.
     load_fields = list(dict.fromkeys([*fields, "tag"]))
 
-    self.load(file_index=0, fields=load_fields, *args, **kwargs)
+    self.load(file_index=indices[0], fields=load_fields, *args, **kwargs)
     if self.particles is None:
         msg = "Lagrangian autocorrelation requires Lagrangian Particles!"
         if self.mesh is not None:
@@ -108,8 +127,8 @@ def lagrangian_autocorrelation(
     init_data: Dict[str, np.ndarray] = {}
     init_sum: Dict[str, float] = {}
 
-    for i in range(nfiles):
-        self.load(file_index=i, fields=load_fields, *args, **kwargs)
+    for i, idx in enumerate(indices):
+        self.load(file_index=idx, fields=load_fields, *args, **kwargs)
 
         if i == 0:
             init_data = {field: np.copy(self.particles.data[field]) for field in fields}

@@ -14,6 +14,7 @@ from typing import List, Optional
 
 import numpy as np
 
+from fava_tpu.analysis._catalogs import particle_series_indices
 from fava_tpu.models.model import Model
 
 
@@ -31,13 +32,26 @@ def cross_correlation(
     svar = spatial_field
     fields: List[str] = [svar, tvar]
 
-    nfiles = len(self.prt_files["by index"])
+    file_type = kwargs.setdefault("file_type", "prt")
+    indices = particle_series_indices(self, file_type)
+    nfiles = len(indices)
     sample_points = np.asarray(sample_points)
     npts = sample_points.size
 
-    ibeg = kwargs.pop("ibeg", 0)
-    iend = kwargs.pop("iend", nfiles)
-    imid = floor((iend - ibeg) / 2)
+    # The [ibeg, iend) window is HONORED: the reference accepts both
+    # kwargs but then drops the ibeg offset from the midpoint and loops
+    # over every file regardless (reference cross_correlation.py:52-90),
+    # correlating over the wrong time window without error.
+    ibeg = int(kwargs.pop("ibeg", 0))
+    iend = int(kwargs.pop("iend", nfiles))
+    if not (0 <= ibeg < iend <= nfiles):
+        raise ValueError(
+            f"invalid series window [ibeg={ibeg}, iend={iend}) over {nfiles} particle files"
+        )
+    nwin = iend - ibeg
+    if nwin < 2:
+        raise ValueError("cross correlation needs at least 2 snapshots in the window")
+    imid = ibeg + floor(nwin / 2)
 
     lagrangian_tracking = kwargs.pop("lagrangian_tracking", None)
     if lagrangian_tracking is None:
@@ -48,10 +62,9 @@ def cross_correlation(
         raise ValueError(
             "Lagrangian particle tracking selected but no name given for the particle ID tag field"
         )
-    kwargs.setdefault("file_type", "prt")
 
-    samp_data = np.zeros((nfiles, npts), dtype=float)
-    temp_data = np.zeros((nfiles, 1), dtype=float)
+    samp_data = np.zeros((nwin, npts), dtype=float)
+    temp_data = np.zeros((nwin, 1), dtype=float)
 
     def grab(i: int):
         # The tag column is always loaded: particles migrate between
@@ -70,17 +83,19 @@ def cross_correlation(
 
     wanted = np.concatenate(([poi_idx], sample_points.ravel()))
 
-    for i in (imid, *(j for j in range(nfiles) if j != imid)):
-        rows = rows_for(grab(i), wanted)
-        temp_data[i] = self.particles.data[tvar][rows[0]]
-        samp_data[i, :] = self.particles.data[svar][rows[1:]]
+    # Midpoint first (reference semantics), then the rest of the
+    # window; only files INSIDE [ibeg, iend) are loaded.
+    for p in (imid, *(j for j in range(ibeg, iend) if j != imid)):
+        rows = rows_for(grab(indices[p]), wanted)
+        temp_data[p - ibeg] = self.particles.data[tvar][rows[0]]
+        samp_data[p - ibeg, :] = self.particles.data[svar][rows[1:]]
 
     smean = samp_data[:-1, ...].mean(axis=0)
     tmean = temp_data[1:].mean()
     sstd = samp_data[:-1, ...].std(axis=0)
     tstd = temp_data[1:].std()
 
-    Rts = np.sum(temp_data[1:] * samp_data[:-1, :], axis=0) / float(nfiles - 1)
+    Rts = np.sum(temp_data[1:] * samp_data[:-1, :], axis=0) / float(nwin - 1)
     Kts = Rts - smean * tmean
     rho = Kts / (sstd * tstd)
     return rho

@@ -45,6 +45,7 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
+from fava_tpu.analysis._catalogs import particle_series_indices
 from fava_tpu.mesh.flash_particles import rows_for_tags
 from fava_tpu.models.model import Model
 
@@ -168,10 +169,12 @@ def dispersion_statistics(
     over EVERY tag present at t = 0 (hard error if one later
     disappears), ``pair_msd`` over the nearest-neighbor pairs.
     """
-    kwargs.setdefault("file_type", "prt")
-    indices = (
-        sorted(self.prt_files["by index"].keys()) if file_indices is None else list(file_indices)
-    )
+    file_type = kwargs.setdefault("file_type", "prt")
+    # Indices come from the SAME catalog load() resolves file_type
+    # against (chk_prt -> checkpoint files): drawing them from
+    # prt_files regardless analyzed a different snapshot set than the
+    # override requested, or failed mid-series.
+    indices = particle_series_indices(self, file_type, file_indices)
     if len(indices) < 2:
         raise ValueError("dispersion statistics need at least 2 particle snapshots")
 

@@ -14,6 +14,7 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
+from fava_tpu.analysis._catalogs import mesh_series_paths
 from fava_tpu.io.ingest import Snapshot, SnapshotPrefetcher
 from fava_tpu.models.model import Model
 from fava_tpu.ops import profiles as profile_ops
@@ -76,11 +77,19 @@ def _uniform_volume(snap: Snapshot, name: str, what: str):
     if v.ndim == 4:
         if v.shape[0] != 1:
             raise ValueError(
-                f"{what} needs single-block uniform volumes; "
-                "regrid AMR series with from_amr first."
+                f"{what} needs single-block uniform volumes; got "
+                f"{v.shape[0]} blocks from {snap.path} — use "
+                "favre_series/reynolds_series for AMR series, or regrid "
+                "with from_amr first."
             )
         v = v[0]
     return v
+
+
+# ONE catalog lookup for the five series drivers (and a named error for
+# an unknown file_type instead of a bare KeyError) — shared with the
+# particle-series resolver in analysis/_catalogs.py.
+_series_paths = mesh_series_paths
 
 
 def _packed_stat_series(paths, fields, make_vec, prefetch_depth: int, group: int = 16):
@@ -119,9 +128,18 @@ def _packed_stat_series(paths, fields, make_vec, prefetch_depth: int, group: int
         if names is None:
             names = tuple(snap_names)
         elif tuple(snap_names) != names:
+            missing = sorted(set(names) - set(snap_names))
+            extra = sorted(set(snap_names) - set(names))
+            detail = (
+                f"missing {missing}, unexpected {extra}"
+                if (missing or extra)
+                # Same columns permuted: the set difference is empty,
+                # which used to print a misleading "got [] only
+                # sometimes" — name the order mismatch instead.
+                else f"same columns in a different order: got {list(snap_names)}, expected {list(names)}"
+            )
             raise ValueError(
-                f"{snap.path}: inconsistent stat columns across the series "
-                f"(got {sorted(set(snap_names) ^ set(names))} only sometimes)"
+                f"{snap.path}: inconsistent stat columns across the series ({detail})"
             )
         times.append(snap.time)
         pending.append(vec)
@@ -145,9 +163,7 @@ def favre_series(
     Returns stacked (nfiles, nfine) profiles per velocity component plus
     the times and the common span.
     """
-    catalog = {"plt": self.plt_files, "chk": self.chk_files, "uni": self.uni_files}[file_type]
-    indices = sorted(catalog["by index"].keys()) if file_indices is None else list(file_indices)
-    paths = [catalog["by index"][i] for i in indices]
+    indices, paths = _series_paths(self, file_type, file_indices)
 
     fields = ["dens", "velx", "vely", "velz"]
     times = []
@@ -210,9 +226,7 @@ def reynolds_series(
     file_indices: Optional[Sequence[int]] = None,
 ) -> Dict[str, np.ndarray]:
     """Reynolds-stress profiles over a snapshot series (async ingest)."""
-    catalog = {"plt": self.plt_files, "chk": self.chk_files, "uni": self.uni_files}[file_type]
-    indices = sorted(catalog["by index"].keys()) if file_indices is None else list(file_indices)
-    paths = [catalog["by index"][i] for i in indices]
+    indices, paths = _series_paths(self, file_type, file_indices)
 
     fields = ["dens", "velx", "vely", "velz"]
     times = []
@@ -272,22 +286,13 @@ def flagship_series(
 
     from fava_tpu import flagship
 
-    catalog = {"plt": self.plt_files, "chk": self.chk_files, "uni": self.uni_files}[file_type]
-    indices = sorted(catalog["by index"].keys()) if file_indices is None else list(file_indices)
-    paths = [catalog["by index"][i] for i in indices]
+    indices, paths = _series_paths(self, file_type, file_indices)
     fields = ["dens", "velx", "vely", "velz"]
 
     def vol(snap: Snapshot, name: str):
-        v = snap.fields[name]
-        if v.ndim == 4:
-            if v.shape[0] != 1:
-                raise ValueError(
-                    "flagship_series needs single-block uniform volumes; "
-                    f"got {v.shape[0]} blocks from {file_type!r} files — "
-                    "use favre_series/reynolds_series for AMR series, or "
-                    "regrid with from_amr first."
-                )
-            return v[0]
+        v = _uniform_volume(snap, name, "flagship_series")
+        if v is None:
+            raise KeyError(f"{snap.path}: missing required field {name!r}")
         return v
 
     active_mesh = prt.get_mesh()
@@ -456,9 +461,7 @@ def summary_series(
     """
     from fava_tpu.ops import velocity as vel_ops
 
-    catalog = {"plt": self.plt_files, "chk": self.chk_files, "uni": self.uni_files}[file_type]
-    indices = sorted(catalog["by index"].keys()) if file_indices is None else list(file_indices)
-    paths = [catalog["by index"][i] for i in indices]
+    indices, paths = _series_paths(self, file_type, file_indices)
     fields = ["dens", "velx", "vely", "velz", "pres", "gamc"]
 
     def make_vec(snap: Snapshot):
@@ -519,9 +522,7 @@ def gradient_series(
     """
     from fava_tpu.ops import gradients as grad_ops
 
-    catalog = {"plt": self.plt_files, "chk": self.chk_files, "uni": self.uni_files}[file_type]
-    indices = sorted(catalog["by index"].keys()) if file_indices is None else list(file_indices)
-    paths = [catalog["by index"][i] for i in indices]
+    indices, paths = _series_paths(self, file_type, file_indices)
     fields = ["velx", "vely", "velz"]
 
     def make_vec(snap: Snapshot):

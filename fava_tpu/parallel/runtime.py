@@ -44,7 +44,16 @@ def make_device_mesh(
     """
     if shape is None:
         shape = (device_count(),)
-    devices = np.asarray(jax.devices()[: int(np.prod(shape))]).reshape(tuple(shape))
+    need = int(np.prod(shape))
+    avail = jax.devices()
+    if need > len(avail):
+        # A clear error instead of numpy's "cannot reshape array of
+        # size 8 into shape (2, 8)" from the silent truncation below.
+        raise ValueError(
+            f"mesh shape {tuple(shape)} needs {need} devices but only "
+            f"{len(avail)} are available"
+        )
+    devices = np.asarray(avail[:need]).reshape(tuple(shape))
     return Mesh(devices, tuple(axis_names))
 
 

@@ -179,3 +179,85 @@ def test_eulerian_autocorrelation_translating_mode(tmp_path):
     # Continuum closed form within Monte-Carlo error of 300 samples.
     cont = (4.0 + 0.5 * np.cos(k * U * np.asarray(times))) / 4.5
     assert np.max(np.abs(results["dens"] - cont)) < 0.05
+
+
+def test_cross_correlation_window_honored(tmp_path):
+    """ibeg/iend select the correlated time window: the reference
+    accepts both kwargs but loops over every file and mis-centers the
+    midpoint (reference cross_correlation.py:52-90) — here the result
+    over [ibeg, iend) must equal the full analysis of just that window."""
+    from fava_tpu.io import flash_file
+
+    nglob = 12
+    times = [0.0, 0.1, 0.2, 0.3, 0.4]
+    rng = np.random.default_rng(7)
+    base = np.arange(1, nglob + 1, dtype=np.float64)
+    vals = rng.normal(size=(len(times), nglob))
+    for i, t in enumerate(times, start=1):
+        perm = rng.permutation(nglob)
+        flash_file.write_particle_file(
+            tmp_path / f"rt_hdf5_part_{i:04d}",
+            int_scalars={"dimensionality": 3, "globalnumparticles": nglob},
+            real_scalars={"time": float(t), "dt": 1e-3, "dtold": 1e-3},
+            particles={
+                "tag": base[perm],
+                "velx": vals[i - 1][perm],
+                "vely": (vals[i - 1] ** 2)[perm],
+            },
+        )
+    m = fava_tpu.FLASH(tmp_path)
+    sample_tags = base[:3]
+    kw = dict(lagrangian_tracking=True, tag_field="tag")
+    rho = m.cross_correlation("velx", "vely", sample_tags, 5.0, ibeg=1, iend=4, **kw)
+
+    # Oracle: the same Naka et al. formulas over ONLY files 1..3.
+    samp = vals[1:4][:, :3]
+    temp = (vals[1:4][:, 4] ** 2)[:, None]
+    smean, tmean = samp[:-1].mean(axis=0), temp[1:].mean()
+    sstd, tstd = samp[:-1].std(axis=0), temp[1:].std()
+    Rts = np.sum(temp[1:] * samp[:-1], axis=0) / float(3 - 1)
+    expected = (Rts - smean * tmean) / (sstd * tstd)
+    np.testing.assert_allclose(rho, expected, rtol=1e-12)
+
+    with pytest.raises(ValueError, match="invalid series window"):
+        m.cross_correlation("velx", "vely", sample_tags, 5.0, ibeg=3, iend=9, **kw)
+    with pytest.raises(ValueError, match="at least 2"):
+        m.cross_correlation("velx", "vely", sample_tags, 5.0, ibeg=2, iend=3, **kw)
+
+
+def test_eulerian_autocorrelation_bad_file_is_nan_not_zero(tmp_path, caplog):
+    """A corrupt file mid-series yields NaN slots + a logger warning —
+    in-band (t=0, corr=0) samples silently corrupted decay fits."""
+    import logging
+
+    for i, t in enumerate([0.0, 0.1, 0.2], start=1):
+        synthetic.make_uniform_file(
+            tmp_path / f"rt_hdf5_uniform_{i:04d}", ncells=(8, 8, 8), seed=9, time=t
+        )
+    (tmp_path / "rt_hdf5_uniform_0002").write_bytes(b"garbage, not hdf5")
+
+    m = fava_tpu.FLASH(tmp_path)
+    with caplog.at_level(logging.WARNING, logger="fava_tpu.analysis.auto_correlations"):
+        times, results = m.eulerian_autocorrelation(
+            nsamples=16, fields=["dens"], seed=0, file_type="uni"
+        )
+    assert np.isnan(times[1]) and np.isnan(results["dens"][1])
+    assert np.isfinite(times[[0, 2]]).all() and np.isfinite(results["dens"][[0, 2]]).all()
+    np.testing.assert_allclose(results["dens"][[0, 2]], 1.0, rtol=1e-12)  # static field
+    assert any("skipping bad file" in r.message for r in caplog.records)
+
+
+def test_particle_series_indices_follow_file_type(tmp_path):
+    """chk_prt draws indices from the CHK catalog (checkpoints carry the
+    particle table); an unknown type gets a named error."""
+    from fava_tpu.analysis._catalogs import particle_series_indices
+
+    for i in (1, 2, 3):
+        synthetic.make_particle_file(tmp_path / f"rt_hdf5_part_{i:04d}", nparticles=8)
+    synthetic.make_amr_file(tmp_path / "rt_hdf5_chk_0001", ncells=(4, 4, 4), nblks=(1, 1, 1))
+    m = fava_tpu.FLASH(tmp_path)
+    assert particle_series_indices(m, "prt") == [0, 1, 2]
+    assert particle_series_indices(m, "chk_prt") == [0]
+    assert particle_series_indices(m, "plt_prt", [2]) == [2]
+    with pytest.raises(ValueError, match="particle-series"):
+        particle_series_indices(m, "uni")

@@ -155,3 +155,36 @@ def test_gradient_series_matches_per_file(tmp_path):
         single = m.velocity_gradient_statistics()
         for k, v in single.items():
             np.testing.assert_allclose(out[k][row], v, rtol=1e-12, err_msg=k)
+
+
+def test_series_unknown_file_type_named_error(tmp_path):
+    """An unknown file_type gets a named ValueError, not a bare KeyError
+    from the catalog dict literal."""
+    synthetic.make_uniform_file(tmp_path / "rt_hdf5_uniform_0001", ncells=(8, 8, 8))
+    m = fava_tpu.FLASH(tmp_path)
+    with pytest.raises(ValueError, match="mesh-series.*'plt'"):
+        m.summary_series(file_type="prt")
+
+
+def test_packed_stat_series_permuted_column_message(tmp_path):
+    """Same columns in a different order must be reported as such — the
+    symmetric set difference is empty there and used to print a
+    misleading 'got [] only sometimes'."""
+    import jax.numpy as jnp
+
+    from fava_tpu.analysis.time_series import _packed_stat_series
+
+    for i in (1, 2):
+        synthetic.make_uniform_file(
+            tmp_path / f"rt_hdf5_uniform_{i:04d}", ncells=(8, 8, 8), seed=i, time=0.1 * i
+        )
+    paths = sorted(tmp_path.glob("*uniform*"))
+    calls = []
+
+    def make_vec(snap):
+        calls.append(snap.path)
+        names = ("a", "b") if len(calls) == 1 else ("b", "a")
+        return jnp.zeros(2), names
+
+    with pytest.raises(ValueError, match="different order.*'b', 'a'"):
+        _packed_stat_series(paths, ["dens"], make_vec, prefetch_depth=1)

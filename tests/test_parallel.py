@@ -349,3 +349,10 @@ def test_example_field_batch_matches_per_seed_fields():
             np.testing.assert_allclose(
                 np.asarray(batch[k][i]), np.asarray(single[k]), atol=2e-5
             )
+
+
+def test_make_device_mesh_too_many_devices():
+    """A mesh larger than the device count raises a named error, not
+    numpy's cryptic reshape failure from the silent truncation."""
+    with pytest.raises(ValueError, match="needs 16 devices"):
+        make_device_mesh((2, 8), ("snap", "space"))
