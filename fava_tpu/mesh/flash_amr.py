@@ -552,12 +552,9 @@ class FLASH(Structured):
         """Total (and per-mask) mass. AMR-aware generalization of the
         uniform-only reference mass_fraction (FlashUniform.py:449-458)."""
         dens = self._leaf_stack("dens")
-        cv = self.get_cell_volumes("LEAF")
-        mass = dens * jnp.asarray(cv, dtype=dens.dtype).reshape((-1,) + (1,) * (dens.ndim - 1))
-        out = {"total": float(jnp.sum(mass))}
-        for name, mask in (masks or {}).items():
-            out[name] = float(jnp.sum(jnp.where(jnp.asarray(mask), mass, 0)))
-        return out
+        cv = np.asarray(self.get_cell_volumes("LEAF")).reshape((-1,) + (1,) * (dens.ndim - 1))
+        # Shared fused kernel: total + every mask in ONE dispatch/fetch.
+        return volume_ops.mass_sum(dens, cv, masks)
 
     def _leaf_stack(self, field: str) -> jax.Array:
         stack = self._field_stack(field)

@@ -47,16 +47,44 @@ def volume_average(
     return volume_integration(data, cell_volumes, blocklist) / float(domain_volume)
 
 
+@lru_cache(maxsize=16)
+def _mass_sums_fn(nmasks: int):
+    """ONE program: total + per-mask mass sums in a single packed
+    fetch. The per-mask ``float(jnp.sum(...))`` loop paid the ~27 ms
+    dispatch+fetch floor once per mask (3-4 masks in the reference's
+    flam/rpv1-style runs = ~100 ms of pure tunnel round trips)."""
+
+    @jax.jit
+    def run(dens, cell_volumes, masks):
+        mass = dens.astype(accum_dtype()) * cell_volumes.astype(accum_dtype())
+        sums = [jnp.sum(mass)]
+        for m in masks:
+            sums.append(jnp.sum(jnp.where(m, mass, 0)))
+        return jnp.stack(sums)
+
+    return run
+
+
 def mass_sum(
     dens: jax.Array,
-    cell_volume: float,
+    cell_volume,
     masks: Optional[Dict[str, jax.Array]] = None,
 ) -> Dict[str, float]:
-    """Total mass plus per-mask masses (reference mass_fraction semantics)."""
-    mass = dens.astype(accum_dtype()) * cell_volume
-    out = {"total": float(jnp.sum(mass))}
-    for name, mask in (masks or {}).items():
-        out[name] = float(jnp.sum(jnp.where(jnp.asarray(mask), mass, 0)))
+    """Total mass plus per-mask masses (reference mass_fraction semantics).
+
+    ``cell_volume`` is a scalar (uniform grids) or a per-leading-axis
+    broadcastable array (AMR per-block volumes).
+    """
+    masks = masks or {}
+    names = list(masks.keys())
+    vec = np.asarray(
+        _mass_sums_fn(len(names))(
+            dens, jnp.asarray(cell_volume), tuple(jnp.asarray(masks[n]) for n in names)
+        ),
+        dtype=np.float64,
+    )
+    out = {"total": float(vec[0])}
+    out.update({n: float(vec[1 + i]) for i, n in enumerate(names)})
     return out
 
 
@@ -317,6 +345,13 @@ def pdf1d(
     worst-case / ~1e-7 measured relative bound (no 2^24 f32 stall; see
     ``utils.twofloat.blocked_sum_dd``).
     """
+    if weights is not None and tuple(weights.shape) != tuple(values.shape):
+        # Same guard as density_pdf/binned_statistic: equal SIZES would
+        # ravel-broadcast cleanly and silently pair each sample with
+        # another cell's weight.
+        raise ValueError(
+            f"weights shape {tuple(weights.shape)} does not match values shape {tuple(values.shape)}"
+        )
     if vrange is None:
         if values.size == 0:
             raise ValueError("pdf1d cannot auto-range an empty array; pass vrange")
@@ -380,6 +415,14 @@ def pdf2d(
     2^31 per bin; weighted sums accumulate in double-word (hi, lo)
     across chunks and are f64-combined on fetch (N-independent bound —
     no f32 2^24 stall)."""
+    if tuple(yvalues.shape) != tuple(xvalues.shape):
+        raise ValueError(
+            f"yvalues shape {tuple(yvalues.shape)} does not match xvalues shape {tuple(xvalues.shape)}"
+        )
+    if weights is not None and tuple(weights.shape) != tuple(xvalues.shape):
+        raise ValueError(
+            f"weights shape {tuple(weights.shape)} does not match xvalues shape {tuple(xvalues.shape)}"
+        )
     if xvalues.size == 0 and (xrange is None or yrange is None):
         raise ValueError("pdf2d cannot auto-range empty arrays; pass xrange/yrange")
     if isinstance(nbins, int):
@@ -491,8 +534,12 @@ def _density_pdf_fn(nbins: int, fixed_range: bool, counting: bool = False):
             hi = mu + lo_in * sigma
         hi = jnp.where(hi > lo, hi, lo + 1.0)  # constant field: sigma = 0
         # in-trace edges (the range is data-dependent here); the
-        # scatter-free interval histogram is shared with pdf1d
-        edges = lo + (hi - lo) * (jnp.arange(nbins + 1, dtype=adt) / nbins)
+        # scatter-free interval histogram is shared with pdf1d.
+        # _edges_traced is the bit-identical np.linspace twin — a
+        # different edge formula binned samples against edges that
+        # disagreed (by an ulp, and at the unpinned endpoint) with the
+        # np.linspace edges reported to the caller.
+        edges = _edges_traced(lo.astype(adt), hi.astype(adt), nbins)
         stats = jnp.stack([rho_mean, mu, sigma, m3, m4, lo, hi]).astype(adt)
         # one packed vector -> one tunnel fetch (~27 ms floor per fetch)
         if counting:
