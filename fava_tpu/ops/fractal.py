@@ -155,16 +155,22 @@ def fractal_dimension(
             result[level, 0] = flength - level - 1
             result[level, 1] = np.log2(nfilled) if nfilled > 0 else -np.inf
 
-        filled_boxes = 2.0 ** result[:, 1]
-        cum = np.sum(np.log2(filled_boxes[:-1] / filled_boxes[1:]))
-        avg_frac_dim = cum / (filled_boxes.size - 1.0)
+        # Empty levels carry -inf log counts (reference parity: the
+        # stats below degrade to NaN exactly like FlashUniform.py's
+        # log2(0) pipeline, pinned by test_empty_contour_...); silence
+        # numpy's inf/0-division warnings for that documented path —
+        # the only non-finite source here is the explicit -inf above.
+        with np.errstate(invalid="ignore", divide="ignore"):
+            filled_boxes = 2.0 ** result[:, 1]
+            cum = np.sum(np.log2(filled_boxes[:-1] / filled_boxes[1:]))
+            avg_frac_dim = cum / (filled_boxes.size - 1.0)
 
-        mean = np.mean(result, axis=0)
-        std = np.std(result, axis=0)
-        rval = np.sum((result[:, 0] - mean[0]) * (result[:, 1] - mean[1])) / (
-            np.prod(std) * result.shape[0]
-        )
-        slope = rval * std[1] / std[0]
+            mean = np.mean(result, axis=0)
+            std = np.std(result, axis=0)
+            rval = np.sum((result[:, 0] - mean[0]) * (result[:, 1] - mean[1])) / (
+                np.prod(std) * result.shape[0]
+            )
+            slope = rval * std[1] / std[0]
 
         retval[f"{contour}"] = {
             "average fractal dimension": float(avg_frac_dim),

@@ -56,6 +56,25 @@ def test_contour_list_and_validation():
     assert set(out_np.keys()) == {"0.5"} and set(out_int.keys()) == {"1"}
 
 
+def test_empty_contour_is_nan_like_the_oracle():
+    """A contour above every cell leaves zero filled boxes at every
+    level; the reference's stats pipeline (log2(0) -> -inf -> inf-inf)
+    then yields NaN across the board (FlashUniform.py:211-223). Pin
+    that the rebuild degrades identically — defined NaNs, no raise —
+    instead of, e.g., dropping empty levels and reporting a number."""
+    data = _smooth_volume(8)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            got = fractal_dimension(data, 99.0)["99.0"]
+            ref = fractal_dimension_oracle(data, 99.0)
+    for key in ref:
+        assert np.isnan(ref[key]), key  # oracle itself degenerates to NaN
+        assert np.isnan(got[key]), key
+
+
 def test_contours_none_uses_volume_mean():
     """contours=None (the obvious spelling) must resolve to the volume
     mean in-trace and match an explicit contour at that value."""
