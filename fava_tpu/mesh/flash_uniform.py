@@ -200,7 +200,15 @@ class FlashUniform(FLASH):
         if nd < 3:
             squeezed = []
             for v in vols:
-                assert all(s == 1 for s in v.shape[nd:]), "non-singleton trailing axes"
+                if not all(s == 1 for s in v.shape[nd:]):
+                    # Named error, not an assert (strips under -O and
+                    # the reshape below then dies with a cryptic
+                    # element-count mismatch): file data contradicting
+                    # its own dimensionality metadata.
+                    raise ValueError(
+                        f"dataset claims {nd}D but a velocity volume has "
+                        f"non-singleton trailing axes: {tuple(v.shape)}"
+                    )
                 squeezed.append(v.reshape(v.shape[:nd]))
             vols = squeezed
         return vols
@@ -214,7 +222,11 @@ class FlashUniform(FLASH):
         v = self._volume(name)
         nd = self.ndim
         if v.ndim > nd:
-            assert all(s == 1 for s in v.shape[nd:]), "non-singleton trailing axes"
+            if not all(s == 1 for s in v.shape[nd:]):
+                raise ValueError(
+                    f"dataset claims {nd}D but field {name!r} has "
+                    f"non-singleton trailing axes: {tuple(v.shape)}"
+                )
             v = v.reshape(v.shape[:nd])
         return v
 

@@ -209,7 +209,18 @@ class ShardedRegridPlan:
 
     def __init__(self, plan: RegridPlan, n_space: int) -> None:
         nx = plan.out_shape[0]
-        assert nx % n_space == 0, "output x extent must divide the space axis"
+        if nx % n_space != 0:
+            # A ValueError, not an assert: under ``python -O`` the
+            # assert strips and ``nxs = nx // n_space`` silently
+            # truncates into a wrong block distribution. The production
+            # caller (mesh/flash_amr.py from_amr) checks eligibility
+            # and falls back to the replicated path; this guards direct
+            # regrid_fields_sharded use.
+            raise ValueError(
+                f"sharded regrid needs the output x extent ({nx}) to divide "
+                f"the space axis ({n_space}); crop/pad the subdomain or use "
+                "the unsharded regrid_fields"
+            )
         self.plan = plan
         self.n_space = n_space
         self.nxs = nx // n_space

@@ -187,6 +187,27 @@ def test_regrid_nondivisible_falls_back_with_warning(
     np.testing.assert_allclose(np.asarray(mesh._data["dens"]), expected["dens"], rtol=1e-12)
 
 
+def test_sharded_plan_rejects_nondividing_extent(amr_mesh):
+    """Direct ShardedRegridPlan use with a non-dividing space axis must
+    raise a named error: under ``python -O`` a bare assert strips and
+    the integer division silently truncates into a wrong block
+    distribution. (from_amr itself checks eligibility and falls back —
+    test_regrid_nondivisible_falls_back_with_warning.)"""
+    from fava_tpu.ops.regrid import RegridPlan, ShardedRegridPlan
+
+    plan = RegridPlan(
+        block_bounds=np.asarray(amr_mesh.block_bounds),
+        node_type=np.asarray(amr_mesh.node_type),
+        refine_level=np.asarray(amr_mesh.refine_level),
+        ncells_vec=amr_mesh.nCellsVec,
+        nblks_vec=amr_mesh.nBlksVec,
+        ndim=3,
+    )
+    assert plan.out_shape[0] % 5 != 0  # fixture geometry sanity
+    with pytest.raises(ValueError, match="divide the space axis"):
+        ShardedRegridPlan(plan, 5)
+
+
 def test_regrid_mesh_active_distributes_input_blocks(amr_mesh, eight_device_mesh):
     """With an active mesh, from_amr must pool HBM: the source stack is
     distributed as per-device block subsets (each strictly smaller than
